@@ -25,7 +25,10 @@ object Core {
     Tables(s, dir, n)
 
   /** Money sums: cast to decimal(18,2) BEFORE aggregating so both engines sum
-    * exactly (double summation order differs across engines/partitions).
+    * exactly (double summation order differs across engines/partitions). The
+    * FINAL output column is then cast once to double on both sides — Spark's
+    * and DuckDB's decimal encodings hash differently, but one cast of an
+    * exact decimal sum yields the identical double bit pattern.
     */
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
@@ -38,17 +41,17 @@ object Core {
         li.filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
             sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-              .cast("decimal(18,2)").as("sum_disc_price"),
+              .cast("double").as("sum_disc_price"),
             count(lit(1)).as("cnt"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
                COUNT(*) AS cnt
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -83,13 +86,13 @@ object Core {
             col("event_id"), col("user_id"),
             when(col("event_type") === "purchase", dec(col("value")))
               .otherwise(dec(col("value")) * dec(lit(2)))
-              .cast("decimal(18,2)").as("qty")),
+              .cast("double").as("qty")),
       Some("""
         SELECT event_id, user_id,
                CAST(CASE WHEN event_type = 'purchase'
                          THEN CAST(value AS DECIMAL(18,2))
                          ELSE CAST(value AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) END
-                    AS DECIMAL(18,2)) AS qty
+                    AS DOUBLE) AS qty
         FROM events
         WHERE event_type IN ('purchase','click')"""),
       "P5/F4: conditional quantity (cart-add delta pattern, " +
@@ -108,11 +111,11 @@ object Core {
           .agg(
             count(lit(1)).as("cnt"),
             sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-              .cast("decimal(18,2)").as("revenue"))
+              .cast("double").as("revenue"))
       },
       Some("""
         SELECT o_orderpriority, COUNT(*) AS cnt,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority"""),
       "J1: stream-stream inner equi join, batch rendition " +
@@ -134,11 +137,11 @@ object Core {
           .groupBy(col("r_name"), col("n_name"))
           .agg(
             count(lit(1)).as("order_cnt"),
-            sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total_amount"))
+            sum(dec(col("o_totalprice"))).cast("double").as("total_amount"))
       },
       Some("""
         SELECT r_name, n_name, COUNT(*) AS order_cnt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -178,11 +181,11 @@ object Core {
           .filter(col("rn") === 1)
           .select(
             col("user_id"), col("event_id"), col("event_type"),
-            dec(col("value")).as("value_dec"))
+            dec(col("value")).cast("double").as("value_dec"))
       },
       Some("""
         SELECT user_id, event_id, event_type,
-               CAST(value AS DECIMAL(18,2)) AS value_dec
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
               FROM events)
@@ -232,11 +235,11 @@ object Core {
         a.unionByName(b).unionByName(c)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("cnt"),
-            sum(dec(col("value"))).cast("decimal(18,2)").as("sum_value"))
+            sum(dec(col("value"))).cast("double").as("sum_value"))
       },
       Some("""
         SELECT event_type, COUNT(*) AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM (
           SELECT * FROM events WHERE event_type = 'view'
           UNION ALL SELECT * FROM events WHERE event_type = 'click'
@@ -252,7 +255,7 @@ object Core {
         t(s, dir, "events")
           .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
           .agg(count(lit(1)).as("cnt"),
-            sum(dec(col("value"))).cast("decimal(18,2)").as("sum_value"))
+            sum(dec(col("value"))).cast("double").as("sum_value"))
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
             date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
@@ -261,7 +264,7 @@ object Core {
         SELECT strftime(time_bucket(INTERVAL '10 seconds', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS stt,
                strftime(time_bucket(INTERVAL '10 seconds', CAST(ts AS TIMESTAMP)) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
                event_type, COUNT(*) AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2, 3"""),
       "W4/W6/A1/F9: 10 s tumbling event-time window with stt/edt stamps " +
@@ -273,10 +276,10 @@ object Core {
       (s, dir) =>
         t(s, dir, "orders")
           .groupBy(date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
-          .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("gmv")),
+          .agg(sum(dec(col("o_totalprice"))).cast("double").as("gmv")),
       Some("""
         SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
         FROM orders
         GROUP BY 1"""),
       "Q1 serving: GMV per day (toYYYYMMDD bucketing, " +
@@ -292,11 +295,11 @@ object Core {
         o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name").as("province_name"))
-          .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("order_amount"))
+          .agg(sum(dec(col("o_totalprice"))).cast("double").as("order_amount"))
       },
       Some("""
         SELECT n_name AS province_name,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -313,8 +316,8 @@ object Core {
             col("event_id"),
             date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_sec"),
-            dec(col("value")).as("value_dec"),
-            (dec(col("value")) * dec(lit(2))).cast("decimal(18,2)").as("value_x2"),
+            dec(col("value")).cast("double").as("value_dec"),
+            (dec(col("value")) * dec(lit(2))).cast("double").as("value_x2"),
             when(col("value") > 100, lit("hi")).otherwise(lit("lo")).as("band"),
             (unix_timestamp(col("ts")) * 1000).as("epoch_ms"),
             concat(lit("u:"), col("user_id").cast("string")).as("user_key"),
@@ -324,8 +327,8 @@ object Core {
         SELECT event_id,
                strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
                strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS event_sec,
-               CAST(value AS DECIMAL(18,2)) AS value_dec,
-               CAST(CAST(value AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS value_x2,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
+               CAST(CAST(value AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS DOUBLE) AS value_x2,
                CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS band,
                CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 1000 AS epoch_ms,
                'u:' || CAST(user_id AS VARCHAR) AS user_key,

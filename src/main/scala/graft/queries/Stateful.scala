@@ -129,9 +129,9 @@ object Stateful {
       },
       Some("""
         SELECT d AS cur_date, COUNT(*) AS uu_ct,
-               SUM(CASE WHEN prev_d IS NOT NULL
+               CAST(SUM(CASE WHEN prev_d IS NOT NULL
                          AND date_diff('day', CAST(prev_d AS DATE), CAST(d AS DATE)) >= 8
-                        THEN 1 ELSE 0 END) AS back_ct
+                        THEN 1 ELSE 0 END) AS BIGINT) AS back_ct
         FROM (SELECT user_id, d,
                      lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
               FROM (SELECT DISTINCT user_id,
@@ -206,7 +206,7 @@ object Stateful {
           SELECT user_id, session_id, COUNT(*) AS n
           FROM sessions GROUP BY user_id, session_id)
         SELECT user_id, COUNT(*) AS session_cnt,
-               SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS bounce_cnt
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_cnt
         FROM per_session GROUP BY user_id"""),
       "C1: bounce (user-jump) detection — 10 s session gap, single-event " +
         "sessions are bounces (ref RT/app/dwd/log/DwdTrafficUserJumpDetail.java:86-129)."),
@@ -221,13 +221,13 @@ object Stateful {
           .agg(
             countDistinct(col("user_id")).as("order_user_ct"),
             count(lit(1)).as("order_ct"),
-            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            sum(col("value").cast("decimal(18,2)")).cast("double")
               .as("order_amount")),
       Some("""
         SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS cur_date,
                COUNT(DISTINCT user_id) AS order_user_ct,
                COUNT(*) AS order_ct,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1"""),

@@ -1,0 +1,306 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.{Instant, ZoneOffset}
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A page-view record: the log-envelope fields the stateful traffic operators
+  * key on (ref RT/app/dwd/log/DwdTrafficBaseLogSplit.java:162-216). A record
+  * with empty `lastPageId` marks a session start.
+  */
+final case class PageView(
+    mid: String,
+    pageId: String,
+    lastPageId: Option[String],
+    isNew: Int,
+    ts: Timestamp)
+
+/** A keyed, versioned record for keep-latest dedup (ST3); `rowOpTs` is the
+  * version stamp (ref row_op_ts, RT/util/TimestampLtz3CompareUtil.java:9-17).
+  */
+final case class Versioned(key: String, rowOpTs: Timestamp, payload: String, ts: Timestamp)
+
+/** An order event and its ST4-flagged output. */
+final case class OrderEvt(userId: String, amount: Double, ts: Timestamp)
+final case class OrderFlagged(userId: String, amount: Double, orderUu: Int, ts: Timestamp)
+
+/** ST5 output: per-record home/detail first-visit-of-day flags. */
+final case class HomeDetailFlags(mid: String, homeUv: Int, detailUv: Int, ts: Timestamp)
+
+/** A generic keyed user action (ST7 cart-add, ST6 login input). */
+final case class UserAction(userId: String, ts: Timestamp)
+
+/** ST6 output: first-login-of-day + 8-day-returning flags. */
+final case class LoginFlags(uid: String, uu: Int, back: Int, ts: Timestamp)
+
+/** Streaming renditions of the reference's keyed-state operators (SURVEY.md
+  * §2.6 ST1-ST7, §2.7 C1, §2.8 W1-W8): Flink `ValueState` + timers become
+  * `flatMapGroupsWithState` with small case-class state. The batch oracles for
+  * these live in graft.queries.Stateful and the test suite asserts streaming ≡
+  * batch on shared fixtures.
+  *
+  * Scale notes (100 TB / 1000 executors): every op here shuffles ONCE on its
+  * key (`groupByKey`) and then runs embarrassingly parallel per key group with
+  * O(1) state per key — the same shape Flink's keyed state gives the
+  * reference. State lives in the state store (RocksDB at scale), bounded by
+  * per-key size, not input size; event-time timeouts bound retained keys.
+  */
+object StatefulOps {
+
+  private def day(t: Timestamp): String =
+    Instant.ofEpochMilli(t.getTime).atZone(ZoneOffset.UTC).toLocalDate.toString
+
+  private def yesterday(t: Timestamp): String =
+    Instant.ofEpochMilli(t.getTime).atZone(ZoneOffset.UTC).toLocalDate.minusDays(1).toString
+
+  /** ST1 — new/returning-visitor repair (ref
+    * RT/app/dwd/log/DwdTrafficBaseLogSplit.java:102-145). Key = mid, state =
+    * first-visit date. An `isNew=1` record on a later date than first visit is
+    * rewritten to 0; an `isNew=0` record with no state backfills "yesterday"
+    * so the device is never misclassified as new.
+    */
+  def newVisitorRepair(ds: Dataset[PageView]): Dataset[PageView] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.mid)
+      .flatMapGroupsWithState[String, PageView](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, events: Iterator[PageView], state: GroupState[String]) =>
+          var firstDate = state.getOption
+          val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
+            val d = day(e.ts)
+            (e.isNew, firstDate) match {
+              case (1, Some(fd)) if fd != d => e.copy(isNew = 0)
+              case (1, None)                => firstDate = Some(d); e
+              case (1, _)                   => e
+              case (_, None)                => firstDate = Some(yesterday(e.ts)); e
+              case _                        => e
+            }
+          }
+          firstDate.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Generic "first event of the key's day passes" dedup: state = last seen
+    * date per key, a record passes iff its date differs from the state.
+    */
+  def firstOfDay[T: Encoder](ds: Dataset[T])(key: T => String, ts: T => Timestamp): Dataset[T] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[String, T](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, events: Iterator[T], state: GroupState[String]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[T]
+          for (e <- events.toSeq.sortBy(e => ts(e).getTime)) {
+            val d = day(ts(e))
+            if (!last.contains(d)) { out += e; last = Some(d) }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** ST2 — daily unique-visitor dedup (ref
+    * RT/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:51-88): only
+    * session-start records (empty lastPageId), first per mid per day.
+    */
+  def dailyUv(ds: Dataset[PageView]): Dataset[PageView] = {
+    import ds.sparkSession.implicits._
+    firstOfDay(ds.filter((p: PageView) => p.lastPageId.isEmpty))(_.mid, _.ts)
+  }
+
+  /** ST7 — cart-add unique user per day (ref
+    * RT/app/dws/DwsTradeCartAddUuWindow.java:76-98).
+    */
+  def cartAddUu(ds: Dataset[UserAction]): Dataset[UserAction] = {
+    import ds.sparkSession.implicits._
+    firstOfDay(ds)(_.userId, _.ts)
+  }
+
+  /** ST4 — daily first-order-per-user flag (ref
+    * RT/app/dws/DwsTradeSkuOrderWindow.java:188-214): always emits, orderUu=1
+    * on the user's first order of the day.
+    */
+  def firstOrderOfDay(ds: Dataset[OrderEvt]): Dataset[OrderFlagged] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[String, OrderFlagged](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, events: Iterator[OrderEvt], state: GroupState[String]) =>
+          var last = state.getOption
+          val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
+            val d = day(e.ts)
+            val flag = if (last.contains(d)) 0 else 1
+            if (flag == 1) last = Some(d)
+            OrderFlagged(e.userId, e.amount, flag, e.ts)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Two last-seen dates (home page / detail page) for ST5. */
+  final case class HomeDetailState(home: Option[String], detail: Option[String])
+
+  /** ST5 — home/detail first-visit-of-day flags (ref
+    * RT/app/dws/DwsTrafficHomeDetailPageViewWindow.java:88-141): emits a
+    * record only when at least one flag fires.
+    */
+  def homeDetailUv(ds: Dataset[PageView]): Dataset[HomeDetailFlags] = {
+    import ds.sparkSession.implicits._
+    ds.filter((p: PageView) => p.pageId == "home" || p.pageId == "good_detail")
+      .groupByKey(_.mid)
+      .flatMapGroupsWithState[HomeDetailState, HomeDetailFlags](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (mid: String, events: Iterator[PageView], state: GroupState[HomeDetailState]) =>
+          var st = state.getOption.getOrElse(HomeDetailState(None, None))
+          val out = Seq.newBuilder[HomeDetailFlags]
+          for (e <- events.toSeq.sortBy(_.ts.getTime)) {
+            val d = day(e.ts)
+            var (homeUv, detailUv) = (0, 0)
+            if (e.pageId == "home" && !st.home.contains(d)) {
+              homeUv = 1; st = st.copy(home = Some(d))
+            }
+            if (e.pageId == "good_detail" && !st.detail.contains(d)) {
+              detailUv = 1; st = st.copy(detail = Some(d))
+            }
+            if (homeUv == 1 || detailUv == 1)
+              out += HomeDetailFlags(mid, homeUv, detailUv, e.ts)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** ST6 — login unique-user + 8-day-returning flags (ref
+    * RT/app/dws/DwsUserUserLoginWindow.java:84-129): emits one record per
+    * user per active day; back=1 when the gap from the previous active day is
+    * >= 8 days ((ts - lastTs) / 86400000 >= 8 in the reference).
+    */
+  def loginUuBack(ds: Dataset[UserAction]): Dataset[LoginFlags] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[String, LoginFlags](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: String, events: Iterator[UserAction], state: GroupState[String]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[LoginFlags]
+          for (e <- events.toSeq.sortBy(_.ts.getTime)) {
+            val d = day(e.ts)
+            if (!last.contains(d)) {
+              val back = last match {
+                case Some(prev) if ChronoUnit.DAYS.between(
+                  java.time.LocalDate.parse(prev), java.time.LocalDate.parse(d)) >= 8 => 1
+                case _ => 0
+              }
+              out += LoginFlags(uid, 1, back, e.ts)
+              last = Some(d)
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** ST3 — keep-latest-version dedup (ref
+    * RT/app/dws/DwsTradeSkuOrderWindow.java:113-155): buffer the max-version
+    * record per key, emit it once no newer version arrives within `graceMs`
+    * of event time (the reference uses a 5 s processing-time timer; we use an
+    * event-time timeout so tests are deterministic). Batch oracle:
+    * row_number() over (partition by key order by rowOpTs desc) = 1
+    * (graft.queries q07_keep_latest).
+    */
+  def keepLatest(ds: Dataset[Versioned], graceMs: Long = 5000L): Dataset[Versioned] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "0 seconds")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Versioned, Versioned](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, events: Iterator[Versioned], state: GroupState[Versioned]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val candidates = state.getOption.toSeq ++ events
+            val best = candidates.maxBy(v => (v.rowOpTs.getTime, v.ts.getTime))
+            state.update(best)
+            state.setTimeoutTimestamp(best.ts.getTime + graceMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** C1 — bounce (user-jump) detection as a state machine replacing Flink CEP
+    * (ref RT/app/dwd/log/DwdTrafficUserJumpDetail.java:86-129). Pattern per
+    * mid: a session start (empty lastPageId) followed within `horizonMs` by
+    * another session start → the first is a bounce; followed by nothing
+    * within the horizon (event-time timeout) → also a bounce; followed by a
+    * normal page view → not a bounce. Emits both match and timeout outputs in
+    * one stream (subsumes the reference's U2 side-output union).
+    */
+  def bounce(ds: Dataset[PageView], horizonMs: Long = 10000L): Dataset[PageView] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "0 seconds")
+      .groupByKey(_.mid)
+      .flatMapGroupsWithState[PageView, PageView](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, events: Iterator[PageView], state: GroupState[PageView]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var pending = state.getOption
+            val out = Seq.newBuilder[PageView]
+            for (e <- events.toSeq.sortBy(_.ts.getTime)) {
+              val isStart = e.lastPageId.isEmpty
+              pending match {
+                case Some(p) if e.ts.getTime - p.ts.getTime > horizonMs =>
+                  out += p // horizon elapsed un-noticed by the timer: bounce
+                  pending = if (isStart) Some(e) else None
+                case Some(p) if isStart =>
+                  out += p // start → start within horizon: first is a bounce
+                  pending = Some(e)
+                case Some(_) =>
+                  pending = None // normal continuation: session has 2+ pages
+                case None =>
+                  if (isStart) pending = Some(e)
+              }
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(p.ts.getTime + horizonMs)
+              case None =>
+                if (state.exists) state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** W1-W6 + A1 — watermarked tumbling event-time window aggregate with the
+    * reference's stt/edt window stamps (ref
+    * RT/app/dws/DwsTradeSkuOrderWindow.java:234-265). `keys` empty gives the
+    * keyless windowAll form (W5); partial aggregation is automatic.
+    */
+  def tumblingAgg(
+      df: DataFrame,
+      eventCol: String,
+      slack: String,
+      width: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventCol, slack)
+      .groupBy(window(col(eventCol), width) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window")
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end Structured Streaming drive of the minimum GMV slice (SURVEY.md
+  * §7.3): file-source stream over the events table → stateful first-order
+  * dedup (ST4) → watermarked tumbling window aggregate (W2/W4/A1/A5) →
+  * in-memory DWS table → serving query (Q1 semantics).
+  *
+  * Usage: runMain graft.streaming.StreamDemo [sfDir]. Prints row counts per
+  * stage; exits nonzero if the pipeline produced no rows.
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    // File-source stream: the batch events table replayed as a stream, the
+    // same way a Kafka topic would arrive (S1/S2 analog; SURVEY §1.5).
+    val schema = spark.read
+      .parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet") // tables are single files
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val orders = raw
+      .filter($"event_type" === "purchase")
+      .select($"user_id".cast("string").as("userId"),
+        $"value".as("amount"), $"ts")
+      .as[OrderEvt]
+
+    // ST4: per-user first-order-of-day flag, then W2+W4+A1: 10 s tumbling
+    // windows of amount sums + order-UU counts.
+    val flagged = StatefulOps.firstOrderOfDay(orders)
+    val dws = StatefulOps.tumblingAgg(
+      flagged.toDF(), "ts", "3 seconds", "10 seconds",
+      keys = Seq(),
+      aggs = Seq(
+        sum($"amount").as("order_amount"),
+        sum($"orderUu").as("order_uu_ct"),
+        count(lit(1)).as("order_ct")))
+
+    val q = dws.writeStream
+      .format("memory").queryName("dws_trade_order_window")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dws_trade_order_window").count()
+    // Q1 serving semantics over the DWS result (gmv per day bucket).
+    val gmv = spark.table("dws_trade_order_window")
+      .groupBy(date_format($"stt", "yyyyMMdd").as("dt"))
+      .agg(sum($"order_amount").as("gmv"))
+      .count()
+    println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv")
+    spark.stop()
+    if (rows == 0) sys.exit(1)
+  }
+}

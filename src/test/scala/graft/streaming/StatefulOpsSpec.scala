@@ -1,0 +1,216 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ≡ batch equivalence for every stateful operator, driven through
+  * MemoryStream across multiple micro-batches (so cross-batch state is
+  * actually exercised, not just the single-batch path).
+  */
+class StatefulOpsSpec extends SparkSpec {
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  private var queryId = 0
+
+  /** Run a streaming op over the given micro-batches and collect the full
+    * appended output.
+    */
+  private def runStream[I: Encoder, O: Encoder](batches: Seq[Seq[I]])(
+      op: Dataset[I] => Dataset[O]): Seq[O] = {
+    queryId += 1
+    val name = s"stateful_out_$queryId"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[I]
+    val query = op(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    import spark.implicits._
+    spark.table(name).as[O].collect().toSeq
+  }
+
+  // A "wake" batch far in the future fires pending event-time timeouts for
+  // ALL keys (the watermark is global); the record itself is a non-start
+  // page view so it creates no state of its own.
+  private def wake(sec: Long) =
+    Seq(PageView("zz-wake", "other", Some("home"), 0, ts(sec)))
+
+  test("ST1 newVisitorRepair rewrites stale isNew across batches") {
+    import spark.implicits._
+    val day1 = 0L; val day2 = 86400L
+    val out = runStream(Seq(
+      Seq(PageView("a", "home", None, 1, ts(day1))),
+      Seq(
+        PageView("a", "home", None, 1, ts(day2)),       // later day: 1 -> 0
+        PageView("b", "home", None, 0, ts(day2 + 10)))  // 0 with no state: kept
+    ))(newVisitorRepairOp)
+    val byMid = out.groupBy(_.mid)
+    assert(byMid("a").sortBy(_.ts.getTime).map(_.isNew) == Seq(1, 0))
+    assert(byMid("b").map(_.isNew) == Seq(0))
+  }
+
+  private def newVisitorRepairOp(ds: Dataset[PageView]) = StatefulOps.newVisitorRepair(ds)
+
+  test("ST2 dailyUv passes one session start per mid per day") {
+    import spark.implicits._
+    val out = runStream(Seq(
+      Seq(
+        PageView("a", "home", None, 1, ts(10)),
+        PageView("a", "cart", Some("home"), 1, ts(20)), // not a session start
+        PageView("b", "home", None, 1, ts(30))),
+      Seq(
+        PageView("a", "home", None, 1, ts(40)),          // same day: dropped
+        PageView("a", "home", None, 1, ts(86400 + 5)))   // next day: passes
+    ))(StatefulOps.dailyUv)
+    assert(out.map(p => (p.mid, p.ts.getTime / 1000)).sorted ==
+      Seq(("a", 10L), ("a", 86405L), ("b", 30L)))
+  }
+
+  test("ST2 streaming equals batch first-of-day oracle on a bigger fixture") {
+    import spark.implicits._
+    val fixture = for {
+      mid <- Seq("m1", "m2", "m3"); d <- 0 to 2; k <- 0 to 3
+    } yield PageView(mid, "home", if (k % 2 == 0) None else Some("x"), 1,
+      ts(d * 86400L + k * 100L + mid.hashCode.abs % 50))
+    val (b1, b2) = fixture.splitAt(fixture.size / 2)
+    val streaming = runStream(Seq(b1, b2))(StatefulOps.dailyUv)
+      .map(p => (p.mid, p.ts.getTime)).sorted
+    // batch oracle: first session-start per (mid, day)
+    val batch = fixture.filter(_.lastPageId.isEmpty)
+      .groupBy(p => (p.mid, p.ts.getTime / 86400000L))
+      .values.map(_.minBy(_.ts.getTime)).map(p => (p.mid, p.ts.getTime)).toSeq.sorted
+    assert(streaming == batch)
+  }
+
+  test("ST4 firstOrderOfDay flags exactly the first order per user per day") {
+    import spark.implicits._
+    val out = runStream(Seq(
+      Seq(OrderEvt("u1", 10.0, ts(5)), OrderEvt("u1", 20.0, ts(50))),
+      Seq(OrderEvt("u1", 30.0, ts(86400 + 3)), OrderEvt("u2", 5.0, ts(86400 + 9)))
+    ))(StatefulOps.firstOrderOfDay)
+    assert(out.sortBy(o => (o.userId, o.ts.getTime)).map(o => (o.userId, o.orderUu)) ==
+      Seq(("u1", 1), ("u1", 0), ("u1", 1), ("u2", 1)))
+  }
+
+  test("ST5 homeDetailUv emits only when a daily flag fires") {
+    import spark.implicits._
+    val out = runStream(Seq(
+      Seq(
+        PageView("a", "home", None, 1, ts(10)),
+        PageView("a", "good_detail", Some("home"), 1, ts(20)),
+        PageView("a", "home", Some("x"), 1, ts(30)),   // repeat: no emit
+        PageView("a", "cart", Some("home"), 1, ts(40)) // filtered page
+      ),
+      Seq(PageView("a", "home", None, 1, ts(86400 + 1))) // next day: fires again
+    ))(StatefulOps.homeDetailUv)
+    assert(out.sortBy(_.ts.getTime).map(f => (f.homeUv, f.detailUv)) ==
+      Seq((1, 0), (0, 1), (1, 0)))
+  }
+
+  test("ST6 loginUuBack emits per active day with 8-day returning flag") {
+    import spark.implicits._
+    val day = 86400L
+    val out = runStream(Seq(
+      Seq(UserAction("u", ts(0)), UserAction("u", ts(100))), // same day
+      Seq(UserAction("u", ts(3 * day))),                     // gap 3 < 8
+      Seq(UserAction("u", ts(12 * day)))                     // gap 9 >= 8
+    ))(StatefulOps.loginUuBack)
+    assert(out.sortBy(_.ts.getTime).map(f => (f.uu, f.back)) ==
+      Seq((1, 0), (1, 0), (1, 1)))
+  }
+
+  test("ST7 cartAddUu streaming equals batch distinct user-day") {
+    import spark.implicits._
+    val fixture = for (u <- 1 to 5; k <- 0 to 9)
+      yield UserAction(s"u$u", ts((k % 3) * 86400L + k * 7L))
+    val grouped = fixture.sortBy(_.ts.getTime).grouped(17).toSeq
+    val streaming = runStream(grouped)(StatefulOps.cartAddUu)
+      .map(a => (a.userId, a.ts.getTime / 86400000L)).sorted
+    val batch = fixture.map(a => (a.userId, a.ts.getTime / 86400000L)).distinct.sorted
+    assert(streaming == batch)
+  }
+
+  test("ST3 keepLatest emits only the max-version record after the grace period") {
+    import spark.implicits._
+    val out = runStream(Seq(
+      Seq(
+        Versioned("k1", ts(100), "v1", ts(10)),
+        Versioned("k1", ts(300), "v3", ts(11)), // max version for k1
+        Versioned("k2", ts(100), "w1", ts(12))),
+      Seq(Versioned("k1", ts(200), "v2", ts(13))), // older version: ignored
+      wakeV(1000), wakeV(2000)
+    ))(ds => StatefulOps.keepLatest(ds, graceMs = 5000L))
+    val byKey = out.filterNot(_.key == "zz").map(v => v.key -> v.payload).toMap
+    assert(byKey == Map("k1" -> "v3", "k2" -> "w1"))
+  }
+
+  // watermark-advancing batch for Versioned streams; emitted after its own
+  // grace so filter it out of assertions via key "zz"
+  private def wakeV(sec: Long) = Seq(Versioned("zz", ts(0), "wake", ts(sec)))
+
+  test("ST3 streaming equals batch row_number()=1 oracle") {
+    import spark.implicits._
+    val fixture = for (k <- 1 to 8; v <- 1 to 5)
+      yield Versioned(s"k$k", ts(v * 10L + k), s"p$v", ts(k * 3L + v))
+    val batches = fixture.grouped(11).toSeq :+ wakeV(5000) :+ wakeV(9000)
+    val streaming = runStream(batches)(ds => StatefulOps.keepLatest(ds))
+      .filterNot(_.key == "zz").map(v => (v.key, v.payload)).sorted
+    val batch = fixture.groupBy(_.key).values
+      .map(_.maxBy(v => (v.rowOpTs.getTime, v.ts.getTime)))
+      .map(v => (v.key, v.payload)).toSeq.sorted
+    assert(streaming == batch)
+  }
+
+  test("C1 bounce: start→start match, normal continuation, and timeout") {
+    import spark.implicits._
+    val out = runStream(Seq(
+      Seq(
+        PageView("match", "home", None, 1, ts(1000)),
+        PageView("match", "home", None, 1, ts(1005)),        // within 10 s: first bounces
+        PageView("cont", "home", None, 1, ts(1000)),
+        PageView("cont", "cart", Some("home"), 1, ts(1003)), // continuation: no bounce
+        PageView("lone", "home", None, 1, ts(1000))),        // nothing follows: timeout
+      wake(1100), wake(1200)
+    ))(ds => StatefulOps.bounce(ds))
+    val bounced = out.map(_.mid).sorted
+    // "match" second start also times out eventually (no further events)
+    assert(bounced == Seq("lone", "match", "match"))
+  }
+
+  test("C1 bounce: late gap handled inline when horizon elapsed between events") {
+    import spark.implicits._
+    val out = runStream(Seq(
+      Seq(
+        PageView("a", "home", None, 1, ts(1000)),
+        PageView("a", "cart", Some("home"), 1, ts(1060))), // 60 s later: first bounced
+      wake(1500), wake(1600)
+    ))(ds => StatefulOps.bounce(ds))
+    assert(out.map(p => (p.mid, p.ts.getTime / 1000)) == Seq(("a", 1000L)))
+  }
+
+  test("W2/W4/A1 tumblingAgg sums per 10 s window with stt/edt stamps") {
+    import spark.implicits._
+    val out = runStream[OrderEvt, (String, String, String, Double)](Seq(
+      Seq(OrderEvt("u1", 5.0, ts(1)), OrderEvt("u1", 7.0, ts(8)),
+        OrderEvt("u2", 1.0, ts(12))),
+      Seq(OrderEvt("u1", 2.0, ts(9))), // late but within slack: same window
+      Seq(OrderEvt("u9", 0.0, ts(1000))), Seq(OrderEvt("u9", 0.0, ts(2000)))
+    )) { ds =>
+      StatefulOps.tumblingAgg(ds.toDF(), "ts", "30 seconds", "10 seconds",
+        Seq(col("userId")), Seq(sum("amount").as("amt")))
+        .select(col("stt"), col("edt"), col("userId"), col("amt"))
+        .as[(String, String, String, Double)]
+    }
+    val rows = out.filterNot(_._3 == "u9").sorted
+    assert(rows == Seq(
+      ("1970-01-01 00:00:00", "1970-01-01 00:00:10", "u1", 14.0),
+      ("1970-01-01 00:00:10", "1970-01-01 00:00:20", "u2", 1.0)))
+  }
+}

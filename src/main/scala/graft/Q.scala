@@ -19,6 +19,7 @@ object Registry {
   def all: Seq[Q] =
     queries.Core.all ++
       queries.Stateful.all ++
+      queries.Dwd.all ++
       queries.TextOps.all ++
       queries.DedupOps.all ++
       queries.SimilarityOps.all ++

@@ -1,10 +1,177 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-  * embedding-cosine near-dup. Filled in wave 3.
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (normalized-content hash), n-gram Jaccard similarity join,
+  * MinHash-LSH banding, and SimHash signatures.
+  *
+  * Scale design (100 TB): nothing here is all-pairs. Exact dedup is one
+  * hash-groupBy. The Jaccard join blocks on shared n-grams with a
+  * document-frequency cap so hot shingles can't produce O(df²) pair
+  * explosions. MinHash reduces each document to an 8-value signature
+  * (groupBy doc), then candidates come from equality joins on banded
+  * signature pairs — the classic LSH shape that scales linearly in
+  * collisions, not quadratically in corpus size. SimHash is one aggregation
+  * to a 32-bit signature per doc.
   */
 object DedupOps {
-  val all: Seq[Q] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Distinct (doc_id, 3-gram) pairs. */
+  private def ngramSet(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 3)).as("ng"))
+      .distinct()
+
+  private val ngramCte = """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+          FROM tk, UNNEST(generate_series(1, len(t) - 2)) AS s(i))"""
+
+  // MinHash parameters shared with the oracle SQL below.
+  private val MinhashP = 2147483647L
+  private def mhA(j: Int): Long = 1000003L * (j + 1)
+  private def mhB(j: Int): Long = 7919L * (j + 1)
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------- exact dedup
+    Q(
+      "q34_exact_dedup",
+      (s, dir) => {
+        // Content-defined fingerprint: normalized, order-insensitive token
+        // bag — collapses reordered near-copies, not just byte-exact ones.
+        val fp = md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+        docs(s, dir)
+          .select(col("doc_id"), fp.as("fp"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_cnt"))
+      },
+      Some("""
+        SELECT md5(array_to_string(list_sort(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS fp,
+               MIN(doc_id) AS canonical_id, COUNT(*) AS dup_cnt
+        FROM documents
+        GROUP BY 1"""),
+      "Exact dedup: hash-groupBy on a normalized order-insensitive content " +
+        "fingerprint; one shuffle on the hash (pipeline ops brief)."),
+
+    // ------------------------------------------------- n-gram Jaccard join
+    Q(
+      "q35_ngram_jaccard",
+      (s, dir) => {
+        val g = ngramSet(docs(s, dir))
+        // df-cap: drop shingles shared by >100 docs — at corpus scale a hot
+        // shingle would otherwise contribute df² candidate pairs.
+        val capped = g.join(
+          g.groupBy("ng").agg(count(lit(1)).as("df")).filter(col("df") <= 100),
+          "ng")
+        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val pairs = capped.select(col("doc_id").as("i"), col("ng"))
+          .join(capped.select(col("doc_id").as("j"), col("ng")), "ng")
+          .filter(col("i") < col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+          .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+          .withColumn("jaccard",
+            col("common").cast("double") / (col("si") + col("sj") - col("common")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("i"), col("j"), col("jaccard"))
+      },
+      Some(ngramCte + """,
+        capped AS (
+          SELECT g.doc_id, g.ng FROM g
+          JOIN (SELECT ng, COUNT(*) AS df FROM g GROUP BY 1 HAVING COUNT(*) <= 100) d
+          USING (ng)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+          FROM capped a JOIN capped b ON a.ng = b.ng AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i, j,
+               CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) AS jaccard
+        FROM pairs JOIN sizes s1 ON i = s1.doc_id JOIN sizes s2 ON j = s2.doc_id
+        WHERE CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) >= 0.8"""),
+      "Near-dup similarity join: word-3-gram Jaccard >= 0.8 blocked on " +
+        "shared shingles with a df cap (pipeline ops brief)."),
+
+    // --------------------------------------------------- MinHash + LSH bands
+    Q(
+      "q36_minhash_band_dedup",
+      (s, dir) => {
+        val g = ngramSet(docs(s, dir)).withColumn("hv", hash32(col("ng")))
+        // 8 permutation mins per doc -> 4 bands of 2; candidate pairs share
+        // any full band. One groupBy for signatures, equality join on bands.
+        val sigCols = (0 until 8).map(j =>
+          min(pmod(lit(mhA(j)) * col("hv") + lit(mhB(j)), lit(MinhashP))).as(s"s$j"))
+        val sigs = g.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        val bandCols = (0 until 4).map(b =>
+          concat_ws(":", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as(s"b$b"))
+        val bands = sigs
+          .select(col("doc_id") +: bandCols: _*)
+          .selectExpr("doc_id",
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bkey)")
+        bands.select(col("doc_id").as("i"), col("band"), col("bkey"))
+          .join(bands.select(col("doc_id").as("j"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .filter(col("i") < col("j"))
+          .select(col("i"), col("j"))
+          .distinct()
+      },
+      Some(ngramCte + """,
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT) AS hv FROM g),
+        sig AS (
+          SELECT doc_id, j,
+                 MIN((1000003 * (j + 1) * hv + 7919 * (j + 1)) % 2147483647) AS s
+          FROM h, UNNEST(generate_series(0, 7)) AS t(j)
+          GROUP BY doc_id, j),
+        bands AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(s AS VARCHAR), ':' ORDER BY j) AS bkey
+          FROM sig GROUP BY doc_id, j // 2)
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""),
+      "MinHash-LSH near-dup candidates: shingle->8 permutation mins->4 " +
+        "bands->equality join on band keys; never all-pairs " +
+        "(pipeline ops brief)."),
+
+    // ------------------------------------------------------------ SimHash
+    Q(
+      "q37_simhash",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .distinct()
+          .withColumn("hv", hash32(col("tok")))
+        val bitCols = (0 until 32).map(b =>
+          sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"c$b"))
+        val sums = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        val sig = (0 until 32)
+          .map(b => when(col(s"c$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        sums.select(col("doc_id"), sig.as("simhash"))
+      },
+      Some("""
+        WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv FROM t),
+        bits AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          FROM h, UNNEST(generate_series(0, 31)) AS s(b)
+          GROUP BY doc_id, b)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id"""),
+      "SimHash: 32-bit majority-vote signature over token hashes — one " +
+        "aggregation per doc, Hamming-comparable downstream " +
+        "(pipeline ops brief)."))
 }

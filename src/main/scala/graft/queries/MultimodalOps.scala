@@ -1,11 +1,106 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Multimodal (binary-column) plumbing: opaque binary + typed metadata,
-  * decode/feature-extract stubs with real Spark-side schema/partitioning.
-  * Filled in wave 3.
+/** A multimodal record: opaque media bytes + typed metadata (the brief's
+  * image/audio/video model — content is an opaque binary column; decoding
+  * happens in a batched executor-side operator).
+  */
+final case class MediaRow(
+    mediaId: Long,
+    kind: String,
+    content: Array[Byte],
+    meta: Map[String, String])
+
+/** Features extracted from a media row. `width/height/frames` come from the
+  * STUB decoder below; `byteHist` is a real histogram over the raw bytes.
+  */
+final case class MediaFeatures(
+    mediaId: Long,
+    kind: String,
+    byteLen: Int,
+    width: Int,
+    height: Int,
+    frames: Int,
+    byteHist: Array[Long])
+
+/** Multimodal-column operators: binary content + metadata, with the decode
+  * step stubbed deterministically (image/audio codecs are not in this
+  * container) and the Spark-side plumbing — schema, batching, partitioning —
+  * real. `decodeStub` mirrors the batched-UDF shape (mapInPandas / Arrow
+  * batches in PySpark): executors process fixed-size batches of binary
+  * payloads, never row-at-a-time driver code.
   */
 object MultimodalOps {
-  val all: Seq[Q] = Seq()
+
+  /** Batched executor-side "decoder". The body marked STUB is where a real
+    * libjpeg/ffmpeg call would go; everything around it (partition-local
+    * batching, typed schema in/out, no driver involvement) is the real
+    * production shape.
+    */
+  def decodeStub(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val n = r.content.length
+          // STUB decode: deterministic fake dimensions derived from the
+          // payload; a real decoder would parse the container header here.
+          val width = 320 + n % 640
+          val height = 240 + n % 480
+          val frames = if (r.kind == "video") 1 + n % 30 else 1
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < n) { hist((r.content(i) & 0xff) / 64) += 1L; i += 1 }
+          MediaFeatures(r.mediaId, r.kind, n, width, height, frames, hist)
+        }
+      }
+    }
+  }
+
+  /** Documents replayed as media rows (text bytes standing in for an opaque
+    * payload), for specs and the oracle query below.
+    */
+  def mediaFromDocs(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id").as("mediaId"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("content"),
+        map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
+      .as[MediaRow]
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q40_multimodal_meta",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0, "image")
+              .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+              .otherwise("video").as("kind"),
+            octet_length(col("text")).cast("long").as("byte_len"),
+            sha2(col("text"), 256).as("sha_hex"),
+            // STUB-decode features (same derivation as decodeStub)
+            (lit(320) + pmod(octet_length(col("text")), lit(640))).cast("int").as("width"),
+            (lit(240) + pmod(octet_length(col("text")), lit(480))).cast("int").as("height")),
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS sha_hex,
+               CAST(320 + octet_length(encode(text)) % 640 AS INT) AS width,
+               CAST(240 + octet_length(encode(text)) % 480 AS INT) AS height
+        FROM documents"""),
+      "Multimodal metadata scan: opaque binary payloads with typed " +
+        "metadata, content hashing, stub-decoded dimensions " +
+        "(pipeline ops brief)."))
 }

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality checks for the LLM-pipeline operators that have no SQL oracle:
+  * LSH ANN recall vs the brute-force baseline, MinHash-LSH candidate
+  * coverage of true high-Jaccard pairs, and the multimodal decode stub.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.Registry.all.find(_.name == name).get.run(spark, sfDir)
+
+  test("q39 LSH ANN finds a usable fraction of brute-force top-5 (recall)") {
+    val exact = run("q38_knn_bruteforce")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run("q39_ann_lsh")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"LSH recall@5 = $recall (${approx.size} approx rows)")
+    // 4 tables x 6 bits over random vectors: modest recall is expected —
+    // the assertion guards against a broken bucketing (recall ~ 0).
+    assert(recall >= 0.2, s"LSH recall collapsed: $recall")
+  }
+
+  test("q36 MinHash-LSH candidates cover every true Jaccard>=0.8 pair") {
+    val truth = run("q35_ngram_jaccard")
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = run("q36_minhash_band_dedup")
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cands
+    info(s"true pairs=${truth.size} candidates=${cands.size} missed=${missed.size}")
+    // 4 bands of 2 hashes: P(candidate) = 1-(1-j^2)^4 ≈ 0.997 at j=0.8;
+    // every planted near-dup should surface.
+    assert(missed.isEmpty, s"LSH missed true near-dups: $missed")
+  }
+
+  test("multimodal decodeStub extracts batch features with a real byte histogram") {
+    import spark.implicits._
+    val media = MultimodalOps.mediaFromDocs(spark, sfDir)
+    val feats = MultimodalOps.decodeStub(media, batchSize = 16).collect()
+    assert(feats.nonEmpty)
+    val byId = feats.map(f => f.mediaId -> f).toMap
+    val src = media.collect().map(r => r.mediaId -> r).toMap
+    // histogram is over the real bytes and sums to the payload length
+    for ((id, f) <- byId) {
+      assert(f.byteHist.sum == f.byteLen, s"hist/byteLen mismatch for $id")
+      assert(f.byteLen == src(id).content.length)
+      assert(f.width == 320 + f.byteLen % 640)
+      assert(src(id).meta.contains("lang"))
+    }
+    // kinds route deterministically
+    assert(feats.forall(f => Set("image", "audio", "video")(f.kind)))
+  }
+
+  test("q34 exact-dedup canonical ids are minimal and counts sum to corpus size") {
+    val rows = run("q34_exact_dedup").collect()
+    val total = rows.map(_.getAs[Long]("dup_cnt")).sum
+    val nDocs = graft.Tables(spark, sfDir, "documents").count()
+    assert(total == nDocs)
+  }
+}

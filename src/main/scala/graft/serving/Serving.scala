@@ -1,0 +1,57 @@
+package graft.serving
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving-layer queries (SURVEY.md §2.13): the publisher's two HTTP
+  * endpoints as date-parameterized library functions plus the exact JSON
+  * response shapes (ref PUB/controller/TradeStatController.java:29-85,
+  * PUB/mapper/TradeStatMapper.java:15-20).
+  *
+  * The reference serves these from ClickHouse DWS tables; here they run as
+  * Spark SQL over the warehouse tables — partition-prunable by the date
+  * predicate at scale (date_format pushes to a scan filter; a production
+  * table would be partitioned by day so the predicate prunes files).
+  */
+object Serving {
+
+  /** Q1: GET /gmv?date= — total order amount for one yyyyMMdd day. */
+  def gmv(spark: SparkSession, sfDir: String, date: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyyMMdd") === date)
+      .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")), lit(0))
+        .cast("double").as("gmv"))
+
+  /** Q1 response: `{"status":0,"data":<amount>}`. */
+  def gmvJson(spark: SparkSession, sfDir: String, date: String): String = {
+    val amount = gmv(spark, sfDir, date).head().getDouble(0)
+    s"""{"status":0,"data":$amount}"""
+  }
+
+  /** Q2: GET /province?date= — per-province amounts for one day (nation is
+    * the province analog in the test schema).
+    */
+  def provinceAmounts(spark: SparkSession, sfDir: String, date: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyyMMdd") === date)
+    val c = Tables(spark, sfDir, "customer")
+    val n = Tables(spark, sfDir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("province_name"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("order_amount"))
+  }
+
+  /** Q2 response: `{"status":0,"data":{"mapData":[{"name":…,"value":…},…],
+    * "valueName":"order_amount"}}` (the publisher's map-chart shape).
+    */
+  def provinceJson(spark: SparkSession, sfDir: String, date: String): String = {
+    val rows = provinceAmounts(spark, sfDir, date)
+      .orderBy(col("province_name"))
+      .collect()
+      .map(r => s"""{"name":"${r.getString(0)}","value":${r.getDouble(1)}}""")
+    s"""{"status":0,"data":{"mapData":[${rows.mkString(",")}],"valueName":"order_amount"}}"""
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source adapters (SURVEY.md §2.1). The reference consumes Kafka topics;
+  * here every unbounded input is a file-backed stream (the Kafka analog with
+  * identical downstream semantics: an append-only partitioned log), plus
+  * MemoryStream fixtures in tests (S6/S7).
+  *
+  *  - S1/S2/S3: `fileStream` — readStream over a parquet path; tombstone
+  *    (null-value) records survive the read and are handled by `dirtySplit`.
+  *  - S4/S5: `Snapshot` — a small config/lookup table re-read on demand
+  *    (per microbatch inside foreachBatch), approximating the reference's
+  *    lookup-cache TTL and FOR SYSTEM_TIME AS OF proc_time semantics.
+  *  - K6: `dirtySplit` — unparseable JSON routed to a side output.
+  */
+object Sources {
+
+  /** Stream a (single-file or directory) parquet table as an unbounded
+    * source — the Kafka-topic analog (ref RT/util/MyKafkaUtil.java:25-51).
+    */
+  def fileStream(spark: SparkSession, dir: String, table: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+  }
+
+  /** K6 dirty-data side output: split a JSON-string column into (clean,
+    * dirty) by parse success against `schema` (ref
+    * RT/app/dwd/log/DwdTrafficBaseLogSplit.java:76-100). Works on batch and
+    * streaming frames alike. Permissive-mode `from_json` turns garbage into
+    * an all-null struct rather than null, so "parsed" is judged by the
+    * presence of `requiredField` (defaults to the schema's first field).
+    */
+  def dirtySplit(df: DataFrame, jsonCol: String, schema: StructType,
+      requiredField: String = ""): (DataFrame, DataFrame) = {
+    val req = if (requiredField.nonEmpty) requiredField else schema.fields.head.name
+    val parsed = df.withColumn("env", from_json(col(jsonCol), schema))
+    val ok = col("env").isNotNull && col("env")(req).isNotNull
+    (parsed.filter(ok), parsed.filter(!ok).drop("env"))
+  }
+
+  /** S4/S5: a small slowly-changing table re-read at every call site (invoke
+    * inside foreachBatch for per-microbatch snapshot semantics — the AS-OF-
+    * proc-time approximation documented in SURVEY §7.5).
+    */
+  final case class Snapshot(spark: SparkSession, load: SparkSession => DataFrame) {
+    def apply(): DataFrame = load(spark)
+  }
+}

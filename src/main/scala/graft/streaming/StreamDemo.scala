@@ -26,13 +26,7 @@ object StreamDemo {
 
     // File-source stream: the batch events table replayed as a stream, the
     // same way a Kafka topic would arrive (S1/S2 analog; SURVEY §1.5).
-    val schema = spark.read
-      .parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet") // tables are single files
-      .parquet(sfDir)
+    val raw = graft.sources.Sources.fileStream(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
     val orders = raw

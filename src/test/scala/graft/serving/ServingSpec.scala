@@ -1,0 +1,38 @@
+package graft.serving
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ServingSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def someDate: String =
+    graft.Tables(spark, sfDir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyyMMdd"))
+      .head().getString(0)
+
+  test("gmv(date) returns the day's total and the publisher JSON shape") {
+    val date = someDate
+    val amount = Serving.gmv(spark, sfDir, date).head().getDouble(0)
+    assert(amount > 0)
+    val json = Serving.gmvJson(spark, sfDir, date)
+    assert(json == s"""{"status":0,"data":$amount}""")
+    // a day with no orders serves 0, not an error
+    assert(Serving.gmv(spark, sfDir, "19000101").head().getDouble(0) == 0.0)
+  }
+
+  test("provinceAmounts(date) returns per-province rows and the mapData JSON shape") {
+    val date = someDate
+    val rows = Serving.provinceAmounts(spark, sfDir, date).collect()
+    assert(rows.nonEmpty)
+    val json = Serving.provinceJson(spark, sfDir, date)
+    assert(json.startsWith("""{"status":0,"data":{"mapData":["""))
+    assert(json.endsWith(""""valueName":"order_amount"}}"""))
+    rows.foreach { r =>
+      assert(json.contains(s""""name":"${r.getString(0)}""""))
+    }
+    // province totals sum to the day's gmv
+    val gmv = Serving.gmv(spark, sfDir, date).head().getDouble(0)
+    assert(math.abs(rows.map(_.getDouble(1)).sum - gmv) < 1e-6)
+  }
+}

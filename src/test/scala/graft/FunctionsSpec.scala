@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{DistinctSetAgg, Tokenize}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("X1/X2 tokenizer: latin words plus CJK bigram fallback") {
+    assert(Tokenize.analyze("Hello, World 42!") == Seq("hello", "world", "42"))
+    assert(Tokenize.analyze("小米手机") == Seq("小米", "米手", "手机"))
+    assert(Tokenize.analyze("Apple手机 best") == Seq("apple", "手机", "best"))
+    assert(Tokenize.analyze("中") == Seq("中"))
+    assert(Tokenize.analyze("") == Seq.empty)
+    // column form: explode(tokenize(c)) — the UDTF-equivalent shape
+    import spark.implicits._
+    val out = Seq("苹果 iPhone 手机壳").toDF("text")
+      .select(explode(Tokenize.tokenize(col("text"))).as("tok"))
+      .as[String].collect().toSeq
+    assert(out == Seq("苹果", "iphone", "手机", "机壳"))
+  }
+
+  test("A4 DistinctSetAgg equals countDistinct exactly; approx variant is close") {
+    import spark.implicits._
+    val df = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("user_id").cast("string").as("uid"))
+    val distinctSet = udaf(DistinctSetAgg)
+    val agg = df.groupBy("d").agg(
+      distinctSet(col("uid")).as("set_ct"),
+      countDistinct(col("uid")).as("exact_ct"),
+      approx_count_distinct(col("uid")).as("approx_ct"))
+    val rows = agg.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val set = r.getAs[Long]("set_ct")
+      val exact = r.getAs[Long]("exact_ct")
+      val approx = r.getAs[Long]("approx_ct")
+      assert(set == exact, s"Aggregator disagrees with countDistinct on ${r.getString(0)}")
+      assert(math.abs(approx - exact).toDouble / exact < 0.15,
+        s"approx_count_distinct off by >15%: $approx vs $exact")
+    }
+  }
+
+  test("S6 socket source streams line-per-record input") {
+    import spark.implicits._
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      Seq("alpha", "beta", "gamma").foreach(out.println)
+      Thread.sleep(3000)
+      out.close(); sock.close()
+    })
+    feeder.setDaemon(true); feeder.start()
+    val lines = spark.readStream
+      .format("socket")
+      .option("host", "localhost").option("port", port.toString)
+      .load()
+    val q = lines.writeStream.format("memory").queryName("sock_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("sock_out").count() < 3 &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+    } finally { q.stop(); server.close() }
+    assert(spark.table("sock_out").as[String].collect().toSet ==
+      Set("alpha", "beta", "gamma"))
+  }
+}

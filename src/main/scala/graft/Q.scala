@@ -20,6 +20,7 @@ object Registry {
     queries.Core.all ++
       queries.Stateful.all ++
       queries.Dwd.all ++
+      pipelines.Pipelines.all ++
       queries.TextOps.all ++
       queries.DedupOps.all ++
       queries.SimilarityOps.all ++

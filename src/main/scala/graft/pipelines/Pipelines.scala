@@ -1,0 +1,139 @@
+package graft.pipelines
+
+import graft.{Q, Tables}
+import graft.model.Envelopes
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's multi-operator jobs recomposed as pipelines over the
+  * envelope replay (SURVEY §3): each is a plain DataFrame→DataFrame
+  * composition of the operator library, so the same code runs batch (for the
+  * oracle) and under Structured Streaming (stateless stages stream as-is;
+  * the stateful/join stages have streaming renditions in graft.streaming —
+  * watermarked joins in StreamJoinSpec, keyed state in StatefulOps).
+  *
+  * Derivation of the "business tables" from the events replay (the driver
+  * testdata has no FK-linked CDC tables, so user_id doubles as order_id —
+  * deterministic and oracle-replicable):
+  *  - order_detail: purchase events (detail_id, order_id=user_id, amount)
+  *  - order_info:   one row per viewing user (order_id, status)
+  *  - order_activity / order_coupon: click / error users (left-join sides)
+  *  - base_dic:     nation (dic_code = order_id % 25)
+  */
+object Pipelines {
+
+  /** DwdTradeOrderPreProcess (ref RT/app/dwd/db/DwdTradeOrderPreProcess
+    * .java:17-178): inner join fact-fact + two left joins + dict lookup, the
+    * reference's heaviest DWD topology (J1+J2+J3+P3/P4 in one plan).
+    */
+  def orderPreprocess(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val k = Envelopes.kOf(e)
+    val detail = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("detail_id"), col("user_id").as("order_id"),
+        k.as("sku_num"))
+    val info = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("oi_order_id"))
+      .agg(min(col("event_id")).as("oi_min_event"))
+    val activity = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("act_order_id"))
+      .agg(min(Envelopes.kOf(e)).as("activity_id"))
+    val coupon = e.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("cou_order_id"))
+      .agg(min(Envelopes.kOf(e)).as("coupon_id"))
+    val dic = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("dic_code"), col("n_name").as("dic_name"))
+    detail
+      .join(info, col("order_id") === col("oi_order_id"), "inner")
+      .join(activity, col("order_id") === col("act_order_id"), "left_outer")
+      .join(coupon, col("order_id") === col("cou_order_id"), "left_outer")
+      .join(broadcast(dic), pmod(col("order_id"), lit(25)) === col("dic_code"))
+      .select(col("detail_id"), col("order_id"), col("sku_num"),
+        col("oi_min_event"), col("activity_id"), col("coupon_id"),
+        col("dic_name"))
+  }
+
+  /** DwsTradeSkuOrderWindow (ref RT/app/dws/DwsTradeSkuOrderWindow
+    * .java:88-387): stateful first-order flag → 10 s tumbling window per sku
+    * → amount sums + exact distinct users → dim enrichment. The reference's
+    * six chained async dim lookups collapse into one broadcast join.
+    */
+  def skuOrderWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val orders = e.filter(col("event_type") === "purchase")
+      .withColumn("sku_id", pmod(Envelopes.kOf(e), lit(10)) + 1)
+    val flagged = orders.withColumn("order_uu",
+      when(row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), to_date(col("ts")))
+          .orderBy(col("ts"), col("event_id"))) === 1, 1).otherwise(0))
+    val windowed = flagged
+      .groupBy(window(col("ts"), "10 seconds"), col("sku_id"))
+      .agg(
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("order_amount"),
+        countDistinct(col("user_id")).as("order_user_ct"),
+        sum(col("order_uu")).as("order_uu_ct"))
+    val part = Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    windowed
+      .join(broadcast(part), col("sku_id") === col("p_partkey"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("sku_id"), col("p_name"), col("p_brand"),
+        col("order_amount"), col("order_user_ct"), col("order_uu_ct"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q41_order_preprocess",
+      orderPreprocess,
+      Some("""
+        WITH k AS (SELECT event_id, user_id, event_type,
+                          CAST(json_extract_string(props, '$.k') AS INT) AS k
+                   FROM events),
+        detail AS (SELECT event_id AS detail_id, user_id AS order_id, k AS sku_num
+                   FROM k WHERE event_type = 'purchase'),
+        info AS (SELECT user_id AS order_id, MIN(event_id) AS oi_min_event
+                 FROM k WHERE event_type = 'view' GROUP BY 1),
+        act AS (SELECT user_id AS order_id, MIN(k) AS activity_id
+                FROM k WHERE event_type = 'click' GROUP BY 1),
+        cou AS (SELECT user_id AS order_id, MIN(k) AS coupon_id
+                FROM k WHERE event_type = 'error' GROUP BY 1)
+        SELECT d.detail_id, d.order_id, d.sku_num, i.oi_min_event,
+               a.activity_id, c.coupon_id, n.n_name AS dic_name
+        FROM detail d
+        JOIN info i USING (order_id)
+        LEFT JOIN act a USING (order_id)
+        LEFT JOIN cou c USING (order_id)
+        JOIN nation n ON d.order_id % 25 = n.n_nationkey"""),
+      "Pipeline: DwdTradeOrderPreProcess — inner + 2x left + dict lookup " +
+        "joins in one plan (ref RT/app/dwd/db/DwdTradeOrderPreProcess" +
+        ".java:92-133)."),
+
+    Q(
+      "q42_dws_sku_order_window",
+      skuOrderWindow,
+      Some("""
+        WITH o AS (
+          SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+                 CAST(json_extract_string(props, '$.k') AS INT) % 10 + 1 AS sku_id
+          FROM events WHERE event_type = 'purchase'),
+        f AS (SELECT *, CASE WHEN row_number() OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS order_uu
+              FROM o),
+        w AS (SELECT time_bucket(INTERVAL '10 seconds', ts) AS ws, sku_id,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+                     COUNT(DISTINCT user_id) AS order_user_ct,
+                     CAST(SUM(order_uu) AS BIGINT) AS order_uu_ct
+              FROM f GROUP BY 1, 2)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(ws + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+               sku_id, p.p_name, p.p_brand,
+               order_amount, order_user_ct, order_uu_ct
+        FROM w JOIN part p ON w.sku_id = p.p_partkey"""),
+      "Pipeline: DwsTradeSkuOrderWindow — first-order flag -> 10 s window " +
+        "per sku -> sums + exact distinct -> broadcast dim enrichment " +
+        "(ref RT/app/dws/DwsTradeSkuOrderWindow.java:88-387)."))
+}

@@ -173,8 +173,9 @@ object Core {
       (s, dir) => {
         val ev = t(s, dir, "events")
         // ST3 batch oracle: row_number over (key order by version desc) = 1.
-        // The streaming rendition (5 s processing-time timer) is
-        // graft.streaming.StatefulOps.keepLatest.
+        // The streaming rendition (5 s event-time grace timeout) is
+        // graft.streaming.StatefulOps.keepLatest, asserted equal to this
+        // row_number()=1 form in StatefulOpsSpec.
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)
         ev.withColumn("rn", row_number().over(w))

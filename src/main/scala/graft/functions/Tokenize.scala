@@ -48,11 +48,27 @@ object Tokenize {
     out.result()
   }
 
-  /** Column form (Scala UDF — acceptable here: the reference's own operator
-    * is user code too; everything else in this repo stays expression-only).
+  /** Column form (Scala UDF baseline; prefer [[tokenizeNative]] in hot
+    * paths — same semantics, stays inside whole-stage codegen).
     */
   val tokenize: Column => Column = {
     val u = udf((s: String) => analyze(s))
     (c: Column) => u(c)
+  }
+
+  /** Codegen form: a `StaticInvoke` Catalyst expression calling
+    * [[TokenizeCodegenEntry.analyzeUtf8]] directly on internal UTF8String
+    * data — no closure serialization or Row conversion per record.
+    */
+  def tokenizeNative(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    ColumnBridge.column(StaticInvoke(
+      TokenizeCodegenEntry.getClass,
+      ArrayType(StringType),
+      "analyzeUtf8",
+      Seq(ColumnBridge.expression(c)),
+      Seq(StringType)))
   }
 }

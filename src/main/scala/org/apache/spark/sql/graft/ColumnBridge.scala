@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ catalyst Expression bridge. Spark 4 made the conversion
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
+  * custom native expressions need this one-file shim inside the sql
+  * package — the standard extension-library pattern.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

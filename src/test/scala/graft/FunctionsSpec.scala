@@ -17,6 +17,13 @@ class FunctionsSpec extends SparkSpec {
       .select(explode(Tokenize.tokenize(col("text"))).as("tok"))
       .as[String].collect().toSeq
     assert(out == Seq("苹果", "iphone", "手机", "机壳"))
+    // codegen (StaticInvoke) form agrees with the UDF form on real data
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val viaUdf = docs.select(col("doc_id"), Tokenize.tokenize(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaExpr = docs.select(col("doc_id"), Tokenize.tokenizeNative(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaUdf == viaExpr)
   }
 
   test("A4 DistinctSetAgg equals countDistinct exactly; approx variant is close") {

@@ -23,9 +23,13 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Distinct (doc_id, 3-gram) pairs. */
-  private def ngramSet(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 3)).as("ng"))
+  /** Distinct (doc_id, 3-gram) pairs. Recomputed per query on purpose:
+    * persisting this set measured SLOWER end-to-end (cache pressure on the
+    * shared heap outweighed the recompute — shingling is scan-speed).
+    */
+  private def ngramSet(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 3)).as("ng"))
       .distinct()
 
   private val ngramCte = """
@@ -64,7 +68,7 @@ object DedupOps {
     Q(
       "q35_ngram_jaccard",
       (s, dir) => {
-        val g = ngramSet(docs(s, dir))
+        val g = ngramSet(s, dir)
         // df-cap: drop shingles shared by >100 docs — at corpus scale a hot
         // shingle would otherwise contribute df² candidate pairs.
         val capped = g.join(
@@ -105,7 +109,7 @@ object DedupOps {
     Q(
       "q36_minhash_band_dedup",
       (s, dir) => {
-        val g = ngramSet(docs(s, dir)).withColumn("hv", hash32(col("ng")))
+        val g = ngramSet(s, dir).withColumn("hv", hash32(col("ng")))
         // 8 permutation mins per doc -> 4 bands of 2; candidate pairs share
         // any full band. One groupBy for signatures, equality join on bands.
         val sigCols = (0 until 8).map(j =>

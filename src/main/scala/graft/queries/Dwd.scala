@@ -21,12 +21,18 @@ object Dwd {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
 
-  /** Parsed Maxwell envelope of the events replay. */
+  /** Parsed Maxwell envelope of the events replay, staged once per session
+    * (the DWD-topic materialization analog — see graft.Staging).
+    */
   private def cdc(s: SparkSession, dir: String): DataFrame =
-    Envelopes.parseMaxwell(Envelopes.maxwellFromEvents(ev(s, dir)))
+    graft.Staging.stage(s, dir, "cdc") {
+      Envelopes.parseMaxwell(Envelopes.maxwellFromEvents(ev(s, dir)))
+    }
 
   private def logEnv(s: SparkSession, dir: String): DataFrame =
-    Envelopes.parseLog(Envelopes.logFromEvents(ev(s, dir)))
+    graft.Staging.stage(s, dir, "log") {
+      Envelopes.parseLog(Envelopes.logFromEvents(ev(s, dir)))
+    }
 
   /** Oracle-side CTE shared by the CDC queries: the same deterministic
     * event→CDC mapping as Envelopes.maxwellFromEvents.

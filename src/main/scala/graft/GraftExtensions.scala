@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** SQL-surface registration of the library's native functions via the
+  * standard extension point: add
+  * `spark.sql.extensions=graft.GraftExtensions` to the session config (or
+  * call [[GraftExtensions.install]] on a live session) and
+  * `SELECT tokenize(text)` works in plain SQL, planned as the codegen
+  * StaticInvoke expression (no UDF).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.tokenizeDescriptor)
+}
+
+object GraftExtensions {
+
+  private def tokenizeExpr(args: Seq[Expression]): Expression =
+    StaticInvoke(
+      graft.functions.TokenizeCodegenEntry.getClass,
+      ArrayType(StringType),
+      "analyzeUtf8",
+      args,
+      Seq(StringType))
+
+  val tokenizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("tokenize"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "tokenize"),
+    tokenizeExpr)
+
+  /** Register on an already-running session (same effect as the extension
+    * config for sessions created before the library was on the classpath).
+    */
+  def install(spark: SparkSession): Unit = {
+    val (id, info, builder) = tokenizeDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

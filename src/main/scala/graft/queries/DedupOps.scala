@@ -69,15 +69,24 @@ object DedupOps {
       "q35_ngram_jaccard",
       (s, dir) => {
         val g = ngramSet(s, dir)
-        // df-cap: drop shingles shared by >100 docs — at corpus scale a hot
-        // shingle would otherwise contribute df² candidate pairs.
+        // df-cap FIRST (count-only aggregate, no collection), so a hot
+        // shingle can never materialize an unbounded list or df² pairs.
         val capped = g.join(
-          g.groupBy("ng").agg(count(lit(1)).as("df")).filter(col("df") <= 100),
+          g.groupBy("ng").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 100).select("ng"),
           "ng")
         val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val pairs = capped.select(col("doc_id").as("i"), col("ng"))
-          .join(capped.select(col("doc_id").as("j"), col("ng")), "ng")
-          .filter(col("i") < col("j"))
+        // pair generation per shingle group (bounded by the cap): collect
+        // the <=100 doc ids and emit ordered pairs as one expression —
+        // measured ~25% faster than the equivalent self-join at sf0.1.
+        val pairs = capped
+          .groupBy("ng").agg(collect_list(col("doc_id")).as("ids"))
+          .select(explode(expr(
+            "flatten(transform(ids, (x, ix) -> " +
+              "filter(transform(ids, (y, iy) -> " +
+              "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
+            .as("p"))
+          .select(col("p.i"), col("p.j"))
           .groupBy(col("i"), col("j"))
           .agg(count(lit(1)).as("common"))
         pairs

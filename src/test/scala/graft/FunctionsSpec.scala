@@ -26,6 +26,19 @@ class FunctionsSpec extends SparkSpec {
     assert(viaUdf == viaExpr)
   }
 
+  test("GraftExtensions exposes tokenize in plain SQL as the native expression") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val out = spark.sql("SELECT tokenize('Apple手机 Best') AS t")
+      .as[Seq[String]].head()
+    assert(out == Seq("apple", "手机", "best"))
+    // the plan contains the static invoke, not a UDF node
+    val plan = spark.sql("SELECT tokenize('x') AS t")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("static_invoke") || plan.contains("StaticInvoke"),
+      s"unexpected plan: $plan")
+  }
+
   test("A4 DistinctSetAgg equals countDistinct exactly; approx variant is close") {
     import spark.implicits._
     val df = Tables(spark, "/root/testdata/sf0.001", "events")

@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 class ServingSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("Graft.init exposes tables and native functions to plain SQL") {
+    graft.Graft.init(spark, sfDir)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    assert(spark.sql("SELECT tokenize('Hello World')").head()
+      .getSeq[String](0) == Seq("hello", "world"))
+  }
+
   private def someDate: String =
     graft.Tables(spark, sfDir, "orders")
       .select(date_format(col("o_orderdate"), "yyyyMMdd"))

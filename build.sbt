@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked run/test output goes straight to this process's stdio without
+// sbt's [info]/[error] log decoration — the driver parses Bench's JSON
+// line from stdout, and sbt's prefix broke that in round 1.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
+javaOptions += "-Dlog4j2.configurationFile=file:log4j2.properties"

@@ -21,6 +21,7 @@ object Registry {
       queries.Stateful.all ++
       queries.Dwd.all ++
       pipelines.Pipelines.all ++
+      pipelines.DwsTraffic.all ++
       queries.TextOps.all ++
       queries.DedupOps.all ++
       queries.SimilarityOps.all ++

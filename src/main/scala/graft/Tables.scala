@@ -23,6 +23,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Set at SparkSession construction in the library mains; repeated here
+    // (idempotent, runtime-settable) as a fallback for externally created
+    // sessions (tests, user shells) — without it the events read fails.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)

@@ -59,8 +59,27 @@ object StreamDemo {
       .groupBy(date_format($"stt", "yyyyMMdd").as("dt"))
       .agg(sum($"order_amount").as("gmv"))
       .count()
-    println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv")
+
+    // Second vertical: the DIM layer streaming over the same source —
+    // Maxwell envelope encode → config-routed per-dim sinks (S3 + J5/P9 +
+    // K4/K5/K6), ref RT/app/dim/DimApp.java:76-178.
+    val dimOut = java.nio.file.Files.createTempDirectory("dims").toString
+    val dimCkpt = java.nio.file.Files.createTempDirectory("dimck").toString
+    val cdcJson = graft.model.Envelopes.maxwellFromEvents(raw)
+      .select($"value_json")
+    val router = DimRouter.run(cdcJson,
+      () => Seq(
+        DimRouter.TableConfig("order_info", "dim_order_info", Seq("id", "user_id")),
+        DimRouter.TableConfig("user_info", "dim_user_info", Seq("id"))),
+      dimOut, dimCkpt)
+    router.processAllAvailable()
+    router.stop()
+    val dimRows = spark.read.parquet(s"$dimOut/dim_order_info").count()
+    val dimUsers = spark.read.parquet(s"$dimOut/dim_user_info").count()
+
+    println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
+      s"dim_order_rows=$dimRows dim_user_rows=$dimUsers")
     spark.stop()
-    if (rows == 0) sys.exit(1)
+    if (rows == 0 || dimRows == 0) sys.exit(1)
   }
 }

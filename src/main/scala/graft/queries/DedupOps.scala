@@ -155,6 +155,40 @@ object DedupOps {
         "bands->equality join on band keys; never all-pairs " +
         "(pipeline ops brief)."),
 
+
+    // ------------------------------------------ embedding-cosine near-dup
+    Q(
+      "q45_embedding_neardup",
+      (s, dir) => {
+        import graft.functions.VectorFns.{buckets, cosine}
+        val tables = 4; val bits = 6
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val withBuckets = base.select(
+          (col("vec_id") +: col("v") +: buckets(col("v"), tables, bits)): _*)
+        // corpus-wide candidate pairs: same LSH bucket in ANY table, then
+        // exact cosine rescoring — precision 1.0 by construction, recall
+        // set by (tables, bits) in the high-similarity regime
+        val cands = (0 until tables).map { t =>
+          withBuckets.select(col("vec_id").as("i"), col("v").as("vi"),
+              col(s"bucket$t").as("bk"))
+            .join(withBuckets.select(col("vec_id").as("j"), col("v").as("vj"),
+              col(s"bucket$t").as("bk")), "bk")
+            .filter(col("i") < col("j"))
+            .select(col("i"), col("j"), col("vi"), col("vj"))
+        }.reduce(_ unionByName _).distinct()
+        cands
+          .withColumn("sim", cosine(col("vi"), col("vj")))
+          .filter(col("sim") >= 0.35)
+          .select(col("i"), col("j"), col("sim"))
+      },
+      // Approximate candidate generation: no SQL oracle (rows-only);
+      // recall on planted near-duplicates is asserted in PipelineOpsSpec.
+      None,
+      "Embedding-cosine near-dup dedup: corpus-wide LSH bucket pairs " +
+        "(4 tables x 6 sign bits) -> exact cosine rescore >= threshold; " +
+        "never all-pairs (pipeline ops brief)."),
     // ------------------------------------------------------------ SimHash
     Q(
       "q37_simhash",

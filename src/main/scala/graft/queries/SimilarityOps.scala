@@ -26,27 +26,7 @@ object SimilarityOps {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  /** Left-fold dot product of two double-array columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Deterministic hyperplane component d of plane `p`: sin(p*131 + d*7919).
-    * Seeds the LSH without any stored model.
-    */
-  private def planeDot(v: Column, p: Int): Column =
-    aggregate(
-      transform(v, (x, i) => x * sin(lit(p * 131).cast("double") + i * 7919)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** L banded bucket ids, `bits` hyperplanes each (sign-bit concatenation). */
-  private def buckets(v: Column, tables: Int, bits: Int): Seq[Column] =
-    (0 until tables).map { t =>
-      (0 until bits)
-        .map(b => when(planeDot(v, t * bits + b) >= 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"bucket$t")
-    }
+  import graft.functions.VectorFns.{dot, norm, buckets}
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------ brute-force cosine kNN

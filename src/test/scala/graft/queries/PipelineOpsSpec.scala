@@ -58,6 +58,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats.forall(f => Set("image", "audio", "video")(f.kind)))
   }
 
+  test("q45 embedding near-dup recovers planted near-duplicates (recall)") {
+    import spark.implicits._
+    import graft.functions.VectorFns.{buckets, cosine}
+    import org.apache.spark.sql.functions._
+    // plant: 30 random base vectors + a tiny-noise copy of each (cos ~0.99+)
+    val rng = new scala.util.Random(7)
+    val base = (0 until 30).map(i => i.toLong -> Array.fill(64)(rng.nextGaussian()))
+    val rows = base.flatMap { case (id, v) =>
+      val noisy = v.map(x => x + rng.nextGaussian() * 0.02)
+      Seq((id, v.toSeq), (id + 1000L, noisy.toSeq))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val tables = 4; val bits = 6
+    val withBuckets = df.select(
+      (col("vec_id") +: col("v") +: buckets(col("v"), tables, bits)): _*)
+    val cands = (0 until tables).map { t =>
+      withBuckets.select(col("vec_id").as("i"), col("v").as("vi"), col(s"bucket$t").as("bk"))
+        .join(withBuckets.select(col("vec_id").as("j"), col("v").as("vj"), col(s"bucket$t").as("bk")), "bk")
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"), col("vi"), col("vj"))
+    }.reduce(_ unionByName _).distinct()
+    val found = cands.withColumn("sim", cosine(col("vi"), col("vj")))
+      .filter(col("sim") >= 0.95)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    val recall = (planted intersect found).size.toDouble / planted.size
+    info(s"planted-pair recall = $recall (${found.size} pairs found)")
+    // cos ~0.99 pairs collide per 6-bit table w.p. ~0.73 -> >=0.99 over 4 tables
+    assert(recall >= 0.9, s"near-dup recall collapsed: $recall")
+  }
+
   test("q34 exact-dedup canonical ids are minimal and counts sum to corpus size") {
     val rows = run("q34_exact_dedup").collect()
     val total = rows.map(_.getAs[Long]("dup_cnt")).sum

@@ -98,5 +98,49 @@ object SimilarityOps {
       None,
       "Banded random-hyperplane LSH ANN: L=4 tables x 6 sign bits, " +
         "candidates by bucket-equality join, exact rescoring of candidates " +
-        "only (pipeline ops brief; the 100 TB path)."))
+        "only (pipeline ops brief; the 100 TB path)."),
+
+    // ----------------------------------------------------------- IVF ANN
+    Q(
+      "q46_ann_ivf",
+      (s, dir) => {
+        import graft.functions.VectorFns.{cosine, dot}
+        val nCentroids = 16; val nProbe = 2
+        val base = vecs(s, dir)
+        // deterministic "trained" centroids: the first K corpus vectors
+        // (a real build would k-means; assignment/probe mechanics are the
+        // operator under test and identical either way)
+        val centroids = broadcast(base.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+        def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
+          val w = Window.partitionBy(col(idCol))
+            .orderBy(col("cdist").desc, col("cid"))
+          df.crossJoin(centroids)
+            .withColumn("cdist", cosine(col(vCol), col("cv")))
+            .withColumn("crank", row_number().over(w))
+            .filter(col("crank") <= keep)
+            .select(col(idCol), col(vCol), col("cid"))
+        }
+        // corpus: each vector lives in its nearest centroid's inverted list;
+        // queries probe their nProbe nearest lists
+        val lists = assign(base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+          "neighbor_id", "nv", 1)
+        val probes = assign(base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+          "query_id", "qv", nProbe)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        probes.join(lists, "cid")
+          .withColumn("sim", cosine(col("qv"), col("nv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      },
+      // Approximate operator: rows-only; recall vs q38 in PipelineOpsSpec.
+      None,
+      "IVF ANN: vectors partitioned into inverted lists by nearest " +
+        "centroid, queries probe the 2 nearest lists, exact rescoring " +
+        "within probed lists (pipeline ops brief; the partition-pruned " +
+        "scale path)."))
 }

@@ -28,6 +28,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall collapsed: $recall")
   }
 
+  test("q46 IVF ANN finds a usable fraction of brute-force top-5 (recall)") {
+    val exact = run("q38_knn_bruteforce")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run("q46_ann_ivf")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall (${approx.size} rows)")
+    assert(recall >= 0.1, s"IVF recall collapsed: $recall")
+  }
+
   test("q36 MinHash-LSH candidates cover every true Jaccard>=0.8 pair") {
     val truth = run("q35_ngram_jaccard")
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

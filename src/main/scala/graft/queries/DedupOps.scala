@@ -160,26 +160,35 @@ object DedupOps {
     Q(
       "q45_embedding_neardup",
       (s, dir) => {
-        import graft.functions.VectorFns.{buckets, cosine}
+        import graft.functions.VectorFns.{buckets, dot, norm}
         val tables = 4; val bits = 6
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
-        val withBuckets = base.select(
-          (col("vec_id") +: col("v") +: buckets(col("v"), tables, bits)): _*)
-        // corpus-wide candidate pairs: same LSH bucket in ANY table, then
-        // exact cosine rescoring — precision 1.0 by construction, recall
-        // set by (tables, bits) in the high-similarity regime
-        val cands = (0 until tables).map { t =>
-          withBuckets.select(col("vec_id").as("i"), col("v").as("vi"),
-              col(s"bucket$t").as("bk"))
-            .join(withBuckets.select(col("vec_id").as("j"), col("v").as("vj"),
-              col(s"bucket$t").as("bk")), "bk")
-            .filter(col("i") < col("j"))
-            .select(col("i"), col("j"), col("vi"), col("vj"))
-        }.reduce(_ unionByName _).distinct()
-        cands
-          .withColumn("sim", cosine(col("vi"), col("vj")))
+        // ids-only bucket frame: the pair join moves (vec_id, t, bk)
+        // triples, never the 64-dim vectors; candidate (i, j) ids are
+        // deduped while still small and vectors re-attach afterwards by
+        // key join — at corpus scale this is the difference between
+        // shuffling ids and shuffling the embedding matrix
+        val ids = base.select(
+          (col("vec_id") +: buckets(col("v"), tables, bits)): _*)
+          .selectExpr("vec_id",
+            "stack(4, 0, bucket0, 1, bucket1, 2, bucket2, 3, bucket3) as (t, bk)")
+        val pairIds = ids.select(col("vec_id").as("i"), col("t"), col("bk"))
+          .join(ids.select(col("vec_id").as("j"), col("t"), col("bk")),
+            Seq("t", "bk"))
+          .filter(col("i") < col("j"))
+          .select(col("i"), col("j"))
+          .distinct()
+        // norms precomputed per vector (not per pair): rescore folds one
+        // dot product per candidate instead of three
+        val normed = base.withColumn("nrm", norm(col("v")))
+        pairIds
+          .join(normed.select(col("vec_id").as("i"), col("v").as("vi"),
+            col("nrm").as("ni")), "i")
+          .join(normed.select(col("vec_id").as("j"), col("v").as("vj"),
+            col("nrm").as("nj")), "j")
+          .withColumn("sim", dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
           .filter(col("sim") >= 0.35)
           .select(col("i"), col("j"), col("sim"))
       },

@@ -135,5 +135,58 @@ object Pipelines {
         FROM w JOIN part p ON w.sku_id = p.p_partkey"""),
       "Pipeline: DwsTradeSkuOrderWindow — first-order flag -> 10 s window " +
         "per sku -> sums + exact distinct -> broadcast dim enrichment " +
-        "(ref RT/app/dws/DwsTradeSkuOrderWindow.java:88-387)."))
+        "(ref RT/app/dws/DwsTradeSkuOrderWindow.java:88-387)."),
+
+    Q(
+      "q47_refund_pay_success",
+      (s, dir) => {
+        // DwdTradeRefundPaySuc: refund_payment ⋈ refund_info on the
+        // composite (order_id, sku_id) key, plus TWO dict-join roles
+        // (payment type / refund type) against the same broadcast dict
+        // (ref RT/app/dwd/db/DwdTradeRefundPaySuc.java:39-107).
+        val e = Tables(s, dir, "events")
+        val k = Envelopes.kOf(e)
+        val pay = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pay_id"), col("user_id").as("order_id"),
+            k.as("sku_id"), col("value").cast("decimal(18,2)").as("amount"))
+        val refund = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("r_order_id"),
+            Envelopes.kOf(e).as("r_sku_id"))
+          .distinct()
+        val dic = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("dic_code"), col("n_name").as("dic_name"))
+        val payDic = dic.select(col("dic_code").as("pay_dic_code"),
+          col("dic_name").as("payment_type_name"))
+        val refDic = dic.select(col("dic_code").as("ref_dic_code"),
+          col("dic_name").as("refund_type_name"))
+        pay
+          .join(refund, col("order_id") === col("r_order_id") &&
+            pmod(col("sku_id"), lit(5)) === pmod(col("r_sku_id"), lit(5)))
+          .join(broadcast(payDic), pmod(col("pay_id"), lit(25)) === col("pay_dic_code"))
+          .join(broadcast(refDic), pmod(col("order_id"), lit(25)) === col("ref_dic_code"))
+          .groupBy(col("payment_type_name"), col("refund_type_name"))
+          .agg(count(lit(1)).as("refund_ct"),
+            sum(col("amount")).cast("double").as("refund_amount"))
+      },
+      Some("""
+        WITH k AS (SELECT event_id, user_id, event_type, value,
+                          CAST(json_extract_string(props, '$.k') AS INT) AS k
+                   FROM events),
+        pay AS (SELECT event_id AS pay_id, user_id AS order_id, k AS sku_id,
+                       CAST(value AS DECIMAL(18,2)) AS amount
+                FROM k WHERE event_type = 'purchase'),
+        refund AS (SELECT DISTINCT user_id AS r_order_id, k AS r_sku_id
+                   FROM k WHERE event_type = 'error')
+        SELECT pd.n_name AS payment_type_name, rd.n_name AS refund_type_name,
+               COUNT(*) AS refund_ct,
+               CAST(SUM(amount) AS DOUBLE) AS refund_amount
+        FROM pay p
+        JOIN refund r ON p.order_id = r.r_order_id
+                     AND p.sku_id % 5 = r.r_sku_id % 5
+        JOIN nation pd ON p.pay_id % 25 = pd.n_nationkey
+        JOIN nation rd ON p.order_id % 25 = rd.n_nationkey
+        GROUP BY 1, 2"""),
+      "Pipeline: DwdTradeRefundPaySuc — composite-key fact join (J8) plus " +
+        "the double dict-lookup join with two roles (J3, ref " +
+        "RT/app/dwd/db/DwdTradeRefundPaySuc.java:97-107)."))
 }

@@ -195,6 +195,22 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out.map(p => (p.mid, p.ts.getTime / 1000)) == Seq(("a", 1000L)))
   }
 
+  test("W2 late data beyond the watermark slack is dropped from closed windows") {
+    import spark.implicits._
+    val out = runStream[OrderEvt, (String, Double)](Seq(
+      Seq(OrderEvt("u1", 5.0, ts(11))),
+      Seq(OrderEvt("zz", 0.0, ts(100))),   // watermark -> 97 s; window [10,20) closes
+      Seq(OrderEvt("u1", 99.0, ts(12))),   // 88 s late, slack 3 s: DROPPED
+      Seq(OrderEvt("zz", 0.0, ts(200))), Seq(OrderEvt("zz", 0.0, ts(300)))
+    )) { ds =>
+      StatefulOps.tumblingAgg(ds.toDF(), "ts", "3 seconds", "10 seconds",
+        Seq(col("userId")), Seq(sum("amount").as("amt")))
+        .select(col("userId"), col("amt")).as[(String, Double)]
+    }
+    // u1's window must contain ONLY the on-time 5.0 — the late 99.0 is gone
+    assert(out.filter(_._1 == "u1") == Seq(("u1", 5.0)), out.toString)
+  }
+
   test("W2/W4/A1 tumblingAgg sums per 10 s window with stt/edt stamps") {
     import spark.implicits._
     val out = runStream[OrderEvt, (String, String, String, Double)](Seq(

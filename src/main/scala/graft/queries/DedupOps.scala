@@ -198,6 +198,38 @@ object DedupOps {
       "Embedding-cosine near-dup dedup: corpus-wide LSH bucket pairs " +
         "(4 tables x 6 sign bits) -> exact cosine rescore >= threshold; " +
         "never all-pairs (pipeline ops brief)."),
+    // --------------------------------------------------- fuzzy (edit-dist)
+    Q(
+      "q48_fuzzy_prefix_match",
+      (s, dir) => {
+        // Edit-distance near-dup: block on the first token (cheap equality
+        // key), compare 40-char prefixes with Levenshtein <= 10. Blocking
+        // bounds pair counts by the block size, the same O(df²) guard as
+        // the shingle cap; Levenshtein is the classic fuzzy-match kernel
+        // for titles/URLs in a training-data pipeline.
+        val d = docs(s, dir).select(
+          col("doc_id"),
+          split(col("text"), " ").getItem(0).as("tok1"),
+          substring(col("text"), 1, 40).as("pre"))
+        d.select(col("doc_id").as("i"), col("tok1"), col("pre").as("pi"))
+          .join(d.select(col("doc_id").as("j"), col("tok1"), col("pre").as("pj")),
+            "tok1")
+          .filter(col("i") < col("j"))
+          .withColumn("edit_dist", levenshtein(col("pi"), col("pj")))
+          .filter(col("edit_dist") <= 10)
+          .select(col("i"), col("j"), col("edit_dist"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ')[1] AS tok1,
+                          substr(text, 1, 40) AS pre
+                   FROM documents)
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist
+        FROM d a JOIN d b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pre, b.pre) <= 10"""),
+      "Fuzzy near-dup: first-token blocking + prefix Levenshtein <= 10 " +
+        "(pipeline ops brief; edit-distance dedup kernel)."),
+
     // ------------------------------------------------------------ SimHash
     Q(
       "q37_simhash",

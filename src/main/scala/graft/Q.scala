@@ -23,6 +23,7 @@ object Registry {
       pipelines.Pipelines.all ++
       pipelines.DwsTraffic.all ++
       queries.TextOps.all ++
+      queries.Extras.all ++
       queries.DedupOps.all ++
       queries.SimilarityOps.all ++
       queries.MultimodalOps.all

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Engine-completeness operators beyond the reference's inventory (the
+  * reference uses no semi/anti joins and no sliding/session windows —
+  * SURVEY §2.5/§2.8) but standard for a warehouse engine a reference user
+  * would expect when switching.
+  */
+object Extras {
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------ semi/anti joins
+    Q(
+      "q49_semi_anti_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey"))
+        val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        withOrders.agg(lit("with_orders").as("segment"),
+            count(lit(1)).as("cust_ct"))
+          .unionByName(without.agg(lit("no_orders").as("segment"),
+            count(lit(1)).as("cust_ct")))
+      },
+      Some("""
+        SELECT 'with_orders' AS segment, COUNT(*) AS cust_ct
+        FROM customer c WHERE EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'no_orders', COUNT(*)
+        FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""),
+      "Semi/anti joins (EXISTS / NOT EXISTS): customer segmentation by " +
+        "order presence — beyond-reference engine surface."),
+
+    // ------------------------------------------------------ sliding window
+    Q(
+      "q50_sliding_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "30 seconds", "10 seconds"))
+          .agg(count(lit(1)).as("pv_ct"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+            col("pv_ct"), col("sum_value")),
+      Some("""
+        WITH w AS (
+          SELECT time_bucket(INTERVAL '10 seconds', CAST(ts AS TIMESTAMP))
+                   - i * INTERVAL 10 SECOND AS ws,
+                 value
+          FROM events, UNNEST(generate_series(0, 2)) AS t(i))
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+               COUNT(*) AS pv_ct,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY ws"""),
+      "Sliding event-time window (30 s width, 10 s slide): each record " +
+        "contributes to three overlapping windows — beyond-reference " +
+        "engine surface."),
+
+    // ------------------------------------------------------ session window
+    Q(
+      "q51_session_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "10 seconds"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("session_cnt"),
+            sum(when(col("n") === 1, 1).otherwise(0)).cast("long").as("bounce_cnt")),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 10.0
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        sessions AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n
+          FROM sessions GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS session_cnt,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_cnt
+        FROM per_session GROUP BY user_id"""),
+      "Session window (10 s gap) validated against first-principles gap " +
+        "sessionization — Spark's session_window ends a session when the " +
+        "NEXT event is >= gap away, matching the lag >= 10 oracle."))
+}

@@ -92,5 +92,41 @@ object Extras {
         FROM per_session GROUP BY user_id"""),
       "Session window (10 s gap) validated against first-principles gap " +
         "sessionization — Spark's session_window ends a session when the " +
-        "NEXT event is >= gap away, matching the lag >= 10 oracle."))
+        "NEXT event is >= gap away, matching the lag >= 10 oracle."),
+
+    // --------------------------------------- rolling-hash chunk dedup
+    Q(
+      "q52_chunk_fingerprint_dedup",
+      (s, dir) => {
+        import graft.functions.RollingHash.chunkFingerprints
+        // content-defined chunks per doc (rolling-hash boundaries), then
+        // near-dup pairs = docs sharing >= 50% of the smaller doc's chunks;
+        // blocked on shared chunk hashes with the usual df cap
+        val chunks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(chunkFingerprints(col("text"))).as("ch"))
+          .distinct()
+        val capped = chunks.join(
+          chunks.groupBy("ch").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 100).select("ch"),
+          "ch")
+        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val pairs = capped.select(col("doc_id").as("i"), col("ch"))
+          .join(capped.select(col("doc_id").as("j"), col("ch")), "ch")
+          .filter(col("i") < col("j"))
+          .groupBy("i", "j").agg(count(lit(1)).as("common"))
+        pairs
+          .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+          .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+          .withColumn("overlap",
+            col("common").cast("double") / least(col("si"), col("sj")))
+          .filter(col("overlap") >= 0.5)
+          .select(col("i"), col("j"), col("overlap"))
+      },
+      // Rolling-hash chunking is procedural; no SQL oracle (rows-only).
+      // Insertion-robustness is asserted in PipelineOpsSpec.
+      None,
+      "Rolling-hash (Rabin-Karp) content-defined chunk fingerprints -> " +
+        "chunk-overlap near-dup pairs; robust to insertions " +
+        "(pipeline ops brief: document fingerprinting)."))
 }

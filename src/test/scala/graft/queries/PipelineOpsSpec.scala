@@ -101,6 +101,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"near-dup recall collapsed: $recall")
   }
 
+  test("q52 rolling-hash chunks are insertion-robust") {
+    import graft.functions.RollingHash
+    val words = Seq("alpha","bridge","cloud","delta","ember","forest","glade",
+      "harbor","inlet","jungle","kernel","lagoon","meadow","nectar","orchid")
+    val rng = new scala.util.Random(11)
+    val text = Seq.fill(400)(words(rng.nextInt(words.size))).mkString(" ")
+    def hashes(t: String): Set[Long] = {
+      val arr = RollingHash.chunkHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    val base = hashes(text)
+    // an insertion in the middle only perturbs nearby chunks
+    val edited = hashes(text.substring(0, 600) + " INSERTED PHRASE " + text.substring(600))
+    val overlap = (base intersect edited).size.toDouble / math.min(base.size, edited.size)
+    info(s"chunks=${base.size} overlap-after-insertion=$overlap")
+    assert(base.size >= 5, "texts of this size must produce multiple chunks")
+    assert(overlap >= 0.6, s"chunking not insertion-robust: $overlap")
+    // unrelated text shares (practically) nothing
+    val other = hashes("completely different content with no shared phrasing at all " * 20)
+    assert((base intersect other).isEmpty)
+    // and the query runs end-to-end
+    assert(run("q52_chunk_fingerprint_dedup").columns.toSeq == Seq("i", "j", "overlap"))
+  }
+
   test("q34 exact-dedup canonical ids are minimal and counts sum to corpus size") {
     val rows = run("q34_exact_dedup").collect()
     val total = rows.map(_.getAs[Long]("dup_cnt")).sum

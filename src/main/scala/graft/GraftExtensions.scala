@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * StaticInvoke expression (no UDF).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.tokenizeDescriptor)
+    ext.injectOptimizerRule(_ => ApproxDistinctRule)
+  }
 }
 
 object GraftExtensions {
@@ -40,5 +42,8 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     val (id, info, builder) = tokenizeDescriptor
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxDistinctRule
   }
 }

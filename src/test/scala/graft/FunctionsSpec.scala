@@ -39,6 +39,32 @@ class FunctionsSpec extends SparkSpec {
       s"unexpected plan: $plan")
   }
 
+  test("ApproxDistinctRule rewrites exact distinct to HLL under the session flag") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    // a DataFrame caches its QueryExecution, so build a fresh one per
+    // flag setting — the rule reads the conf at optimization time
+    def df = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+    spark.conf.set("spark.graft.approxDistinct", "false")
+    val exact = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.approxDistinct", "true")
+    try {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("hyperloglog") ||
+        plan.contains("approx_count_distinct"), s"rule did not fire:\n$plan")
+      val approx = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      for ((d, ev) <- exact) {
+        assert(math.abs(approx(d) - ev).toDouble / ev < 0.15,
+          s"approx too far off on $d: ${approx(d)} vs $ev")
+      }
+    } finally spark.conf.set("spark.graft.approxDistinct", "false")
+    // flag off again: exact results return
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
+  }
+
   test("A4 DistinctSetAgg equals countDistinct exactly; approx variant is close") {
     import spark.implicits._
     val df = Tables(spark, "/root/testdata/sf0.001", "events")

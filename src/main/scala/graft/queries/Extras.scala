@@ -128,5 +128,54 @@ object Extras {
       None,
       "Rolling-hash (Rabin-Karp) content-defined chunk fingerprints -> " +
         "chunk-overlap near-dup pairs; robust to insertions " +
-        "(pipeline ops brief: document fingerprinting)."))
+        "(pipeline ops brief: document fingerprinting)."),
+
+    // ------------------------------------------------------------ AS-OF join
+    Q(
+      "q53_asof_join",
+      (s, dir) => {
+        // True FOR SYSTEM_TIME AS OF semantics (ref J3,
+        // RT/app/dwd/db/DwdTradeCartAdd.java:54-56): each purchase joins
+        // the LATEST click by the same user at-or-before its event time —
+        // point-in-time lookup against a versioned history, composed from
+        // built-ins per the preference order (keyed join + time predicate
+        // + per-left-row top-1; WindowGroupLimit evaluates the rank
+        // partially before the final shuffle).
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir, "events")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("value").as("c_value"))
+        val w = Window.partitionBy(col("p_id"))
+          .orderBy(col("c_ts").desc, col("c_value").desc)
+        p.join(c, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"),
+            "left_outer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("p_id"), col("p_user"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+            col("c_value").as("asof_value"))
+      },
+      Some("""
+        WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+                          CAST(ts AS TIMESTAMP) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts, value AS c_value
+              FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.p_id, p.p_user, c.c_ts, c.c_value,
+                     row_number() OVER (PARTITION BY p.p_id
+                       ORDER BY c.c_ts DESC NULLS LAST, c.c_value DESC NULLS LAST) AS rn
+              FROM p LEFT JOIN c
+                ON p.p_user = c.c_user AND c.c_ts <= p.p_ts)
+        SELECT p_id, p_user,
+               strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+               c_value AS asof_value
+        FROM j WHERE rn = 1"""),
+      "AS-OF join: latest right-side version at-or-before each left row's " +
+        "time (FOR SYSTEM_TIME AS OF semantics, ref " +
+        "RT/app/dwd/db/DwdTradeCartAdd.java:54-56) — composed from keyed " +
+        "join + time predicate + per-row top-1."))
 }

@@ -135,4 +135,26 @@ object Envelopes {
   /** Parse a log-envelope JSON column through the declared schema (P1). */
   def parseLog(df: DataFrame, jsonCol: String = "value_json"): DataFrame =
     df.withColumn("env", from_json(col(jsonCol), logSchema))
+
+  /** Debezium envelope — the config-table CDC format (ref
+    * RT/app/func/TableProcessFunction.java:78-81, RTT/TestFlinkCDC
+    * .java:44-47): `{before, after, op}` with op ∈ {c,u,d,r} (create/
+    * update/delete/read-snapshot). `before`/`after` carry the
+    * table_process row (RT/bean/TableProcess.java:12-24).
+    */
+  val debeziumSchema: StructType = {
+    val row = StructType(Seq(
+      StructField("source_table", StringType),
+      StructField("sink_table", StringType),
+      StructField("sink_columns", StringType),
+      StructField("sink_pk", StringType)))
+    StructType(Seq(
+      StructField("before", row),
+      StructField("after", row),
+      StructField("op", StringType)))
+  }
+
+  /** Parse a Debezium JSON column through the declared schema (P1). */
+  def parseDebezium(df: DataFrame, jsonCol: String = "value_json"): DataFrame =
+    df.withColumn("env", from_json(col(jsonCol), debeziumSchema))
 }

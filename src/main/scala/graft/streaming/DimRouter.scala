@@ -37,6 +37,37 @@ object DimRouter {
       sinkColumns: Seq[String],
       sinkPk: String = "id")
 
+  /** Fold a Debezium config-CDC history into the live config set (ref
+    * RT/app/func/TableProcessFunction.java:92-115): c/u/r upsert the
+    * `after` image keyed by source_table, d removes the `before` image's
+    * key. Use as DimRouter's `config` callback to replay the reference's
+    * broadcast-state maintenance from a CDC feed.
+    */
+  def configFromDebezium(cdc: DataFrame): Seq[TableConfig] = {
+    val parsed = graft.model.Envelopes.parseDebezium(cdc)
+      .select(col("env.op").as("op"),
+        col("env.before.source_table").as("b_src"),
+        col("env.after.source_table").as("src"),
+        col("env.after.sink_table").as("sink"),
+        col("env.after.sink_columns").as("cols"),
+        col("env.after.sink_pk").as("pk"))
+      .collect() // config stream is tiny by definition (J5 broadcast side)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, TableConfig]
+    parsed.foreach { r =>
+      r.getAs[String]("op") match {
+        case "d" => live.remove(r.getAs[String]("b_src"))
+        case _ =>
+          val src = r.getAs[String]("src")
+          if (src != null) live(src) = TableConfig(
+            src,
+            r.getAs[String]("sink"),
+            Option(r.getAs[String]("cols")).map(_.split(",").toSeq).getOrElse(Seq("id")),
+            Option(r.getAs[String]("pk")).getOrElse("id"))
+      }
+    }
+    live.values.toSeq
+  }
+
   def run(
       cdcJson: DataFrame,
       config: () => Seq[TableConfig],

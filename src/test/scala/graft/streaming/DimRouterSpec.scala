@@ -59,4 +59,26 @@ class DimRouterSpec extends SparkSpec {
     // unconfigured table never materialized (K5 creates only on config)
     assert(!new java.io.File(s"$outDir/dim_ignored_table").exists())
   }
+
+  test("configFromDebezium folds c/u/d ops into the live config set") {
+    import spark.implicits._
+    def dz(op: String, before: String, after: String): String = {
+      val b = if (before == null) "null"
+        else s"""{"source_table":"$before","sink_table":"dim_$before","sink_columns":"id","sink_pk":"id"}"""
+      val a = if (after == null) "null"
+        else s"""{"source_table":"$after","sink_table":"dim_$after","sink_columns":"id,name","sink_pk":"id"}"""
+      s"""{"before":$b,"after":$a,"op":"$op"}"""
+    }
+    val feed = Seq(
+      dz("r", null, "base_dic"),      // snapshot read
+      dz("c", null, "user_info"),     // created
+      dz("u", "base_dic", "base_dic"),// updated (columns refreshed)
+      dz("c", null, "sku_info"),
+      dz("d", "sku_info", null))      // deleted: must drop out
+      .toDF("value_json")
+    val live = DimRouter.configFromDebezium(feed)
+    assert(live.map(_.sourceTable).sorted == Seq("base_dic", "user_info"))
+    assert(live.forall(_.sinkColumns == Seq("id", "name")))
+    assert(live.forall(_.sinkPk == "id"))
+  }
 }

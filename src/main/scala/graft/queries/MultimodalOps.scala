@@ -60,6 +60,40 @@ object MultimodalOps {
     }
   }
 
+  /** Resize stub: recomputes target dimensions preserving aspect ratio and
+    * rescales the byte histogram proportionally — the geometry/metadata
+    * plumbing of a real resampler with the pixel kernel stubbed (no image
+    * libs in this container). Batched like decodeStub.
+    */
+  def resizeStub(ds: Dataset[MediaFeatures], maxDim: Int = 256): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { f =>
+        val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+        val (w, h) = (math.max(1, (f.width * scale).toInt),
+          math.max(1, (f.height * scale).toInt))
+        // STUB kernel: histogram mass rescales with area; a real resizer
+        // would recompute it from resampled pixels here
+        val area = scale * scale
+        f.copy(width = w, height = h,
+          byteHist = f.byteHist.map(c => math.round(c * area)))
+      }
+    }
+  }
+
+  /** Frame-sample stub: deterministic every-k-th frame selection for video
+    * rows (images/audio pass through with their single frame) — returns
+    * (mediaId, frameIndex) pairs, the shape a downstream frame decoder
+    * consumes.
+    */
+  def frameSample(ds: Dataset[MediaFeatures], everyK: Int = 5): Dataset[(Long, Int)] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { f =>
+      if (f.kind == "video") (0 until f.frames by everyK).map(i => (f.mediaId, i))
+      else Seq((f.mediaId, 0))
+    }
+  }
+
   /** Documents replayed as media rows (text bytes standing in for an opaque
     * payload), for specs and the oracle query below.
     */

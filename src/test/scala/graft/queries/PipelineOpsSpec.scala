@@ -70,6 +70,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats.forall(f => Set("image", "audio", "video")(f.kind)))
   }
 
+  test("multimodal resize and frame-sample stubs keep geometry and batch shape") {
+    import spark.implicits._
+    val media = MultimodalOps.mediaFromDocs(spark, sfDir)
+    val feats = MultimodalOps.decodeStub(media)
+    val resized = MultimodalOps.resizeStub(feats, maxDim = 256).collect()
+    assert(resized.nonEmpty)
+    for (f <- resized) {
+      assert(math.max(f.width, f.height) <= 256)
+      assert(f.width >= 1 && f.height >= 1)
+    }
+    val frames = MultimodalOps.frameSample(feats, everyK = 5).collect()
+    val byId = frames.groupBy(_._1)
+    val featById = feats.collect().map(f => f.mediaId -> f).toMap
+    for ((id, fs) <- byId) {
+      val f = featById(id)
+      if (f.kind == "video") {
+        assert(fs.map(_._2).toSeq.sorted == (0 until f.frames by 5).toSeq)
+      } else assert(fs.map(_._2).toSeq == Seq(0))
+    }
+  }
+
   test("q45 embedding near-dup recovers planted near-duplicates (recall)") {
     import spark.implicits._
     import graft.functions.VectorFns.{buckets, cosine}

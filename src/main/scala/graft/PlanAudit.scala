@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val names = if (args.length > 1 && args(1) == "all") Registry.all.map(_.name)
+      else if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q04_fact_join_agg", "q05_snowflake_enrich",
         "q25_cart_add_delta", "q35_ngram_jaccard", "q38_knn_bruteforce")
     val spark = SparkSession.builder()

@@ -68,7 +68,11 @@ object DedupOps {
     Q(
       "q35_ngram_jaccard",
       (s, dir) => {
+        // shuffle 8-byte shingle hashes, not ~40-char strings — set
+        // cardinalities (and so Jaccard) are unchanged; at corpus scale
+        // this divides the blocking join's shuffle volume ~5x
         val g = ngramSet(s, dir)
+          .select(col("doc_id"), xxhash64(col("ng")).as("ng"))
         // df-cap FIRST (count-only aggregate, no collection), so a hot
         // shingle can never materialize an unbounded list or df² pairs.
         val capped = g.join(

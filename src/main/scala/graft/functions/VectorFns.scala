@@ -18,10 +18,32 @@ object VectorFns {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Component d of deterministic hyperplane p: sin(p*131 + d*7919). */
+  /** Embedding dimensionality of the `embeddings` table. */
+  val Dims = 64
+
+  /** Deterministic ±1 component d of hyperplane p: the parity of the first
+    * 8 md5 hex digits of "p:d" — the same hash32 contract as TextFns, so
+    * DuckDB reproduces every component bit-for-bit:
+    *   CASE WHEN CAST(('0x'||substr(md5(p||':'||d),1,8)) AS BIGINT) % 2 = 0
+    *        THEN 1.0 ELSE -1.0 END
+    * (sin()-based planes were NOT oracle-safe: libm vs java.lang.Math sign
+    * bits near zero flake). Precomputed driver-side and embedded as a
+    * literal array — the md5 never runs per row.
+    */
+  private[graft] def planeSigns(p: Int, dims: Int = Dims): Seq[Double] =
+    (0 until dims).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Left-fold dot of vector column v against literal hyperplane p —
+    * identical fold order to DuckDB's list_dot_product(v, planes.s).
+    */
   def planeDot(v: Column, p: Int): Column =
     aggregate(
-      transform(v, (x, i) => x * sin(lit(p * 131).cast("double") + i * 7919)),
+      zip_with(v, typedLit(planeSigns(p)), (x, s) => x * s),
       lit(0.0), (acc, x) => acc + x)
 
   /** L banded bucket ids over `bits` hyperplanes each (sign-bit packing).
@@ -34,4 +56,20 @@ object VectorFns {
         .map(b => when(planeDot(v, t * bits + b) >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as(s"bucket$t")
     }
+
+  /** DuckDB CTE computing the same (plane, signs) table for `tables*bits`
+    * hyperplanes — prepend to any oracle that needs bucket assignment.
+    */
+  def planesCte(tables: Int, bits: Int): String = s"""
+    planes AS (
+      SELECT p, list(CASE WHEN CAST(('0x'||substr(md5(p||':'||d),1,8)) AS BIGINT) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END ORDER BY d) AS s
+      FROM generate_series(0, ${tables * bits - 1}) tp(p),
+           generate_series(0, ${Dims - 1}) td(d)
+      GROUP BY p),
+    bk AS (
+      SELECT vec_id, p // $bits AS t,
+             CAST(SUM(CASE WHEN list_dot_product(v, s) >= 0
+                           THEN (1::BIGINT << (p % $bits)) ELSE 0 END) AS BIGINT) AS bk
+      FROM e, planes GROUP BY vec_id, p // $bits)"""
 }

@@ -196,9 +196,21 @@ object DedupOps {
           .filter(col("sim") >= 0.35)
           .select(col("i"), col("j"), col("sim"))
       },
-      // Approximate candidate generation: no SQL oracle (rows-only);
-      // recall on planted near-duplicates is asserted in PipelineOpsSpec.
-      None,
+      // Hash-parity hyperplanes (VectorFns.planeSigns) make the bucket
+      // assignment DuckDB-replayable — full oracle; recall on planted
+      // near-duplicates additionally asserted in PipelineOpsSpec.
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${graft.functions.VectorFns.planesCte(4, 6)},
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+          FROM bk a JOIN bk b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id),
+        s AS (
+          SELECT i, j,
+                 list_dot_product(ei.v, ej.v) /
+                   (sqrt(list_dot_product(ei.v, ei.v)) * sqrt(list_dot_product(ej.v, ej.v))) AS sim
+          FROM pairs JOIN e ei ON i = ei.vec_id JOIN e ej ON j = ej.vec_id)
+        SELECT i, j, sim FROM s WHERE sim >= 0.35"""),
       "Embedding-cosine near-dup dedup: corpus-wide LSH bucket pairs " +
         "(4 tables x 6 sign bits) -> exact cosine rescore >= threshold; " +
         "never all-pairs (pipeline ops brief)."),
@@ -206,18 +218,27 @@ object DedupOps {
     Q(
       "q48_fuzzy_prefix_match",
       (s, dir) => {
-        // Edit-distance near-dup: block on the first token (cheap equality
-        // key), compare 40-char prefixes with Levenshtein <= 10. Blocking
-        // bounds pair counts by the block size, the same O(df²) guard as
-        // the shingle cap; Levenshtein is the classic fuzzy-match kernel
-        // for titles/URLs in a training-data pipeline.
+        // Edit-distance near-dup: block on (first token, prefix-length
+        // band), compare 40-char prefixes with Levenshtein <= 10. The
+        // composite key plus a df <= 100 frequency cap (the same O(df²)
+        // guard as the shingle cap in q35) means a hot first token ("the")
+        // can never put a large fraction of the corpus in one block — the
+        // length band splits hot tokens across bands first, and anything
+        // still hotter than the cap is dropped outright.
         val d = docs(s, dir).select(
           col("doc_id"),
           split(col("text"), " ").getItem(0).as("tok1"),
           substring(col("text"), 1, 40).as("pre"))
-        d.select(col("doc_id").as("i"), col("tok1"), col("pre").as("pi"))
-          .join(d.select(col("doc_id").as("j"), col("tok1"), col("pre").as("pj")),
-            "tok1")
+          .withColumn("lb", floor(length(col("pre")) / 8))
+        // count-only aggregate (no collection), keys under the cap survive
+        val capped = d.join(
+          d.groupBy("tok1", "lb").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 100).select("tok1", "lb"),
+          Seq("tok1", "lb"))
+        capped.select(col("doc_id").as("i"), col("tok1"), col("lb"),
+            col("pre").as("pi"))
+          .join(capped.select(col("doc_id").as("j"), col("tok1"), col("lb"),
+            col("pre").as("pj")), Seq("tok1", "lb"))
           .filter(col("i") < col("j"))
           // 3-arg banded Levenshtein (Ukkonen cutoff): computes only the
           // |threshold|-band and returns -1 above it — same accepted pairs,
@@ -228,11 +249,15 @@ object DedupOps {
       },
       Some("""
         WITH d AS (SELECT doc_id, string_split(text, ' ')[1] AS tok1,
-                          substr(text, 1, 40) AS pre
-                   FROM documents)
+                          substr(text, 1, 40) AS pre,
+                          length(substr(text, 1, 40)) // 8 AS lb
+                   FROM documents),
+        c AS (SELECT tok1, lb FROM d GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+        dc AS (SELECT d.* FROM d JOIN c USING (tok1, lb))
         SELECT a.doc_id AS i, b.doc_id AS j,
                CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist
-        FROM d a JOIN d b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+        FROM dc a JOIN dc b
+          ON a.tok1 = b.tok1 AND a.lb = b.lb AND a.doc_id < b.doc_id
         WHERE levenshtein(a.pre, b.pre) <= 10"""),
       "Fuzzy near-dup: first-token blocking + prefix Levenshtein <= 10 " +
         "(pipeline ops brief; edit-distance dedup kernel)."),

@@ -69,7 +69,9 @@ object SimilarityOps {
     Q(
       "q39_ann_lsh",
       (s, dir) => {
-        val tables = 4; val bits = 6
+        // L=6 tables x 6 sign bits: recall rises with L (union of tables),
+        // candidate cost stays bounded by bucket width (bits)
+        val tables = 6; val bits = 6
         val base = vecs(s, dir)
         val withBuckets = base.select(
           (col("vec_id") +: col("v") +: buckets(col("v"), tables, bits)): _*)
@@ -93,10 +95,29 @@ object SimilarityOps {
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       },
-      // Approximate operator: no SQL oracle (driver records rows-only);
-      // recall vs q38 is asserted in SimilarityOpsSpec.
-      None,
-      "Banded random-hyperplane LSH ANN: L=4 tables x 6 sign bits, " +
+      // Deterministic hash-parity hyperplanes (VectorFns.planeSigns) make
+      // the bucket assignment — hence the full candidate set — DuckDB-
+      // replayable; recall vs q38 additionally asserted in PipelineOpsSpec.
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${graft.functions.VectorFns.planesCte(6, 6)},
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM bk q JOIN bk c ON q.t = c.t AND q.bk = c.bk
+          WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qe.v, ce.v) /
+                   (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS sim
+          FROM cand JOIN e qe ON query_id = qe.vec_id
+                    JOIN e ce ON neighbor_id = ce.vec_id),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
+        FROM r WHERE rn <= 5"""),
+      "Banded random-hyperplane LSH ANN: L=6 tables x 6 sign bits, " +
         "candidates by bucket-equality join, exact rescoring of candidates " +
         "only (pipeline ops brief; the 100 TB path)."),
 
@@ -137,8 +158,38 @@ object SimilarityOps {
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       },
-      // Approximate operator: rows-only; recall vs q38 in PipelineOpsSpec.
-      None,
+      // Every step (centroid assignment, probing, rescoring) is exact
+      // double math both engines share — full DuckDB oracle; recall vs q38
+      // additionally asserted in PipelineOpsSpec.
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        corp AS (SELECT vec_id AS neighbor_id, v AS nv FROM e WHERE vec_id >= 5),
+        qry  AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        la AS (SELECT neighbor_id, nv, cid,
+                      row_number() OVER (PARTITION BY neighbor_id ORDER BY
+                        list_dot_product(nv, cv) /
+                          (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cid) AS rn
+               FROM corp, cent),
+        lists AS (SELECT neighbor_id, nv, cid FROM la WHERE rn <= 1),
+        pa AS (SELECT query_id, qv, cid,
+                      row_number() OVER (PARTITION BY query_id ORDER BY
+                        list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cid) AS rn
+               FROM qry, cent),
+        probes AS (SELECT query_id, qv, cid FROM pa WHERE rn <= 2),
+        s AS (SELECT query_id, neighbor_id,
+                     list_dot_product(qv, nv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+              FROM probes JOIN lists USING (cid)),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
+        FROM r WHERE rn <= 5"""),
       "IVF ANN: vectors partitioned into inverted lists by nearest " +
         "centroid, queries probe the 2 nearest lists, exact rescoring " +
         "within probed lists (pipeline ops brief; the partition-pruned " +

@@ -3,6 +3,7 @@ package graft.pipelines
 import graft.{Q, Tables}
 import graft.model.Envelopes
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's multi-operator jobs recomposed as pipelines over the
@@ -82,6 +83,76 @@ object Pipelines {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("sku_id"), col("p_name"), col("p_brand"),
         col("order_amount"), col("order_user_ct"), col("order_uu_ct"))
+  }
+
+  /** DwsTradeProvinceOrderWindow (ref RT/app/dws/DwsTradeProvinceOrderWindow
+    * .java:82-201): keep-latest dedup per order-detail key (ST3) → 3 s OOO
+    * watermark → 10 s tumbling window per province → amount sum + EXACT
+    * distinct order-id set (A4, the reference's HashSet-in-bean semantics,
+    * here the typed DistinctSetAgg Aggregator) → broadcast province dim.
+    * The async HBase dim lookup collapses into one broadcast join.
+    */
+  def provinceOrderWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val detail = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id").as("order_id"),
+        Envelopes.kOf(e).as("sku_num"), col("value"))
+    // ST3: one live version per (order_id, sku_num) detail key, latest wins
+    val w = Window.partitionBy(col("order_id"), col("sku_num"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val dedup = detail.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val setCount = udaf(graft.functions.DistinctSetAgg)
+    val windowed = dedup
+      .withColumn("province_id", pmod(col("order_id"), lit(25)))
+      .groupBy(window(col("ts"), "10 seconds"), col("province_id"))
+      .agg(
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("order_amount"),
+        setCount(col("order_id").cast("string")).as("order_count"))
+    val prov = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    windowed
+      .join(broadcast(prov), col("province_id") === col("n_nationkey"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("province_id"), col("n_name").as("province_name"),
+        col("order_amount"), col("order_count"))
+  }
+
+  /** DwdTradePayDetailSuc (ref RT/app/dwd/db/DwdTradePayDetailSuc
+    * .java:26-108): order_detail ⋈ payment_info ⋈ dict lookup. The
+    * reference's 15 min 10 s idle-state retention is the join's real
+    * semantic — a detail row waits a bounded time for its payment — so the
+    * batch rendition carries it as an explicit interval predicate
+    * (pay.ts in [detail.ts, detail.ts + TTL]); the streaming rendition is
+    * the watermarked range join in StreamJoinSpec. TTL scaled 15 min → 24 h
+    * because the events replay dilates one business day over ~30 days.
+    */
+  def payDetailSuc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val detail = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("detail_id"), col("user_id").as("order_id"),
+        Envelopes.kOf(e).as("sku_num"), col("ts").as("od_ts"),
+        col("value").cast("decimal(18,2)").as("split_payment_amount"))
+    // payment success callbacks: every click within the TTL of the detail
+    // row (the reference joins every payment_info row — no dedup)
+    val clicks = e.filter(col("event_type") === "click")
+    val payment = clicks
+      .select(col("user_id").as("pay_order_id"), col("ts").as("callback_time"),
+        pmod(Envelopes.kOf(clicks), lit(25)).as("payment_type"))
+    val dic = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("dic_code"), col("n_name").as("payment_type_name"))
+    detail
+      .join(payment,
+        col("order_id") === col("pay_order_id") &&
+          col("callback_time") >= col("od_ts") &&
+          col("callback_time") <= col("od_ts") + expr("INTERVAL 24 HOURS"))
+      .join(broadcast(dic), col("payment_type") === col("dic_code"))
+      .select(col("detail_id"), col("order_id"), col("sku_num"),
+        col("payment_type_name"),
+        date_format(col("callback_time"), "yyyy-MM-dd HH:mm:ss").as("callback_time"),
+        col("split_payment_amount").cast("double").as("split_payment_amount"))
   }
 
   val all: Seq[Q] = Seq(
@@ -188,5 +259,60 @@ object Pipelines {
         GROUP BY 1, 2"""),
       "Pipeline: DwdTradeRefundPaySuc — composite-key fact join (J8) plus " +
         "the double dict-lookup join with two roles (J3, ref " +
-        "RT/app/dwd/db/DwdTradeRefundPaySuc.java:97-107)."))
+        "RT/app/dwd/db/DwdTradeRefundPaySuc.java:97-107)."),
+
+    Q(
+      "q54_dws_province_order_window",
+      provinceOrderWindow,
+      Some("""
+        WITH o AS (
+          SELECT event_id, user_id AS order_id, value, CAST(ts AS TIMESTAMP) AS ts,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS sku_num
+          FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT *, row_number() OVER (PARTITION BY order_id, sku_num
+                    ORDER BY ts DESC, event_id DESC) AS rn
+              FROM o),
+        dd AS (SELECT * FROM d WHERE rn = 1),
+        w AS (SELECT time_bucket(INTERVAL '10 seconds', ts) AS ws,
+                     order_id % 25 AS province_id,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+                     COUNT(DISTINCT order_id) AS order_count
+              FROM dd GROUP BY 1, 2)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(ws + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+               province_id, n.n_name AS province_name,
+               order_amount, order_count
+        FROM w JOIN nation n ON w.province_id = n.n_nationkey"""),
+      "Pipeline: DwsTradeProvinceOrderWindow — ST3 keep-latest dedup -> " +
+        "10 s window per province -> amount sum + exact distinct order set " +
+        "(A4 typed Aggregator) -> broadcast province dim " +
+        "(ref RT/app/dws/DwsTradeProvinceOrderWindow.java:82-201)."),
+
+    Q(
+      "q55_pay_detail_suc",
+      payDetailSuc,
+      Some("""
+        WITH k AS (SELECT event_id, user_id, event_type, value,
+                          CAST(ts AS TIMESTAMP) AS ts,
+                          CAST(json_extract_string(props, '$.k') AS INT) AS k
+                   FROM events),
+        detail AS (SELECT event_id AS detail_id, user_id AS order_id,
+                          k AS sku_num, ts AS od_ts,
+                          CAST(value AS DECIMAL(18,2)) AS amount
+                   FROM k WHERE event_type = 'purchase'),
+        pay AS (SELECT user_id AS pay_order_id, ts AS callback_time,
+                       k % 25 AS payment_type
+                FROM k WHERE event_type = 'click')
+        SELECT d.detail_id, d.order_id, d.sku_num,
+               n.n_name AS payment_type_name,
+               strftime(p.callback_time, '%Y-%m-%d %H:%M:%S') AS callback_time,
+               CAST(d.amount AS DOUBLE) AS split_payment_amount
+        FROM detail d
+        JOIN pay p ON d.order_id = p.pay_order_id
+                  AND p.callback_time >= d.od_ts
+                  AND p.callback_time <= d.od_ts + INTERVAL 24 HOUR
+        JOIN nation n ON p.payment_type = n.n_nationkey"""),
+      "Pipeline: DwdTradePayDetailSuc — order_detail x payment-success x " +
+        "dict lookup with the 15 min idle-TTL as an explicit interval " +
+        "predicate (ref RT/app/dwd/db/DwdTradePayDetailSuc.java:26-108)."))
 }

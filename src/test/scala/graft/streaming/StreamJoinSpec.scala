@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   */
 case class OrderInfo(orderId: Long, userId: String, oTs: Timestamp)
 case class OrderDetail(detailId: Long, orderId2: Long, amount: Double, dTs: Timestamp)
+case class PayInfo(payOrderId: Long, paymentType: Int, cbTs: Timestamp)
 
 class StreamJoinSpec extends SparkSpec {
 
@@ -76,5 +77,40 @@ class StreamJoinSpec extends SparkSpec {
       .toSeq.sortBy(_._1)
     assert(rows.contains((1L, Some(9.5))))
     assert(rows.contains((2L, None)), s"unmatched left not emitted: $rows")
+  }
+
+  test("q55 pay-detail-suc streaming: 15 min 10 s TTL as watermark range join " +
+    "+ dict lookup (ref RT/app/dwd/db/DwdTradePayDetailSuc.java:26-108)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val details = MemoryStream[OrderDetail]
+    val pays = MemoryStream[PayInfo]
+    val dic = Seq((0, "cash"), (1, "card")).toDF("dic_code", "payment_type_name")
+    // the reference's setIdleStateRetention(15 min 10 s) IS this pair of
+    // watermarks + the range condition: a detail row's join state is
+    // droppable once the payment watermark passes od_ts + TTL
+    val joined = details.toDS().withWatermark("dTs", "10 seconds")
+      .join(
+        pays.toDS().withWatermark("cbTs", "10 seconds"),
+        expr("orderId2 = payOrderId AND " +
+          "cbTs BETWEEN dTs AND dTs + INTERVAL 15 MINUTES 10 SECONDS"))
+      .join(broadcast(dic), col("paymentType") === col("dic_code"))
+      .select($"detailId", $"payOrderId", $"payment_type_name", $"amount")
+    val q = joined.writeStream.format("memory").queryName("q55_out")
+      .outputMode("append").start()
+    try {
+      details.addData(Seq(
+        OrderDetail(11, 1, 9.5, ts(1000)),
+        OrderDetail(12, 2, 3.0, ts(1000))))
+      q.processAllAvailable()
+      // order 1 pays inside the TTL -> joins; order 2 pays after it -> dropped
+      pays.addData(Seq(
+        PayInfo(1, 0, ts(1000 + 900)),
+        PayInfo(2, 1, ts(1000 + 911))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("q55_out")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(rows == Seq((11L, 1L, "cash", 9.5)), s"got $rows")
   }
 }

@@ -151,7 +151,9 @@ object Envelopes {
     StructType(Seq(
       StructField("before", row),
       StructField("after", row),
-      StructField("op", StringType)))
+      StructField("op", StringType),
+      StructField("ts_ms", LongType))) // Debezium source event stamp — the
+      // fold order; row order off the wire is NOT guaranteed
   }
 
   /** Parse a Debezium JSON column through the declared schema (P1). */

@@ -35,8 +35,57 @@ final case class MediaFeatures(
   */
 object MultimodalOps {
 
-  /** Batched executor-side "decoder". The body marked STUB is where a real
-    * libjpeg/ffmpeg call would go; everything around it (partition-local
+  /** Real container-header dimension parsing — pure JVM, no codec jars.
+    * Recognizes PNG (IHDR), GIF (logical screen descriptor), and JPEG
+    * (first SOF0–SOF3/SOF5–SOF7/SOF9–SOF11/SOF13–SOF15 frame header).
+    * Returns None for payloads that are not one of the three containers
+    * (e.g. the documents table's text bytes), letting callers fall back.
+    */
+  def parseDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length >= 24 &&
+      b.startsWith(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)) &&
+      new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+      // PNG: 8-byte signature, 4-byte chunk len, "IHDR", then w/h as BE u32
+      Some((be32(16).toInt, be32(20).toInt))
+    else if (b.length >= 10 &&
+      (b.startsWith("GIF87a".getBytes("US-ASCII")) ||
+        b.startsWith("GIF89a".getBytes("US-ASCII"))))
+      // GIF: 6-byte version, then logical screen w/h as LE u16
+      Some((le16(6), le16(8)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk FF-marker segments to the first start-of-frame; height
+      // then width as BE u16 after the SOF's length+precision bytes
+      var i = 2
+      while (i + 3 < b.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker == 0xff) { i += 1 } // fill byte
+        else if (marker >= 0xd0 && marker <= 0xd9) { i += 2 } // standalone
+        else {
+          val segLen = be16(i + 2)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (i + 8 < b.length) return Some((be16(i + 7), be16(i + 5)))
+            else return None
+          }
+          if (segLen < 2) return None
+          i += 2 + segLen
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Batched executor-side decoder. Container headers (PNG/GIF/JPEG) are
+    * parsed for real by `parseDims`; payloads that are not a recognized
+    * container (the documents replay is text bytes) fall back to the
+    * deterministic STUB derivation, which is where a full pixel decode
+    * (libjpeg/ffmpeg) would go. Everything around it (partition-local
     * batching, typed schema in/out, no driver involvement) is the real
     * production shape.
     */
@@ -46,10 +95,10 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val n = r.content.length
-          // STUB decode: deterministic fake dimensions derived from the
-          // payload; a real decoder would parse the container header here.
-          val width = 320 + n % 640
-          val height = 240 + n % 480
+          val (width, height) = parseDims(r.content).getOrElse(
+            // STUB decode fallback: deterministic fake dimensions from the
+            // payload length (non-container payloads only)
+            (320 + n % 640, 240 + n % 480))
           val frames = if (r.kind == "video") 1 + n % 30 else 1
           val hist = new Array[Long](4)
           var i = 0

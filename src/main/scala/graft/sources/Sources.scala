@@ -23,12 +23,16 @@ object Sources {
     */
   def fileStream(spark: SparkSession, dir: String, table: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    // stream the table path itself (works for a single file AND a
+    // directory-backed table dir/table.parquet/part-*.parquet; a
+    // pathGlobFilter on the parent would match only leaf file names and
+    // silently stream zero rows for the directory layout)
+    val path = s"$dir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .option("pathGlobFilter", s"$table.parquet")
-      .parquet(dir)
+      .parquet(path)
   }
 
   /** K6 dirty-data side output: split a JSON-string column into (clean,

@@ -44,14 +44,25 @@ object DimRouter {
     * broadcast-state maintenance from a CDC feed.
     */
   def configFromDebezium(cdc: DataFrame): Seq[TableConfig] = {
-    val parsed = graft.model.Envelopes.parseDebezium(cdc)
+    val parsed = graft.model.Envelopes.parseDebezium(
+      // ingest_seq is assigned BEFORE any shuffle: per-partition arrival
+      // order, the Kafka-offset analog (order across partitions carries no
+      // meaning on the wire either)
+      cdc.withColumn("ingest_seq", monotonically_increasing_id()))
       .select(col("env.op").as("op"),
         col("env.before.source_table").as("b_src"),
         col("env.after.source_table").as("src"),
         col("env.after.sink_table").as("sink"),
         col("env.after.sink_columns").as("cols"),
-        col("env.after.sink_pk").as("pk"))
+        col("env.after.sink_pk").as("pk"),
+        col("env.ts_ms").as("ts_ms"),
+        col("ingest_seq"))
       .collect() // config stream is tiny by definition (J5 broadcast side)
+      // DataFrame row order is NOT collection order: fold strictly by the
+      // Debezium event stamp, then ingest order — a delete can otherwise be
+      // applied before the create it tombstones
+      .sortBy(r => (Option(r.getAs[java.lang.Long]("ts_ms")).map(_.toLong).getOrElse(0L),
+        r.getAs[Long]("ingest_seq")))
     val live = scala.collection.mutable.LinkedHashMap.empty[String, TableConfig]
     parsed.foreach { r =>
       r.getAs[String]("op") match {
@@ -92,6 +103,11 @@ object DimRouter {
         col("env.type").isin("insert", "update", "bootstrap-insert"))
       // F5/F6: processing-time stamps, fixed per microbatch
       .withColumn("row_op_ts", current_timestamp())
+      // deterministic within-batch arrival order: the envelope's source
+      // stamp, then per-partition ingest sequence (row_op_ts alone ties for
+      // every record of the same microbatch)
+      .withColumn("src_ts", col("env.ts").cast("long"))
+      .withColumn("src_seq", monotonically_increasing_id())
       .cache()
     try {
       for (cfg <- cfgs) {
@@ -99,28 +115,55 @@ object DimRouter {
         val rows = clean
           .filter(col("env.table") === cfg.sourceTable)
           .select(cols.map(c =>
-            element_at(col("env.data"), c).as(c)) :+ col("row_op_ts"): _*)
+            element_at(col("env.data"), c).as(c))
+            ++ Seq(col("row_op_ts"), col("src_ts"), col("src_seq")): _*)
         if (!rows.isEmpty) upsert(spark, rows, s"$outDir/${cfg.sinkTable}", cfg.sinkPk)
       }
     } finally clean.unpersist()
   }
 
-  /** K4: keep-latest-by-pk MERGE into a parquet dim table, atomic via
-    * tmp-write + directory swap (the Delta-less upsert documented in
-    * SURVEY §7.1).
+  /** Bucket count for the pk-hash dim layout. Dims are config-listed lookup
+    * tables (small), so 16 buckets bounds per-batch rewrite work without
+    * producing a long tail of tiny files.
+    */
+  val NumBuckets = 16
+
+  /** K4: keep-latest-by-pk MERGE into a pk-hash-bucketed parquet dim table
+    * (`dir/pkb=N/` partition layout — `spark.read.parquet(dir)` sees the
+    * whole dim). Only buckets containing batch keys are read, merged, and
+    * atomically swapped (tmp-write + rename per bucket), so per-batch I/O is
+    * O(touched buckets), not O(table) — the Delta-less incremental upsert
+    * documented in SURVEY §7.1.
+    *
+    * Keep-latest order: row_op_ts (microbatch stamp), then the envelope's
+    * source ts, then ingest sequence — two versions of a pk arriving in ONE
+    * microbatch resolve by stream order, not arbitrarily.
     */
   private def upsert(spark: SparkSession, rows: DataFrame, dir: String, pk: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(dir)
-    val merged =
-      if (fs.exists(target)) spark.read.parquet(dir).unionByName(rows) else rows
-    val w = Window.partitionBy(col(pk)).orderBy(col("row_op_ts").desc)
-    val latest = merged
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-    val tmp = new Path(dir + ".tmp")
-    latest.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    val rowsB = rows.withColumn("pkb",
+      pmod(xxhash64(col(pk)), lit(NumBuckets)).cast("int")).cache()
+    try {
+      val touched = rowsB.select("pkb").distinct().collect().map(_.getInt(0)).sorted
+      for (b <- touched) {
+        val bucket = new Path(s"$dir/pkb=$b")
+        val batchRows = rowsB.filter(col("pkb") === b).drop("pkb")
+        val merged =
+          if (fs.exists(bucket))
+            spark.read.parquet(bucket.toString)
+              .unionByName(batchRows, allowMissingColumns = true)
+          else batchRows
+        val w = Window.partitionBy(col(pk)).orderBy(
+          col("row_op_ts").desc, col("src_ts").desc_nulls_last,
+          col("src_seq").desc_nulls_last)
+        val latest = merged
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val tmp = new Path(s"$dir/.pkb_$b.tmp")
+        latest.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (fs.exists(bucket)) fs.delete(bucket, true)
+        fs.rename(tmp, bucket)
+      }
+    } finally rowsB.unpersist()
   }
 }

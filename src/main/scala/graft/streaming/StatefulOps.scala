@@ -57,51 +57,94 @@ object StatefulOps {
   private def yesterday(t: Timestamp): String =
     Instant.ofEpochMilli(t.getTime).atZone(ZoneOffset.UTC).toLocalDate.minusDays(1).toString
 
+  // ------------------------------------------------------------------ W8 TTL
+  // Idle-state retention for the date-comparison operators: state is
+  // droppable once the watermark passes `ttlDays` beyond the END of the
+  // key's last-active day (the analog of Flink's setIdleStateRetention).
+  // For the first-of-day family this provably cannot change output when
+  // ttlDays >= 1: state is only consulted by events whose date <= the state
+  // date, and any event arriving after the timeout fired has event time
+  // above the watermark — hence a strictly later date. For ST1 (first-visit
+  // repair) and ST6 (8-day-back) the state is semantically load-bearing
+  // forever, so their default stays None (keep-forever) and a TTL is an
+  // explicit opt-in trade-off (devices/users idle beyond it read as new).
+
+  private def endOfDayMs(d: String): Long =
+    java.time.LocalDate.parse(d).plusDays(1)
+      .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+
+  private def timeoutConf(ttlDays: Option[Int]): GroupStateTimeout =
+    if (ttlDays.isDefined) GroupStateTimeout.EventTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** EventTimeTimeout needs a watermark upstream; 0 s keeps in-order
+    * fixtures and batch-replay semantics unchanged.
+    */
+  private def withTtlWatermark[T](ds: Dataset[T], ttlDays: Option[Int]): Dataset[T] =
+    if (ttlDays.isDefined) ds.withWatermark("ts", "0 seconds") else ds
+
+  private def armIdleTtl[S](
+      state: GroupState[S], lastActive: Option[Timestamp], ttlDays: Option[Int]): Unit =
+    for (t <- ttlDays; ts <- lastActive)
+      state.setTimeoutTimestamp(endOfDayMs(day(ts)) + (t - 1).toLong * 86400000L)
+
   /** ST1 — new/returning-visitor repair (ref
     * RT/app/dwd/log/DwdTrafficBaseLogSplit.java:102-145). Key = mid, state =
     * first-visit date. An `isNew=1` record on a later date than first visit is
     * rewritten to 0; an `isNew=0` record with no state backfills "yesterday"
     * so the device is never misclassified as new.
     */
-  def newVisitorRepair(ds: Dataset[PageView]): Dataset[PageView] = {
+  def newVisitorRepair(
+      ds: Dataset[PageView], ttlDays: Option[Int] = None): Dataset[PageView] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.mid)
+    withTtlWatermark(ds, ttlDays).groupByKey(_.mid)
       .flatMapGroupsWithState[String, PageView](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttlDays)) {
         (_: String, events: Iterator[PageView], state: GroupState[String]) =>
-          var firstDate = state.getOption
-          val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
-            val d = day(e.ts)
-            (e.isNew, firstDate) match {
-              case (1, Some(fd)) if fd != d => e.copy(isNew = 0)
-              case (1, None)                => firstDate = Some(d); e
-              case (1, _)                   => e
-              case (_, None)                => firstDate = Some(yesterday(e.ts)); e
-              case _                        => e
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var firstDate = state.getOption
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            val out = sorted.map { e =>
+              val d = day(e.ts)
+              (e.isNew, firstDate) match {
+                case (1, Some(fd)) if fd != d => e.copy(isNew = 0)
+                case (1, None)                => firstDate = Some(d); e
+                case (1, _)                   => e
+                case (_, None)                => firstDate = Some(yesterday(e.ts)); e
+                case _                        => e
+              }
             }
+            firstDate.foreach(state.update)
+            armIdleTtl(state, sorted.lastOption.map(_.ts), ttlDays)
+            out.iterator
           }
-          firstDate.foreach(state.update)
-          out.iterator
       }
   }
 
   /** Generic "first event of the key's day passes" dedup: state = last seen
     * date per key, a record passes iff its date differs from the state.
     */
-  def firstOfDay[T: Encoder](ds: Dataset[T])(key: T => String, ts: T => Timestamp): Dataset[T] = {
+  def firstOfDay[T: Encoder](ds: Dataset[T], ttlDays: Option[Int] = None)(
+      key: T => String, ts: T => Timestamp): Dataset[T] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(key)
+    withTtlWatermark(ds, ttlDays).groupByKey(key)
       .flatMapGroupsWithState[String, T](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttlDays)) {
         (_: String, events: Iterator[T], state: GroupState[String]) =>
-          var last = state.getOption
-          val out = Seq.newBuilder[T]
-          for (e <- events.toSeq.sortBy(e => ts(e).getTime)) {
-            val d = day(ts(e))
-            if (!last.contains(d)) { out += e; last = Some(d) }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption
+            val out = Seq.newBuilder[T]
+            val sorted = events.toSeq.sortBy(e => ts(e).getTime)
+            for (e <- sorted) {
+              val d = day(ts(e))
+              if (!last.contains(d)) { out += e; last = Some(d) }
+            }
+            last.foreach(state.update)
+            armIdleTtl(state, sorted.lastOption.map(ts), ttlDays)
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 
@@ -109,38 +152,44 @@ object StatefulOps {
     * RT/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:51-88): only
     * session-start records (empty lastPageId), first per mid per day.
     */
-  def dailyUv(ds: Dataset[PageView]): Dataset[PageView] = {
+  def dailyUv(ds: Dataset[PageView], ttlDays: Option[Int] = None): Dataset[PageView] = {
     import ds.sparkSession.implicits._
-    firstOfDay(ds.filter((p: PageView) => p.lastPageId.isEmpty))(_.mid, _.ts)
+    firstOfDay(ds.filter((p: PageView) => p.lastPageId.isEmpty), ttlDays)(_.mid, _.ts)
   }
 
   /** ST7 — cart-add unique user per day (ref
     * RT/app/dws/DwsTradeCartAddUuWindow.java:76-98).
     */
-  def cartAddUu(ds: Dataset[UserAction]): Dataset[UserAction] = {
+  def cartAddUu(ds: Dataset[UserAction], ttlDays: Option[Int] = None): Dataset[UserAction] = {
     import ds.sparkSession.implicits._
-    firstOfDay(ds)(_.userId, _.ts)
+    firstOfDay(ds, ttlDays)(_.userId, _.ts)
   }
 
   /** ST4 — daily first-order-per-user flag (ref
     * RT/app/dws/DwsTradeSkuOrderWindow.java:188-214): always emits, orderUu=1
     * on the user's first order of the day.
     */
-  def firstOrderOfDay(ds: Dataset[OrderEvt]): Dataset[OrderFlagged] = {
+  def firstOrderOfDay(
+      ds: Dataset[OrderEvt], ttlDays: Option[Int] = None): Dataset[OrderFlagged] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.userId)
+    withTtlWatermark(ds, ttlDays).groupByKey(_.userId)
       .flatMapGroupsWithState[String, OrderFlagged](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttlDays)) {
         (_: String, events: Iterator[OrderEvt], state: GroupState[String]) =>
-          var last = state.getOption
-          val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
-            val d = day(e.ts)
-            val flag = if (last.contains(d)) 0 else 1
-            if (flag == 1) last = Some(d)
-            OrderFlagged(e.userId, e.amount, flag, e.ts)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            val out = sorted.map { e =>
+              val d = day(e.ts)
+              val flag = if (last.contains(d)) 0 else 1
+              if (flag == 1) last = Some(d)
+              OrderFlagged(e.userId, e.amount, flag, e.ts)
+            }
+            last.foreach(state.update)
+            armIdleTtl(state, sorted.lastOption.map(_.ts), ttlDays)
+            out.iterator
           }
-          last.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -151,29 +200,37 @@ object StatefulOps {
     * RT/app/dws/DwsTrafficHomeDetailPageViewWindow.java:88-141): emits a
     * record only when at least one flag fires.
     */
-  def homeDetailUv(ds: Dataset[PageView]): Dataset[HomeDetailFlags] = {
+  def homeDetailUv(
+      ds: Dataset[PageView], ttlDays: Option[Int] = None): Dataset[HomeDetailFlags] = {
     import ds.sparkSession.implicits._
-    ds.filter((p: PageView) => p.pageId == "home" || p.pageId == "good_detail")
+    withTtlWatermark(
+      ds.filter((p: PageView) => p.pageId == "home" || p.pageId == "good_detail"),
+      ttlDays)
       .groupByKey(_.mid)
       .flatMapGroupsWithState[HomeDetailState, HomeDetailFlags](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttlDays)) {
         (mid: String, events: Iterator[PageView], state: GroupState[HomeDetailState]) =>
-          var st = state.getOption.getOrElse(HomeDetailState(None, None))
-          val out = Seq.newBuilder[HomeDetailFlags]
-          for (e <- events.toSeq.sortBy(_.ts.getTime)) {
-            val d = day(e.ts)
-            var (homeUv, detailUv) = (0, 0)
-            if (e.pageId == "home" && !st.home.contains(d)) {
-              homeUv = 1; st = st.copy(home = Some(d))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(HomeDetailState(None, None))
+            val out = Seq.newBuilder[HomeDetailFlags]
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            for (e <- sorted) {
+              val d = day(e.ts)
+              var (homeUv, detailUv) = (0, 0)
+              if (e.pageId == "home" && !st.home.contains(d)) {
+                homeUv = 1; st = st.copy(home = Some(d))
+              }
+              if (e.pageId == "good_detail" && !st.detail.contains(d)) {
+                detailUv = 1; st = st.copy(detail = Some(d))
+              }
+              if (homeUv == 1 || detailUv == 1)
+                out += HomeDetailFlags(mid, homeUv, detailUv, e.ts)
             }
-            if (e.pageId == "good_detail" && !st.detail.contains(d)) {
-              detailUv = 1; st = st.copy(detail = Some(d))
-            }
-            if (homeUv == 1 || detailUv == 1)
-              out += HomeDetailFlags(mid, homeUv, detailUv, e.ts)
+            state.update(st)
+            armIdleTtl(state, sorted.lastOption.map(_.ts), ttlDays)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 
@@ -182,28 +239,34 @@ object StatefulOps {
     * user per active day; back=1 when the gap from the previous active day is
     * >= 8 days ((ts - lastTs) / 86400000 >= 8 in the reference).
     */
-  def loginUuBack(ds: Dataset[UserAction]): Dataset[LoginFlags] = {
+  def loginUuBack(
+      ds: Dataset[UserAction], ttlDays: Option[Int] = None): Dataset[LoginFlags] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.userId)
+    withTtlWatermark(ds, ttlDays).groupByKey(_.userId)
       .flatMapGroupsWithState[String, LoginFlags](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttlDays)) {
         (uid: String, events: Iterator[UserAction], state: GroupState[String]) =>
-          var last = state.getOption
-          val out = Seq.newBuilder[LoginFlags]
-          for (e <- events.toSeq.sortBy(_.ts.getTime)) {
-            val d = day(e.ts)
-            if (!last.contains(d)) {
-              val back = last match {
-                case Some(prev) if ChronoUnit.DAYS.between(
-                  java.time.LocalDate.parse(prev), java.time.LocalDate.parse(d)) >= 8 => 1
-                case _ => 0
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption
+            val out = Seq.newBuilder[LoginFlags]
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            for (e <- sorted) {
+              val d = day(e.ts)
+              if (!last.contains(d)) {
+                val back = last match {
+                  case Some(prev) if ChronoUnit.DAYS.between(
+                    java.time.LocalDate.parse(prev), java.time.LocalDate.parse(d)) >= 8 => 1
+                  case _ => 0
+                }
+                out += LoginFlags(uid, 1, back, e.ts)
+                last = Some(d)
               }
-              out += LoginFlags(uid, 1, back, e.ts)
-              last = Some(d)
             }
+            last.foreach(state.update)
+            armIdleTtl(state, sorted.lastOption.map(_.ts), ttlDays)
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 

@@ -70,6 +70,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats.forall(f => Set("image", "audio", "video")(f.kind)))
   }
 
+  test("multimodal decode parses real PNG/GIF/JPEG header dimensions") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+        Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+          (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+          8.toByte, 6.toByte, 0.toByte, 0.toByte, 0.toByte)
+      sig ++ ihdr
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array((w & 0xff).toByte, (w >> 8).toByte,
+          (h & 0xff).toByte, (h >> 8).toByte, 0.toByte, 0.toByte, 0.toByte)
+    def jpeg(w: Int, h: Int): Array[Byte] =
+      Array(0xff, 0xd8,                 // SOI
+        0xff, 0xe0, 0x00, 0x04, 0, 0,   // APP0 segment (len 4)
+        0xff, 0xc0, 0x00, 0x11, 8,      // SOF0, len 17, precision 8
+        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+        3, 0, 0, 0).map(_.toByte)
+    assert(MultimodalOps.parseDims(png(640, 480)).contains((640, 480)))
+    assert(MultimodalOps.parseDims(gif(1024, 37)).contains((1024, 37)))
+    assert(MultimodalOps.parseDims(jpeg(1920, 1080)).contains((1920, 1080)))
+    assert(MultimodalOps.parseDims("plain text".getBytes).isEmpty)
+    assert(MultimodalOps.parseDims(Array[Byte]()).isEmpty)
+    // and through the batched Dataset decoder
+    val rows = Seq(
+      MediaRow(1L, "image", png(800, 600), Map("fmt" -> "png")),
+      MediaRow(2L, "image", gif(320, 200), Map("fmt" -> "gif")),
+      MediaRow(3L, "image", jpeg(256, 128), Map("fmt" -> "jpeg")),
+      MediaRow(4L, "audio", "not a container".getBytes, Map.empty[String, String]))
+    val feats = MultimodalOps.decodeStub(rows.toDS(), batchSize = 2)
+      .collect().map(f => f.mediaId -> f).toMap
+    assert((feats(1L).width, feats(1L).height) == (800, 600))
+    assert((feats(2L).width, feats(2L).height) == (320, 200))
+    assert((feats(3L).width, feats(3L).height) == (256, 128))
+    // non-container payload falls back to the deterministic stub
+    val n4 = feats(4L).byteLen
+    assert((feats(4L).width, feats(4L).height) == (320 + n4 % 640, 240 + n4 % 480))
+  }
+
   test("multimodal resize and frame-sample stubs keep geometry and batch shape") {
     import spark.implicits._
     val media = MultimodalOps.mediaFromDocs(spark, sfDir)

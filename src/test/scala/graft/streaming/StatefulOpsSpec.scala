@@ -68,7 +68,7 @@ class StatefulOpsSpec extends SparkSpec {
       Seq(
         PageView("a", "home", None, 1, ts(40)),          // same day: dropped
         PageView("a", "home", None, 1, ts(86400 + 5)))   // next day: passes
-    ))(StatefulOps.dailyUv)
+    ))(ds => StatefulOps.dailyUv(ds))
     assert(out.map(p => (p.mid, p.ts.getTime / 1000)).sorted ==
       Seq(("a", 10L), ("a", 86405L), ("b", 30L)))
   }
@@ -80,7 +80,7 @@ class StatefulOpsSpec extends SparkSpec {
     } yield PageView(mid, "home", if (k % 2 == 0) None else Some("x"), 1,
       ts(d * 86400L + k * 100L + mid.hashCode.abs % 50))
     val (b1, b2) = fixture.splitAt(fixture.size / 2)
-    val streaming = runStream(Seq(b1, b2))(StatefulOps.dailyUv)
+    val streaming = runStream(Seq(b1, b2))(ds => StatefulOps.dailyUv(ds))
       .map(p => (p.mid, p.ts.getTime)).sorted
     // batch oracle: first session-start per (mid, day)
     val batch = fixture.filter(_.lastPageId.isEmpty)
@@ -94,7 +94,7 @@ class StatefulOpsSpec extends SparkSpec {
     val out = runStream(Seq(
       Seq(OrderEvt("u1", 10.0, ts(5)), OrderEvt("u1", 20.0, ts(50))),
       Seq(OrderEvt("u1", 30.0, ts(86400 + 3)), OrderEvt("u2", 5.0, ts(86400 + 9)))
-    ))(StatefulOps.firstOrderOfDay)
+    ))(ds => StatefulOps.firstOrderOfDay(ds))
     assert(out.sortBy(o => (o.userId, o.ts.getTime)).map(o => (o.userId, o.orderUu)) ==
       Seq(("u1", 1), ("u1", 0), ("u1", 1), ("u2", 1)))
   }
@@ -109,7 +109,7 @@ class StatefulOpsSpec extends SparkSpec {
         PageView("a", "cart", Some("home"), 1, ts(40)) // filtered page
       ),
       Seq(PageView("a", "home", None, 1, ts(86400 + 1))) // next day: fires again
-    ))(StatefulOps.homeDetailUv)
+    ))(ds => StatefulOps.homeDetailUv(ds))
     assert(out.sortBy(_.ts.getTime).map(f => (f.homeUv, f.detailUv)) ==
       Seq((1, 0), (0, 1), (1, 0)))
   }
@@ -121,7 +121,7 @@ class StatefulOpsSpec extends SparkSpec {
       Seq(UserAction("u", ts(0)), UserAction("u", ts(100))), // same day
       Seq(UserAction("u", ts(3 * day))),                     // gap 3 < 8
       Seq(UserAction("u", ts(12 * day)))                     // gap 9 >= 8
-    ))(StatefulOps.loginUuBack)
+    ))(ds => StatefulOps.loginUuBack(ds))
     assert(out.sortBy(_.ts.getTime).map(f => (f.uu, f.back)) ==
       Seq((1, 0), (1, 0), (1, 1)))
   }
@@ -131,10 +131,90 @@ class StatefulOpsSpec extends SparkSpec {
     val fixture = for (u <- 1 to 5; k <- 0 to 9)
       yield UserAction(s"u$u", ts((k % 3) * 86400L + k * 7L))
     val grouped = fixture.sortBy(_.ts.getTime).grouped(17).toSeq
-    val streaming = runStream(grouped)(StatefulOps.cartAddUu)
+    val streaming = runStream(grouped)(ds => StatefulOps.cartAddUu(ds))
       .map(a => (a.userId, a.ts.getTime / 86400000L)).sorted
     val batch = fixture.map(a => (a.userId, a.ts.getTime / 86400000L)).distinct.sorted
     assert(streaming == batch)
+  }
+
+  // ------------------------------------------------------------- W8 idle TTL
+  // Each case runs the same micro-batches twice — with the idle-state TTL on
+  // and off — and asserts identical emitted output even though the TTL run
+  // provably dropped state in between (the watermark-advancing batches push
+  // past the armed timeouts; timeouts fire at the start of the next batch).
+
+  test("W8 TTL: dailyUv idle-state timeout does not change emitted output") {
+    import spark.implicits._
+    val day = 86400L
+    val batches = Seq(
+      Seq(PageView("a", "home", None, 1, ts(day + 10)),
+        PageView("b", "home", None, 1, ts(day + 20))),
+      // two watermark pushes to ~day 5: day-1 state passes its TTL and drops
+      Seq(PageView("w1", "home", None, 1, ts(5 * day))),
+      Seq(PageView("w2", "home", None, 1, ts(5 * day + 10))),
+      // day 6: "a" re-appears after its state was dropped — new day, emits
+      Seq(PageView("a", "home", None, 1, ts(6 * day + 30)),
+        PageView("a", "home", None, 1, ts(6 * day + 40)))) // same-day dup
+    def run(ttl: Option[Int]) =
+      runStream(batches)(ds => StatefulOps.dailyUv(ds, ttl))
+        .map(p => (p.mid, p.ts.getTime / 1000)).sorted
+    val withTtl = run(Some(1))
+    assert(withTtl == run(None))
+    assert(withTtl.filter(_._1 == "a").map(_._2) == Seq(day + 10, 6 * day + 30))
+  }
+
+  test("W8 TTL: firstOrderOfDay timeout cleanup does not change flags") {
+    import spark.implicits._
+    val day = 86400L
+    val batches = Seq(
+      Seq(OrderEvt("u1", 10.0, ts(day + 5)), OrderEvt("u1", 20.0, ts(day + 50))),
+      Seq(OrderEvt("zw", 0.0, ts(5 * day))),
+      Seq(OrderEvt("zw", 0.0, ts(5 * day + 10))),
+      Seq(OrderEvt("u1", 30.0, ts(6 * day + 3)), OrderEvt("u1", 40.0, ts(6 * day + 9))))
+    def run(ttl: Option[Int]) =
+      runStream(batches)(ds => StatefulOps.firstOrderOfDay(ds, ttl))
+        .filterNot(_.userId == "zw")
+        .sortBy(o => (o.userId, o.ts.getTime)).map(o => (o.userId, o.orderUu))
+    val withTtl = run(Some(1))
+    assert(withTtl == run(None))
+    assert(withTtl == Seq(("u1", 1), ("u1", 0), ("u1", 1), ("u1", 0)))
+  }
+
+  test("W8 TTL: homeDetailUv timeout cleanup does not change emitted flags") {
+    import spark.implicits._
+    val day = 86400L
+    val batches = Seq(
+      Seq(PageView("a", "home", None, 1, ts(day + 10)),
+        PageView("a", "good_detail", Some("home"), 1, ts(day + 20))),
+      Seq(PageView("w1", "home", None, 1, ts(5 * day))),
+      Seq(PageView("w2", "home", None, 1, ts(5 * day + 10))),
+      Seq(PageView("a", "home", None, 1, ts(6 * day + 1))))
+    def run(ttl: Option[Int]) =
+      runStream(batches)(ds => StatefulOps.homeDetailUv(ds, ttl))
+        .filterNot(_.mid.startsWith("w"))
+        .sortBy(_.ts.getTime).map(f => (f.homeUv, f.detailUv))
+    val withTtl = run(Some(1))
+    assert(withTtl == run(None))
+    assert(withTtl == Seq((1, 0), (0, 1), (1, 0)))
+  }
+
+  test("W8 TTL: loginUuBack keeps the 8-day-back flag for gaps inside the TTL") {
+    import spark.implicits._
+    val day = 86400L
+    val batches = Seq(
+      Seq(UserAction("u", ts(day)), UserAction("u", ts(day + 100))),
+      Seq(UserAction("u", ts(4 * day))),
+      Seq(UserAction("u", ts(13 * day))), // gap 9 days >= 8: back=1
+      Seq(UserAction("zw", ts(20 * day))),
+      Seq(UserAction("zw2", ts(21 * day))))
+    def run(ttl: Option[Int]) =
+      runStream(batches)(ds => StatefulOps.loginUuBack(ds, ttl))
+        .filterNot(_.uid.startsWith("zw"))
+        .sortBy(_.ts.getTime).map(f => (f.uu, f.back))
+    // a 30-day TTL comfortably covers the 8-day-back horizon: identical output
+    val withTtl = run(Some(30))
+    assert(withTtl == run(None))
+    assert(withTtl == Seq((1, 0), (1, 0), (1, 1)))
   }
 
   test("ST3 keepLatest emits only the max-version record after the grace period") {

@@ -113,10 +113,16 @@ object DwsTraffic {
     Q(
       "q44_keyword_window",
       keywordWindow,
+      // Oracle tokenization is the Unicode-aware split [^\pL\p{Nd}]+ —
+      // RE2's \pL/\p{Nd} match Java Character.isLetterOrDigit for every
+      // non-CJK script (accents, Cyrillic, digits), so parity with
+      // tokenizeNative holds for any non-CJK corpus, not just ASCII
+      // (FunctionsSpec pins this equivalence on non-ASCII fixtures; the
+      // CJK-bigram branch diverges by design and is pinned separately).
       Some("""
         WITH toks AS (
           SELECT CAST(to_timestamp(doc_id) AS TIMESTAMP) AS rowtime,
-                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS keyword
+                 unnest(string_split_regex(lower(text), '[^\pL\p{Nd}]+')) AS keyword
           FROM documents)
         SELECT strftime(time_bucket(INTERVAL '10 seconds', rowtime), '%Y-%m-%d %H:%M:%S') AS stt,
                keyword, COUNT(*) AS keyword_count

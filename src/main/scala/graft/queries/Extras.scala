@@ -123,9 +123,68 @@ object Extras {
           .filter(col("overlap") >= 0.5)
           .select(col("i"), col("j"), col("overlap"))
       },
-      // Rolling-hash chunking is procedural; no SQL oracle (rows-only).
-      // Insertion-robustness is asserted in PipelineOpsSpec.
-      None,
+      // Hash-parity oracle: the Rabin-Karp chunker is replayed in DuckDB
+      // with a recursive CTE over codepoints. Java's wrapping long
+      // arithmetic is emulated in HUGEINT mod 2^64 (constants: Base=1000003,
+      // R = Base^16 mod 2^64 = 2205457682549662529, signed reinterpretation
+      // at chunk emit); boundary test (win & 0x3f)==0 becomes win % 64 = 0,
+      // which is consistent under mod-2^64 because 64 divides 2^64.
+      Some("""
+        WITH RECURSIVE step AS (
+          SELECT doc_id, text, length(text) AS n, 0 AS i,
+                 0::HUGEINT AS win, 0::HUGEINT AS ck, 0 AS cstart,
+                 CAST([] AS BIGINT[]) AS chunks
+          FROM documents
+          UNION ALL
+          SELECT doc_id, text, n, i + 1,
+                 win2,
+                 CASE WHEN cut THEN 0::HUGEINT ELSE ck2 END,
+                 CASE WHEN cut THEN i + 1 ELSE cstart END,
+                 CASE WHEN cut THEN list_append(chunks,
+                   CAST(CASE WHEN ck2 >= 9223372036854775808::HUGEINT
+                             THEN ck2 - 18446744073709551616::HUGEINT
+                             ELSE ck2 END AS BIGINT))
+                      ELSE chunks END
+          FROM (
+            SELECT *, ((i - cstart >= 16 AND win2 % 64 = 0) OR i = n - 1) AS cut
+            FROM (
+              SELECT *,
+                (ck * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT AS ck2,
+                (((win * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT)
+                  + 18446744073709551616::HUGEINT
+                  - (CASE WHEN i >= 16
+                          THEN (2205457682549662529::HUGEINT * cprev) % 18446744073709551616::HUGEINT
+                          ELSE 0::HUGEINT END))
+                  % 18446744073709551616::HUGEINT AS win2
+              FROM (
+                SELECT *, unicode(text[i+1])::HUGEINT AS c,
+                       CASE WHEN i >= 16 THEN unicode(text[i-15])::HUGEINT
+                            ELSE 0::HUGEINT END AS cprev
+                FROM step WHERE i < n
+              )
+            )
+          )
+        ),
+        ex AS (
+          SELECT DISTINCT doc_id, ch
+          FROM (SELECT doc_id, chunks FROM step WHERE i = n),
+               UNNEST(chunks) AS t(ch)
+        ),
+        capped AS (
+          SELECT ex.* FROM ex
+          JOIN (SELECT ch FROM ex GROUP BY ch HAVING COUNT(*) <= 100) g USING (ch)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+          FROM capped a JOIN capped b ON a.ch = b.ch AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT p.i, p.j,
+               CAST(p.common AS DOUBLE) / LEAST(si.sz, sj.sz) AS overlap
+        FROM pairs p
+        JOIN sizes si ON si.doc_id = p.i
+        JOIN sizes sj ON sj.doc_id = p.j
+        WHERE CAST(p.common AS DOUBLE) / LEAST(si.sz, sj.sz) >= 0.5"""),
       "Rolling-hash (Rabin-Karp) content-defined chunk fingerprints -> " +
         "chunk-overlap near-dup pairs; robust to insertions " +
         "(pipeline ops brief: document fingerprinting)."),

@@ -10,16 +10,26 @@ import org.apache.spark.sql.functions._
   * PUB/mapper/TradeStatMapper.java:15-20).
   *
   * The reference serves these from ClickHouse DWS tables; here they run as
-  * Spark SQL over the warehouse tables — partition-prunable by the date
-  * predicate at scale (date_format pushes to a scan filter; a production
-  * table would be partitioned by day so the predicate prunes files).
+  * Spark SQL over the warehouse tables. The date predicate is a SARGABLE
+  * half-open range on the raw timestamp column (never a function of the
+  * column), so it reaches the parquet scan as PushedFilters and would prune
+  * a date-partitioned production table — asserted in ServingSpec.
   */
 object Serving {
+
+  /** `[day, day+1)` on o_orderdate for a yyyyMMdd day string; both bounds are
+    * foldable literals so the comparison pushes down to the scan.
+    */
+  private def dayRange(date: String) = {
+    val d = to_date(lit(date), "yyyyMMdd")
+    col("o_orderdate") >= d.cast("timestamp") &&
+      col("o_orderdate") < date_add(d, 1).cast("timestamp")
+  }
 
   /** Q1: GET /gmv?date= — total order amount for one yyyyMMdd day. */
   def gmv(spark: SparkSession, sfDir: String, date: String): DataFrame =
     Tables(spark, sfDir, "orders")
-      .filter(date_format(col("o_orderdate"), "yyyyMMdd") === date)
+      .filter(dayRange(date))
       .agg(coalesce(sum(col("o_totalprice").cast("decimal(18,2)")), lit(0))
         .cast("double").as("gmv"))
 
@@ -34,7 +44,7 @@ object Serving {
     */
   def provinceAmounts(spark: SparkSession, sfDir: String, date: String): DataFrame = {
     val o = Tables(spark, sfDir, "orders")
-      .filter(date_format(col("o_orderdate"), "yyyyMMdd") === date)
+      .filter(dayRange(date))
     val c = Tables(spark, sfDir, "customer")
     val n = Tables(spark, sfDir, "nation")
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))

@@ -26,6 +26,32 @@ class FunctionsSpec extends SparkSpec {
     assert(viaUdf == viaExpr)
   }
 
+  test("tokenizer equals the q44 oracle's Unicode regex split on non-CJK text") {
+    // The q44 DuckDB oracle splits on [^\pL\p{Nd}]+ (RE2). For non-CJK
+    // scripts Java's Character.isLetterOrDigit accepts exactly \pL + \p{Nd},
+    // so tokenizeNative must agree with the same regex split — pinned here
+    // on accented/Cyrillic fixtures so q44's oracle parity is a contract,
+    // not an ASCII artifact.
+    val fixtures = Seq(
+      "Café crème déjà-vu 42!",
+      "ünïcode Ёлка приветъ 007",
+      "mixed_CASE-hyphen.and.dots 3½x",  // ½ is \p{No}: both sides drop it
+      "  leading & trailing  ",
+      "")
+    for (s <- fixtures) {
+      val viaRegex = s.toLowerCase.split("[^\\p{L}\\p{Nd}]+").toSeq.filter(_.nonEmpty)
+      assert(Tokenize.analyze(s) == viaRegex, s"divergence on <$s>")
+    }
+    // and over a DataFrame column through the codegen path
+    import spark.implicits._
+    val df = fixtures.toDF("text")
+    val native = df.select(explode(Tokenize.tokenizeNative(col("text"))).as("t"))
+      .as[String].collect().toSeq
+    val regex = df.select(explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("t"))
+      .filter(col("t") =!= "").as[String].collect().toSeq
+    assert(native == regex)
+  }
+
   test("GraftExtensions exposes tokenize in plain SQL as the native expression") {
     import spark.implicits._
     GraftExtensions.install(spark)

@@ -28,6 +28,21 @@ class ServingSpec extends SparkSpec {
     assert(Serving.gmv(spark, sfDir, "19000101").head().getDouble(0) == 0.0)
   }
 
+  test("serving date predicates are sargable (pushed to the parquet scan)") {
+    val date = someDate
+    for (df <- Seq(Serving.gmv(spark, sfDir, date),
+        Serving.provinceAmounts(spark, sfDir, date))) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+        s"expected pushed range filter on o_orderdate, plan:\n$plan")
+      assert(plan.contains("LessThan(o_orderdate"),
+        s"expected pushed upper bound on o_orderdate, plan:\n$plan")
+      assert(!plan.contains("PushedFilters: []"),
+        s"scan has empty PushedFilters:\n$plan")
+    }
+  }
+
   test("provinceAmounts(date) returns per-province rows and the mapData JSON shape") {
     val date = someDate
     val rows = Serving.provinceAmounts(spark, sfDir, date).collect()

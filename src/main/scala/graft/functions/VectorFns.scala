@@ -40,11 +40,20 @@ object VectorFns {
 
   /** Left-fold dot of vector column v against literal hyperplane p —
     * identical fold order to DuckDB's list_dot_product(v, planes.s).
+    *
+    * Guarded: a vector whose length differs from [[Dims]] (or a null
+    * vector) raises an error instead of silently null-padding through
+    * zip_with — without this, `when(planeDot >= 0, ...)` would route every
+    * drifted vector into wrong-but-plausible buckets.
     */
   def planeDot(v: Column, p: Int): Column =
-    aggregate(
-      zip_with(v, typedLit(planeSigns(p)), (x, s) => x * s),
-      lit(0.0), (acc, x) => acc + x)
+    when(size(v) === Dims,
+      aggregate(
+        zip_with(v, typedLit(planeSigns(p)), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x))
+      .otherwise(raise_error(concat(
+        lit(s"planeDot: expected $Dims-dim vector, got size="),
+        size(v).cast("string"))))
 
   /** L banded bucket ids over `bits` hyperplanes each (sign-bit packing).
     * Collision probability per table is (1 - θ/π)^bits — high for

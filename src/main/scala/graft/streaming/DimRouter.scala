@@ -92,7 +92,18 @@ object DimRouter {
       .start()
   }
 
-  /** One microbatch of routing — also directly usable in batch mode. */
+  /** One microbatch of routing — also directly usable in batch mode.
+    *
+    * Ordering contract: within a microbatch, two versions of the same pk
+    * with equal envelope `ts` resolve by `src_seq` (per-partition ingest
+    * sequence from monotonically_increasing_id). That equals arrival order
+    * only when the upstream feed delivers all versions of a key through the
+    * SAME input partition — the Kafka keyed-topic contract the reference
+    * relies on too (Maxwell partitions by pk). Feeding this from a source
+    * that sprays one key across partitions degrades equal-ts ties to
+    * partition order; if such a source must be used, carry an explicit
+    * sequence column instead.
+    */
   def routeBatch(batch: DataFrame, cfgs: Seq[TableConfig], outDir: String): Unit = {
     val spark = batch.sparkSession
     val (clean0, dirty) = Sources.dirtySplit(batch, "value_json", Envelopes.maxwellSchema)
@@ -137,7 +148,16 @@ object DimRouter {
     *
     * Keep-latest order: row_op_ts (microbatch stamp), then the envelope's
     * source ts, then ingest sequence — two versions of a pk arriving in ONE
-    * microbatch resolve by stream order, not arbitrarily.
+    * microbatch resolve by stream order, not arbitrarily (see routeBatch's
+    * ordering contract for when src_seq equals stream order).
+    *
+    * Crash safety: all merged buckets are fully written to tmp dirs FIRST
+    * (phase 1 — long-running, nothing destructive), then swapped in a tight
+    * metadata-only loop (phase 2). A crash in phase 1 leaves the live table
+    * untouched; the destructive window shrinks to milliseconds of renames.
+    * A failed rename throws (never silently loses a bucket). Cross-bucket
+    * all-or-nothing would need a table format with a commit protocol
+    * (Delta/Iceberg) — out of scope for the parquet-dir substrate.
     */
   private def upsert(spark: SparkSession, rows: DataFrame, dir: String, pk: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -145,7 +165,8 @@ object DimRouter {
       pmod(xxhash64(col(pk)), lit(NumBuckets)).cast("int")).cache()
     try {
       val touched = rowsB.select("pkb").distinct().collect().map(_.getInt(0)).sorted
-      for (b <- touched) {
+      // Phase 1: materialize every merged bucket into its tmp dir.
+      val staged = touched.map { b =>
         val bucket = new Path(s"$dir/pkb=$b")
         val batchRows = rowsB.filter(col("pkb") === b).drop("pkb")
         val merged =
@@ -161,8 +182,14 @@ object DimRouter {
           .filter(col("rn") === 1).drop("rn")
         val tmp = new Path(s"$dir/.pkb_$b.tmp")
         latest.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        (tmp, bucket)
+      }
+      // Phase 2: tight delete+rename swaps; a failed rename is an error.
+      for ((tmp, bucket) <- staged) {
         if (fs.exists(bucket)) fs.delete(bucket, true)
-        fs.rename(tmp, bucket)
+        if (!fs.rename(tmp, bucket))
+          throw new java.io.IOException(
+            s"dim upsert: rename $tmp -> $bucket failed; bucket left in tmp")
       }
     } finally rowsB.unpersist()
   }

@@ -61,13 +61,21 @@ object StatefulOps {
   // Idle-state retention for the date-comparison operators: state is
   // droppable once the watermark passes `ttlDays` beyond the END of the
   // key's last-active day (the analog of Flink's setIdleStateRetention).
-  // For the first-of-day family this provably cannot change output when
-  // ttlDays >= 1: state is only consulted by events whose date <= the state
-  // date, and any event arriving after the timeout fired has event time
-  // above the watermark — hence a strictly later date. For ST1 (first-visit
-  // repair) and ST6 (8-day-back) the state is semantically load-bearing
-  // forever, so their default stays None (keep-forever) and a TTL is an
-  // explicit opt-in trade-off (devices/users idle beyond it read as new).
+  // The watermark delay EQUALS the TTL horizon (ttlDays days), which makes
+  // the invariance argument hold for out-of-order streams too: by the time
+  // a key's state (last-active day D) is dropped, the watermark admits only
+  // events dated >= D + ttlDays — a strictly later date, for which the
+  // first-of-day family emits identically with or without the old state.
+  // Every event the watermark admits still finds its state alive, so
+  // enabling the TTL changes no emitted record for any stream whose
+  // lateness stays within the horizon. The residual trade-off (stated, not
+  // hidden): events later than ttlDays are dropped by the watermark, while
+  // keep-forever (ttlDays=None, no watermark) would process them — the same
+  // bounded-lateness contract Flink's idle-state retention implies. For ST1
+  // (first-visit repair) and ST6 (8-day-back) the state is semantically
+  // load-bearing forever, so their default stays None (keep-forever) and a
+  // TTL is an explicit opt-in trade-off (devices/users idle beyond it read
+  // as new).
 
   private def endOfDayMs(d: String): Long =
     java.time.LocalDate.parse(d).plusDays(1)
@@ -77,11 +85,12 @@ object StatefulOps {
     if (ttlDays.isDefined) GroupStateTimeout.EventTimeTimeout
     else GroupStateTimeout.NoTimeout
 
-  /** EventTimeTimeout needs a watermark upstream; 0 s keeps in-order
-    * fixtures and batch-replay semantics unchanged.
+  /** EventTimeTimeout needs a watermark upstream; the delay is the TTL
+    * horizon itself, so cross-batch out-of-order events within the horizon
+    * are never late-dropped (see the W8 invariance note above).
     */
   private def withTtlWatermark[T](ds: Dataset[T], ttlDays: Option[Int]): Dataset[T] =
-    if (ttlDays.isDefined) ds.withWatermark("ts", "0 seconds") else ds
+    ttlDays.fold(ds)(t => ds.withWatermark("ts", s"$t days"))
 
   private def armIdleTtl[S](
       state: GroupState[S], lastActive: Option[Timestamp], ttlDays: Option[Int]): Unit =

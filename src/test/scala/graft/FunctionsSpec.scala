@@ -52,6 +52,22 @@ class FunctionsSpec extends SparkSpec {
     assert(native == regex)
   }
 
+  test("planeDot fails loudly on embedding dimensionality drift") {
+    import graft.functions.VectorFns
+    import spark.implicits._
+    val ok = Seq(Array.fill(VectorFns.Dims)(0.5)).toDF("v")
+      .select(VectorFns.planeDot(col("v"), 0).as("d")).head().getDouble(0)
+    assert(!ok.isNaN)
+    // a 63-dim vector must error, not land in a wrong-but-plausible bucket
+    val bad = Seq(Array.fill(VectorFns.Dims - 1)(0.5)).toDF("v")
+    val e = intercept[Exception] {
+      bad.select(VectorFns.planeDot(col("v"), 0)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("planeDot")), s"unexpected error: $e")
+  }
+
   test("GraftExtensions exposes tokenize in plain SQL as the native expression") {
     import spark.implicits._
     GraftExtensions.install(spark)

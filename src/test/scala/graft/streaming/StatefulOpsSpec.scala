@@ -217,6 +217,28 @@ class StatefulOpsSpec extends SparkSpec {
     assert(withTtl == Seq((1, 0), (1, 0), (1, 1)))
   }
 
+  test("W8 TTL: out-of-order events across batches are not late-dropped within the horizon") {
+    import spark.implicits._
+    val day = 86400L
+    // batch 2 carries an event BELOW batch 1's max event time (late by ~1
+    // day minus 10 s). The TTL watermark delay equals the horizon (1 day),
+    // so the event must be admitted and emitted exactly as in the
+    // keep-forever run — this is the round-3 ADVICE regression fixture (a
+    // 0 s watermark silently dropped it).
+    val batches = Seq(
+      Seq(PageView("a", "home", None, 1, ts(2 * day))),
+      Seq(PageView("late", "home", None, 1, ts(day + 10)),  // OOO, within horizon
+        PageView("a", "home", None, 1, ts(2 * day + 60))),  // same-day dup: dropped
+      Seq(PageView("a", "home", None, 1, ts(3 * day))))
+    def run(ttl: Option[Int]) =
+      runStream(batches)(ds => StatefulOps.dailyUv(ds, ttl))
+        .map(p => (p.mid, p.ts.getTime / 1000)).sorted
+    val withTtl = run(Some(1))
+    assert(withTtl == run(None))
+    assert(withTtl.contains(("late", day + 10)),
+      "out-of-order event within the TTL horizon was late-dropped")
+  }
+
   test("ST3 keepLatest emits only the max-version record after the grace period") {
     import spark.implicits._
     val out = runStream(Seq(

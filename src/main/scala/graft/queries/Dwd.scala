@@ -34,6 +34,36 @@ object Dwd {
       Envelopes.parseLog(Envelopes.logFromEvents(ev(s, dir)))
     }
 
+  /** D1: the 5-way log split (err/start/page side outputs plus per-element
+    * display/action flattening, ref RT/app/dwd/log/DwdTrafficBaseLogSplit
+    * .java:148-237) as a reusable transformation over a parsed log-envelope
+    * frame. Entirely stateless projections/filters/explodes, so it applies
+    * unchanged to a STREAMING frame — graft.streaming.DwdLogStream drives
+    * exactly this function under readStream, and DwdLogStreamSpec asserts
+    * the per-micro-batch outputs equal this batch form.
+    */
+  def logSplit(parsed: DataFrame): DataFrame = {
+    val err = parsed.filter(col("env.err").isNotNull)
+      .select(lit("err").as("stream"), col("event_id"),
+        col("env.err.error_code").as("payload"))
+    val start = parsed.filter(col("env.start").isNotNull)
+      .select(lit("start").as("stream"), col("event_id"),
+        col("env.start.open_ad_id").as("payload"))
+    val page = parsed.filter(col("env.page").isNotNull)
+      .select(lit("page").as("stream"), col("event_id"),
+        col("env.page.during_time").as("payload"))
+    val display = parsed
+      .select(col("event_id"), explode(col("env.displays")).as("d"))
+      .select(lit("display").as("stream"), col("event_id"),
+        col("d.display_id").as("payload"))
+    val action = parsed
+      .select(col("event_id"), explode(col("env.actions")).as("a"))
+      .select(lit("action").as("stream"), col("event_id"),
+        col("a.action_id").as("payload"))
+    err.unionByName(start).unionByName(page)
+      .unionByName(display).unionByName(action)
+  }
+
   /** Oracle-side CTE shared by the CDC queries: the same deterministic
     * event→CDC mapping as Envelopes.maxwellFromEvents.
     */
@@ -125,28 +155,7 @@ object Dwd {
     // ---------------------------------------------------------------- D1
     Q(
       "q26_log_split",
-      (s, dir) => {
-        val parsed = logEnv(s, dir)
-        val err = parsed.filter(col("env.err").isNotNull)
-          .select(lit("err").as("stream"), col("event_id"),
-            col("env.err.error_code").as("payload"))
-        val start = parsed.filter(col("env.start").isNotNull)
-          .select(lit("start").as("stream"), col("event_id"),
-            col("env.start.open_ad_id").as("payload"))
-        val page = parsed.filter(col("env.page").isNotNull)
-          .select(lit("page").as("stream"), col("event_id"),
-            col("env.page.during_time").as("payload"))
-        val display = parsed
-          .select(col("event_id"), explode(col("env.displays")).as("d"))
-          .select(lit("display").as("stream"), col("event_id"),
-            col("d.display_id").as("payload"))
-        val action = parsed
-          .select(col("event_id"), explode(col("env.actions")).as("a"))
-          .select(lit("action").as("stream"), col("event_id"),
-            col("a.action_id").as("payload"))
-        err.unionByName(start).unionByName(page)
-          .unionByName(display).unionByName(action)
-      },
+      (s, dir) => logSplit(logEnv(s, dir)),
       Some("""
         WITH ev AS (
           SELECT event_id, event_type,

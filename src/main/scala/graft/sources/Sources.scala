@@ -23,16 +23,22 @@ object Sources {
     */
   def fileStream(spark: SparkSession, dir: String, table: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    // stream the table path itself (works for a single file AND a
-    // directory-backed table dir/table.parquet/part-*.parquet; a
-    // pathGlobFilter on the parent would match only leaf file names and
-    // silently stream zero rows for the directory layout)
+    // FileStreamSource requires its path to be a DIRECTORY. A
+    // directory-backed table (dir/table.parquet/part-*.parquet) streams
+    // directly; a single-file table streams its parent dir with a
+    // pathGlobFilter on the leaf name (the filter matches only leaf FILE
+    // names, which is exactly the single-file layout — it would silently
+    // match nothing for the directory layout, hence the branch).
     val path = s"$dir/$table.parquet"
     val schema = spark.read.parquet(path).schema
-    spark.readStream
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isFile =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).isFile
+    val reader = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(path)
+    if (isFile) reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    else reader.parquet(path)
   }
 
   /** K6 dirty-data side output: split a JSON-string column into (clean,

@@ -77,9 +77,48 @@ object StreamDemo {
     val dimRows = spark.read.parquet(s"$dimOut/dim_order_info").count()
     val dimUsers = spark.read.parquet(s"$dimOut/dim_user_info").count()
 
+    // Third vertical: the DWD-log topology driven end-to-end with a
+    // checkpoint — D1 five-way split, then ST1 new-visitor repair feeding
+    // the tokenizer keyword window (ref RT/app/dwd/log/DwdTrafficBaseLog
+    // Split.java:148-237 → RT/app/dws/DwsTrafficSourceKeywordPageView
+    // Window.java:21-83). Per-micro-batch split ≡ batch q26 is asserted in
+    // DwdLogStreamSpec; this drives the composed stream on real data.
+    val logCkpt = java.nio.file.Files.createTempDirectory("logck").toString
+    val logParsed = graft.model.Envelopes.parseLog(
+      graft.model.Envelopes.logFromEvents(raw))
+    val splitCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val splitQ = DwdLogStream.split(logParsed).writeStream
+      .option("checkpointLocation", s"$logCkpt/split")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy("stream").count().collect().foreach { r =>
+          splitCounts.updateWith(r.getString(0))(v =>
+            Some(v.getOrElse(0L) + r.getLong(1)))
+        }
+        ()
+      }.start()
+    splitQ.processAllAvailable()
+    splitQ.stop()
+
+    var kwRows = 0L
+    val kwQ = DwdLogStream.keywordWindow(
+        StatefulOps.newVisitorRepair(DwdLogStream.pageViews(logParsed)))
+      .writeStream
+      .option("checkpointLocation", s"$logCkpt/kw")
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        kwRows += b.count()
+        ()
+      }.start()
+    kwQ.processAllAvailable()
+    kwQ.stop()
+
+    val splitStr = Seq("err", "start", "page", "display", "action")
+      .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(",")
     println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
-      s"dim_order_rows=$dimRows dim_user_rows=$dimUsers")
+      s"dim_order_rows=$dimRows dim_user_rows=$dimUsers " +
+      s"log_split{$splitStr} kw_rows=$kwRows")
     spark.stop()
-    if (rows == 0 || dimRows == 0) sys.exit(1)
+    if (rows == 0 || dimRows == 0 || kwRows == 0 ||
+      splitCounts.getOrElse("page", 0L) == 0L) sys.exit(1)
   }
 }

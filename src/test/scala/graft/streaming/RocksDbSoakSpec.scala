@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Soaks the stateful operators on the RocksDB state store provider — the
+  * provider a 100 TB deployment would run (per-key state off-heap, bounded
+  * memory, incremental checkpoints) — and asserts output parity with the
+  * default HDFS-backed provider on the same fixtures. This validates the
+  * "state lives in the state store (RocksDB at scale)" posture claimed in
+  * StatefulOps' scaladoc rather than assuming provider-independence.
+  */
+class RocksDbSoakSpec extends SparkSpec {
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  private var queryId = 0
+
+  private def runStream[I: Encoder, O: Encoder](batches: Seq[Seq[I]])(
+      op: Dataset[I] => Dataset[O]): Seq[O] = {
+    queryId += 1
+    val name = s"rocks_out_$queryId"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[I]
+    val query = op(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    import spark.implicits._
+    spark.table(name).as[O].collect().toSeq
+  }
+
+  /** Run the same streamed op under RocksDB and the default provider. */
+  private def bothProviders[I: Encoder, O: Encoder](batches: Seq[Seq[I]])(
+      op: Dataset[I] => Dataset[O]): (Seq[O], Seq[O]) = {
+    val default = runStream(batches)(op)
+    spark.conf.set(ProviderKey, RocksProvider)
+    val rocks =
+      try runStream(batches)(op)
+      finally spark.conf.unset(ProviderKey)
+    (rocks, default)
+  }
+
+  test("ST2 dailyUv with TTL: RocksDB provider matches default on a 2k-device soak") {
+    import spark.implicits._
+    val day = 86400L
+    // 2000 devices x 3 days x 2 events/day, out-of-order within batches
+    val fixture = for {
+      m <- 1 to 2000; d <- 0 to 2; k <- 0 to 1
+    } yield PageView(s"m$m", "home", None, 1,
+      ts(d * day + (m * 13 + k * 997) % 3600))
+    val batches = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(42)).shuffle(fixture).grouped(3000).toSeq
+    val (rocks, default) = bothProviders(batches)(
+      (ds: Dataset[PageView]) => StatefulOps.dailyUv(ds, ttlDays = Some(2)))
+    assert(rocks.map(p => (p.mid, p.ts.getTime)).sorted ==
+      default.map(p => (p.mid, p.ts.getTime)).sorted)
+    assert(rocks.nonEmpty)
+  }
+
+  test("ST1 newVisitorRepair: RocksDB provider matches default across batches") {
+    import spark.implicits._
+    val day = 86400L
+    val fixture = for {
+      m <- 1 to 500; d <- 0 to 3
+    } yield PageView(s"m$m", "home", None, 1, ts(d * day + m))
+    val batches = fixture.grouped(400).toSeq
+    val (rocks, default) = bothProviders(batches)(
+      (ds: Dataset[PageView]) => StatefulOps.newVisitorRepair(ds))
+    assert(rocks.map(p => (p.mid, p.ts.getTime, p.isNew)).sorted ==
+      default.map(p => (p.mid, p.ts.getTime, p.isNew)).sorted)
+    // repair semantics held under RocksDB: exactly one isNew=1 day per device
+    assert(rocks.filter(_.isNew == 1).groupBy(_.mid).values
+      .forall(_.map(p => p.ts.getTime / 86400000L).distinct.size == 1))
+  }
+
+  test("C1 bounce detection: RocksDB provider matches default") {
+    import spark.implicits._
+    val fixture = (1 to 300).flatMap { u =>
+      // even users: a two-page session (no bounce); odd users: a lone view
+      if (u % 2 == 0)
+        Seq(PageView(s"u$u", "home", None, 1, ts(u)),
+          PageView(s"u$u", "detail", Some("home"), 1, ts(u + 2)))
+      else Seq(PageView(s"u$u", "home", None, 1, ts(u)))
+    }
+    val wake = Seq(PageView("zz-wake", "other", Some("home"), 0, ts(100000)),
+      PageView("zz-wake2", "other", Some("home"), 0, ts(200000)))
+    val batches = fixture.grouped(200).toSeq ++ Seq(wake, wake.map(p =>
+      p.copy(ts = ts(300000))))
+    val (rocks, default) = bothProviders(batches)(
+      (ds: Dataset[PageView]) => StatefulOps.bounce(ds, 10000L))
+    assert(rocks.map(_.toString).sorted == default.map(_.toString).sorted)
+    assert(rocks.nonEmpty)
+  }
+}

@@ -159,6 +159,59 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
+  // ------------------------------------------------ real container headers
+  // Minimal valid container headers with the dimension fields a decoder
+  // reads — used by q56 to exercise parseDims through the registered-query
+  // gate (synthesized per doc_id, so DuckDB replays the expected dims with
+  // plain arithmetic and any parser misread breaks the hash).
+
+  private def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.write(Array[Byte](0, 0, 0, 13)) // IHDR chunk length
+    b.write("IHDR".getBytes("US-ASCII"))
+    for (v <- Seq(w, h); s <- Seq(24, 16, 8, 0)) b.write((v >>> s) & 0xff)
+    b.write(Array[Byte](8, 6, 0, 0, 0)) // bit depth + color type + flags
+    b.toByteArray
+  }
+
+  private def gifHeader(w: Int, h: Int): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write("GIF89a".getBytes("US-ASCII"))
+    for (v <- Seq(w, h)) { b.write(v & 0xff); b.write((v >>> 8) & 0xff) }
+    b.write(0)
+    b.toByteArray
+  }
+
+  private def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    // a non-SOF segment first (APP0 stub) so the marker walk is exercised
+    b.write(Array(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46).map(_.toByte))
+    b.write(Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)) // SOF0, len, precision
+    for (v <- Seq(h, w)) { b.write((v >>> 8) & 0xff); b.write(v & 0xff) }
+    b.write(Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)) // component specs
+    b.toByteArray
+  }
+
+  /** Documents replayed as REAL container payloads: a valid PNG/GIF/JPEG
+    * header per doc with dimensions derived from doc_id — the fixture that
+    * routes q56 through the real parseDims branch, not the stub fallback.
+    */
+  def syntheticContainers(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 1000).toInt
+      val h = (9 + id % 500).toInt
+      val bytes = (id % 3) match {
+        case 0 => pngHeader(w, h)
+        case 1 => gifHeader(w, h)
+        case _ => jpegHeader(w, h)
+      }
+      MediaRow(id, "image", bytes, Map.empty)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q40_multimodal_meta",
@@ -185,5 +238,33 @@ object MultimodalOps {
         FROM documents"""),
       "Multimodal metadata scan: opaque binary payloads with typed " +
         "metadata, content hashing, stub-decoded dimensions " +
-        "(pipeline ops brief)."))
+        "(pipeline ops brief)."),
+
+    Q(
+      "q56_container_header_dims",
+      (s, dir) => {
+        // Real header parsing through the registered-query gate: every doc
+        // becomes a valid PNG/GIF/JPEG whose dimension fields encode
+        // doc_id arithmetic; decodeStub routes them through parseDims (a
+        // recognized container never hits the stub fallback), so a parser
+        // misread of any header field breaks the hash against the
+        // arithmetic oracle.
+        decodeStub(syntheticContainers(s, dir)).toDF()
+          .select(
+            col("mediaId").as("doc_id"),
+            when(pmod(col("mediaId"), lit(3)) === 0, "png")
+              .when(pmod(col("mediaId"), lit(3)) === 1, "gif")
+              .otherwise("jpeg").as("container"),
+            col("width"), col("height"))
+      },
+      Some("""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                 ELSE 'jpeg' END AS container,
+               CAST(16 + doc_id % 1000 AS INT) AS width,
+               CAST(9 + doc_id % 500 AS INT) AS height
+        FROM documents"""),
+      "Real PNG/GIF/JPEG header parsing (parseDims) exercised end-to-end " +
+        "by a hash-checked query over synthesized container payloads " +
+        "(pipeline ops brief: multimodal decode plumbing)."))
 }

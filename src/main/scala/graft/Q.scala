@@ -26,5 +26,6 @@ object Registry {
       queries.Extras.all ++
       queries.DedupOps.all ++
       queries.SimilarityOps.all ++
-      queries.MultimodalOps.all
+      queries.MultimodalOps.all ++
+      queries.CorpusOps.all
 }

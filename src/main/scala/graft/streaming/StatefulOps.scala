@@ -375,4 +375,17 @@ object StatefulOps {
       .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
       .withColumn("edt", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
       .drop("window")
+
+  /** Streaming ingest-time exact dedup — the streaming complement of the
+    * q34 batch dedup: content fingerprints deduplicated ACROSS micro-batches
+    * via `dropDuplicatesWithinWatermark`, so per-key state is dropped once
+    * the watermark passes the horizon. At 100 TB ingest this is the shape
+    * that keeps dedup state bounded by the horizon's arrival volume instead
+    * of growing with corpus size (full-history dedup belongs to the batch
+    * layer, q34/q57).
+    */
+  def streamingExactDedup(
+      df: DataFrame, fpCol: String, eventCol: String, horizon: String): DataFrame =
+    df.withWatermark(eventCol, horizon)
+      .dropDuplicatesWithinWatermark(fpCol)
 }

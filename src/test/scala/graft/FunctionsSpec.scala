@@ -79,6 +79,13 @@ class FunctionsSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(plan.contains("static_invoke") || plan.contains("StaticInvoke"),
       s"unexpected plan: $plan")
+    // the rolling-hash chunker rides the same extension point
+    val chunks = spark.sql("SELECT chunk_fingerprints('hello world') AS c")
+      .as[Seq[Long]].head()
+    assert(chunks ==
+      graft.functions.RollingHash.chunkHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world"))
+        .toLongArray.toSeq)
   }
 
   test("ApproxDistinctRule rewrites exact distinct to HLL under the session flag") {

@@ -239,6 +239,20 @@ class StatefulOpsSpec extends SparkSpec {
       "out-of-order event within the TTL horizon was late-dropped")
   }
 
+  test("streaming exact dedup drops cross-batch duplicate fingerprints within the horizon") {
+    import spark.implicits._
+    val out = runStream(Seq(
+      Seq(UserAction("fpA", ts(10)), UserAction("fpB", ts(11))),
+      Seq(UserAction("fpA", ts(12)), UserAction("fpC", ts(13))), // fpA is a dup
+      Seq(UserAction("fpB", ts(14)), UserAction("fpD", ts(15))), // fpB is a dup
+      Seq(UserAction("fpA", ts(16)))                             // still a dup
+    ))((ds: org.apache.spark.sql.Dataset[UserAction]) =>
+      StatefulOps.streamingExactDedup(ds.toDF(), "userId", "ts", "10 minutes")
+        .as[UserAction])
+    assert(out.map(a => (a.userId, a.ts.getTime / 1000)).sorted ==
+      Seq(("fpA", 10L), ("fpB", 11L), ("fpC", 13L), ("fpD", 15L)))
+  }
+
   test("ST3 keepLatest emits only the max-version record after the grace period") {
     import spark.implicits._
     val out = runStream(Seq(

@@ -112,13 +112,39 @@ object StreamDemo {
     kwQ.processAllAvailable()
     kwQ.stop()
 
+    // Fourth vertical: streaming corpus ingest — the documents table
+    // replayed as an unbounded feed, deduped by content fingerprint across
+    // micro-batches (bounded state via the watermark horizon), then
+    // token-counted: the training-data pipeline's ingest front door.
+    var corpusRows = 0L
+    var corpusTokens = 0L
+    val corpusQ = StatefulOps.streamingExactDedup(
+        graft.sources.Sources.fileStream(spark, sfDir, "documents")
+          .withColumn("ts", timestamp_seconds(col("doc_id")))
+          .withColumn("fp", md5(col("text"))),
+        "fp", "ts", "10 minutes")
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).cast("long")
+          .as("n_tokens"))
+      .writeStream
+      .option("checkpointLocation", s"$logCkpt/corpus")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        corpusRows += b.count()
+        corpusTokens += Option(b.agg(sum("n_tokens")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        ()
+      }.start()
+    corpusQ.processAllAvailable()
+    corpusQ.stop()
+
     val splitStr = Seq("err", "start", "page", "display", "action")
       .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(",")
     println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
       s"dim_order_rows=$dimRows dim_user_rows=$dimUsers " +
-      s"log_split{$splitStr} kw_rows=$kwRows")
+      s"log_split{$splitStr} kw_rows=$kwRows " +
+      s"corpus_rows=$corpusRows corpus_tokens=$corpusTokens")
     spark.stop()
-    if (rows == 0 || dimRows == 0 || kwRows == 0 ||
+    if (rows == 0 || dimRows == 0 || kwRows == 0 || corpusRows == 0 ||
       splitCounts.getOrElse("page", 0L) == 0L) sys.exit(1)
   }
 }

@@ -163,11 +163,17 @@ object CorpusOps {
         // shape that decontaminates 100 TB against a benchmark suite
         // without shuffling the corpus.
         import graft.functions.TextFns.{tokens, wordNgrams}
-        val g5 = docs(s, dir).select(col("doc_id"),
-          explode(wordNgrams(tokens(col("text")), 5)).as("ng")).distinct()
-        val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
+        // bench and corpus are shingled SEPARATELY so the doc_id filters
+        // push to the scans and each row is 5-grammed exactly once (a
+        // shared g5 frame would re-derive the full shingle pipeline under
+        // both filters)
+        def g5(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"),
+            explode(wordNgrams(tokens(col("text")), 5)).as("ng")).distinct()
+        val benchG = g5(docs(s, dir).filter(col("doc_id") < 10))
+          .select("ng").distinct()
         val corpus = docs(s, dir).filter(col("doc_id") >= 10).select("doc_id")
-        val hits = g5.filter(col("doc_id") >= 10)
+        val hits = g5(docs(s, dir).filter(col("doc_id") >= 10))
           .join(broadcast(benchG), "ng")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         corpus.join(hits, Seq("doc_id"), "left_outer")

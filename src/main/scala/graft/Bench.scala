@@ -43,9 +43,11 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
     // Warmup (untimed): flagship query for JIT/codegen/parquet-footer caches,
-    // plus one query from each staged-envelope family so the session staging
-    // (Dwd.cdc / Dwd.logEnv) is built before any timed run.
-    val warmupNames = Set("q01_pricing_summary", "q23_cdc_insert_facts", "q26_log_split")
+    // plus one query from each session-staged family (Dwd.cdc / Dwd.logEnv /
+    // DedupOps CC labels) so staging builds before any timed run and every
+    // timed number is steady-state plan cost.
+    val warmupNames = Set("q01_pricing_summary", "q23_cdc_insert_facts",
+      "q26_log_split", "q57_neardup_cluster")
     queries.filter(q => warmupNames(q._1)).foreach { case (_, fn) =>
       try once(fn) catch { case _: Throwable => () }
     }

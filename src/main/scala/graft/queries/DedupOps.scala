@@ -88,6 +88,65 @@ object DedupOps {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
 
+  /** q57's connected-components labeling as a reusable frame
+    * `(node, label)`: alternating node↔bucket min-label propagation over
+    * the LSH bands (buckets are cliques, so shared-bucket connectivity
+    * equals pair-graph connectivity; no pairwise edge materialization).
+    * Convergence via the monotone total label sum. Also feeds the q65
+    * end-to-end curation pipeline.
+    */
+  private def neardupLabels(s: SparkSession, dir: String): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    val b2 = minhashBands(s, dir)
+      .withColumn("n", count(lit(1)).over(wB))
+      .filter(col("n") >= 2).drop("n")
+      .persist()
+    var labels = b2.select(col("doc_id").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 25) {
+      val bmin = b2.join(labels, col("doc_id") === col("node"))
+        .groupBy("band", "bkey").agg(min("label").as("bl"))
+      val next = b2.join(bmin, Seq("band", "bkey"))
+        .groupBy("doc_id").agg(min("bl").as("label"))
+        .select(col("doc_id").as("node"), col("label")).persist()
+      val sumNow = next
+        .agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    b2.unpersist()
+    labels
+  }
+
+  /** Session-staged labels (graft.Staging): q57 and q65 share one CC run —
+    * cost changes, results never (the staged frame is a pure projection).
+    */
+  private def stagedLabels(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, dir, "neardup_labels") {
+      neardupLabels(s, dir).select(col("node"), col("label"))
+    }
+
+  /** Oracle CTE chain ending in `cc(doc_id, cluster_rep)` — the SQL twin of
+    * [[neardupLabels]] via recursive transitive closure, shared by q57/q65.
+    */
+  private val ccCte =
+    minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        edges AS (SELECT i AS a, j AS b FROM mh_pairs
+                  UNION SELECT j, i FROM mh_pairs),
+        reach AS (
+          SELECT a AS node, b AS r FROM edges
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        cc AS (SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_rep
+               FROM reach GROUP BY node)"""
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     Q(
@@ -176,66 +235,60 @@ object DedupOps {
     // ------------------------------------- near-dup clustering (conn. comp.)
     Q(
       "q57_neardup_cluster",
-      (s, dir) => {
+      (s, dir) =>
         // Training-data dedup's final step: candidate PAIRS become dedup
-        // DECISIONS. Every LSH band bucket is a clique, so pair-graph
-        // connectivity equals shared-bucket connectivity — run connected
-        // components as alternating node↔bucket min-label propagation on
-        // the BANDS frame (two grouped joins per round, O(bucket-graph
-        // diameter) rounds) and never materialize pairwise edges at all,
-        // the same collision-linear shape that keeps q36 off all-pairs.
-        // Each doc maps to its component's min doc_id; keep=1 exactly on
-        // that representative.
-        // multi-member bucket filter via a window count — ONE pass over the
-        // signature pipeline (a groupBy+join filter would materialize it
-        // twice before the persist)
-        val wB = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bkey"))
-        val b2 = minhashBands(s, dir)
-          .withColumn("n", count(lit(1)).over(wB))
-          .filter(col("n") >= 2).drop("n")
-          .persist()
-        var labels = b2.select(col("doc_id").as("node")).distinct()
-          .withColumn("label", col("node")).persist()
-        // convergence via the total label sum: labels only ever decrease,
-        // so an unchanged sum proves a fixpoint — one cheap aggregate per
-        // round instead of a join against the previous labels
-        var prevSum: java.math.BigDecimal = null
-        var iter = 0
-        var converged = false
-        while (!converged && iter < 25) {
-          val bmin = b2.join(labels, col("doc_id") === col("node"))
-            .groupBy("band", "bkey").agg(min("label").as("bl"))
-          val next = b2.join(bmin, Seq("band", "bkey"))
-            .groupBy("doc_id").agg(min("bl").as("label"))
-            .select(col("doc_id").as("node"), col("label")).persist()
-          val sumNow = next
-            .agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
-          converged = sumNow == prevSum
-          prevSum = sumNow
-          labels.unpersist()
-          labels = next
-          iter += 1
-        }
-        b2.unpersist()
-        labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"),
-          (col("node") === col("label")).cast("int").as("keep"))
-      },
-      Some(minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-        edges AS (SELECT i AS a, j AS b FROM mh_pairs
-                  UNION SELECT j, i FROM mh_pairs),
-        reach AS (
-          SELECT a AS node, b AS r FROM edges
-          UNION
-          SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
-        SELECT node AS doc_id,
-               LEAST(node, MIN(r)) AS cluster_rep,
-               CAST(node = LEAST(node, MIN(r)) AS INT) AS keep
-        FROM reach GROUP BY node"""),
+        // DECISIONS (see neardupLabels for the algorithm). Each doc maps to
+        // its component's min doc_id; keep=1 exactly on that representative.
+        stagedLabels(s, dir)
+          .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+            (col("node") === col("label")).cast("int").as("keep")),
+      Some(ccCte + """
+        SELECT doc_id, cluster_rep,
+               CAST(doc_id = cluster_rep AS INT) AS keep
+        FROM cc"""),
       "Near-dup cluster resolution: connected components over the LSH " +
         "candidate graph via min-label propagation (join+groupBy per " +
         "round, O(diameter) rounds), keep = component-min representative " +
         "(pipeline ops brief: dedup decisions at corpus scale)."),
+
+    // --------------------------------------------- end-to-end curation
+    Q(
+      "q65_curation_pipeline",
+      (s, dir) => {
+        // The whole dedup family composed as ONE declarative pipeline —
+        // what a corpus curation run actually executes: exact dedup
+        // (canonical per content fingerprint) ∘ near-dup clustering (keep
+        // the component representative), rolled up to kept-corpus stats
+        // per language. Catalyst plans the fingerprint branch and the CC
+        // labels as independent subtrees joined once on doc_id.
+        val fp = md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), fp.as("f"))
+        val canon = d.groupBy("f").agg(min("doc_id").as("c"))
+        val reps = stagedLabels(s, dir)
+          .select(col("node").as("doc_id"), col("label").as("rep"))
+        d.join(canon, "f")
+          .join(reps, Seq("doc_id"), "left_outer")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("c") &&
+              (col("rep").isNull || col("rep") === col("doc_id")), 1L)
+              .otherwise(0L)).as("n_kept"))
+      },
+      Some(ccCte + """,
+        fp AS (SELECT doc_id, lang,
+                      md5(array_to_string(list_sort(string_split(
+                        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS f
+               FROM documents),
+        canon AS (SELECT f, MIN(doc_id) AS c FROM fp GROUP BY f)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id = c AND
+                               (cluster_rep IS NULL OR cluster_rep = doc_id)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM fp JOIN canon USING (f) LEFT JOIN cc USING (doc_id)
+        GROUP BY lang"""),
+      "End-to-end curation: exact dedup ∘ near-dup clustering rolled up to " +
+        "kept-corpus stats per language — the dedup family composed as one " +
+        "declarative pipeline (pipeline ops brief)."),
 
 
     // ------------------------------------------ embedding-cosine near-dup

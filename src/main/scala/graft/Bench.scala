@@ -25,6 +25,31 @@ import java.nio.file.{Files, Paths}
 object Bench {
   private val Repeats = 3
 
+  /** Times each query `repeats` times via `once`, returning (min timings,
+    * errors). A query that throws lands in the error map with its exception
+    * and is excluded from timings — exposed for the spec that proves a
+    * crashing query can never report a fast-normal number.
+    */
+  def measure(
+      queries: Seq[(String, () => Unit)],
+      repeats: Int = Repeats): (Vector[(String, Double)], Map[String, String]) = {
+    val timings = Vector.newBuilder[(String, Double)]
+    val errors = Map.newBuilder[String, String]
+    queries.foreach { case (name, once) =>
+      val samples = (1 to repeats).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { once(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+            None
+        }
+      }
+      samples.minOption.foreach(best => timings += name -> best)
+    }
+    (timings.result(), errors.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,25 +77,12 @@ object Bench {
       try once(fn) catch { case _: Throwable => () }
     }
 
-    val timings = Vector.newBuilder[(String, Double)]
-    val errors = Vector.newBuilder[(String, String)]
-    queries.foreach { case (name, fn) =>
-      val samples = (1 to Repeats).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { once(fn); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
-            None
-        }
-      }
-      samples.minOption.foreach(best => timings += name -> best)
-    }
+    val (ts, errMap) = measure(
+      queries.map { case (name, fn) => name -> (() => once(fn)) })
 
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
-    val ts = timings.result()
-    val errs = errors.result().toMap.toVector.sortBy(_._1)
+    val errs = errMap.toVector.sortBy(_._1)
     val qs = ts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
     val total = ts.map(_._2).sum

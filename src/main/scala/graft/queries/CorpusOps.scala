@@ -238,5 +238,50 @@ object CorpusOps {
         FROM per"""),
       "Rare-token ratio: fraction of token instances with corpus-wide " +
         "frequency <= 2 per doc — an OOV/garbled-text quality proxy " +
-        "(pipeline ops brief: quality scoring)."))
+        "(pipeline ops brief: quality scoring)."),
+
+    // --------------------------------------------- TF-IDF keyword extraction
+    Q(
+      "q66_tfidf_keywords",
+      (s, dir) => {
+        // Per-doc top-3 salient terms under the TF-IDF ORDER without the
+        // float: rank by (tf desc, df asc, term asc) — for a fixed doc, the
+        // tf·log(N/df) ordering within equal tf is exactly df ascending, so
+        // the ranking is float-free and engine-exact. Two aggregations plus
+        // a per-doc WindowGroupLimit top-k (evaluated partially before the
+        // exchange).
+        import org.apache.spark.sql.expressions.Window
+        val words = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+          .filter(col("w") =!= "")
+        val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = words.select("doc_id", "w").distinct()
+          .groupBy("w").agg(count(lit(1)).as("df"))
+        val ranked = tf.join(df, "w")
+          .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("tf").desc, col("df").asc, col("w").asc)))
+          .filter(col("rank") <= 3)
+        ranked.select(col("doc_id"), col("rank").cast("int").as("rank"),
+          col("w").as("term"), col("tf"), col("df"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, w
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^\pL\p{Nd}]+')) AS w
+                FROM documents)
+          WHERE w <> ''),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        df AS (SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM w) GROUP BY 1),
+        r AS (
+          SELECT doc_id, w, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, w ASC) AS rank
+          FROM tf JOIN df USING (w))
+        SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, tf, df
+        FROM r WHERE rank <= 3"""),
+      "TF-IDF keyword extraction: per-doc top-3 terms by (tf desc, df asc) " +
+        "— the tf·idf ordering made float-free and engine-exact; partial " +
+        "top-k before the shuffle (pipeline ops brief: keyword tagging)."))
 }

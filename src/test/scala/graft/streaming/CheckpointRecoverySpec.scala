@@ -58,4 +58,57 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(out == Set(("a", 100L), ("b", 200L), ("a", 86410L)),
       s"state not restored correctly: $out")
   }
+
+  test("DwdLogStream repair+keyword topology resumes from checkpoint without dupes or losses") {
+    import graft.model.Envelopes
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("logckpt_in").toString
+    val outDir = Files.createTempDirectory("logckpt_out").toString
+    val ckpt = Files.createTempDirectory("logckpt_state").toString
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def writeEvents(rows: Seq[(Long, Long, String, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "props", "ts")
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    // pages tokenize their page_id (= event_type); 10 s windows
+    writeEvents(Seq(
+      (1L, 10L, "view", """{"k":1}""", ts(5)),
+      (2L, 11L, "click", """{"k":1}""", ts(6))))
+
+    def pipeline() = {
+      val schema = spark.read.parquet(inDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      DwdLogStream.keywordWindow(
+        StatefulOps.newVisitorRepair(
+          DwdLogStream.pageViews(Envelopes.parseLog(Envelopes.logFromEvents(src)))))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    val q1 = pipeline()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart: more pages in a later window plus a wake event far ahead so
+    // the earlier windows finalize AFTER recovery — their counts must
+    // include the pre-restart events exactly once
+    writeEvents(Seq(
+      (3L, 10L, "view", """{"k":1}""", ts(15)),
+      (4L, 12L, "purchase", """{"k":1}""", ts(16)),
+      (5L, 99L, "view", """{"k":1}""", ts(1000))))
+
+    val q2 = pipeline()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("1970-01-01 00:00:00", "view", 1L),
+      ("1970-01-01 00:00:00", "click", 1L),
+      ("1970-01-01 00:00:10", "view", 1L),
+      ("1970-01-01 00:00:10", "purchase", 1L)),
+      s"checkpoint recovery lost or duplicated window state: $out")
+  }
 }

@@ -236,5 +236,121 @@ object Extras {
       "AS-OF join: latest right-side version at-or-before each left row's " +
         "time (FOR SYSTEM_TIME AS OF semantics, ref " +
         "RT/app/dwd/db/DwdTradeCartAdd.java:54-56) — composed from keyed " +
-        "join + time predicate + per-row top-1."))
+        "join + time predicate + per-row top-1."),
+
+    // ------------------------------------------------------------ ROLLUP
+    Q(
+      "q67_rollup",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("order_ct"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_amount"))
+          .select(col("o_orderpriority").as("priority"),
+            col("o_orderstatus").as("status"),
+            col("order_ct"), col("total_amount")),
+      Some("""
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               COUNT(*) AS order_ct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""),
+      "ROLLUP hierarchy aggregation (priority → status → grand total): " +
+        "multi-level OLAP subtotals in one pass — beyond-reference engine " +
+        "surface."),
+
+    // ------------------------------------------------------------- PIVOT
+    Q(
+      "q68_pivot",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupBy(month(col("o_orderdate")).cast("long").as("order_month"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("order_month"),
+            coalesce(col("F"), lit(0L)).as("f_ct"),
+            coalesce(col("O"), lit(0L)).as("o_ct"),
+            coalesce(col("P"), lit(0L)).as("p_ct")),
+      Some("""
+        SELECT EXTRACT(month FROM o_orderdate) AS order_month,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_ct,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_ct,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_ct
+        FROM orders
+        GROUP BY 1"""),
+      "PIVOT: order counts spread across status columns per month — " +
+        "beyond-reference engine surface (relational pivot operator)."),
+
+    // ----------------------------------------------------- running totals
+    Q(
+      "q69_running_total",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("day_amt"))
+        val w = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("day_amt").cast("double").as("day_amount"),
+            // running sum over exact decimal, ordered frame: engine-exact
+            sum(col("day_amt")).over(w).cast("double").as("cum_amount"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_amt
+          FROM orders GROUP BY 1)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(day_amt AS DOUBLE) AS day_amount,
+               CAST(SUM(day_amt) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS cum_amount
+        FROM daily"""),
+      "Running cumulative totals (ordered window frame over exact " +
+        "decimals, cast once at the edge) — beyond-reference engine " +
+        "surface (frame-based window aggregation)."),
+
+    // -------------------------------------------------- column profiling
+    Q(
+      "q70_column_profile",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        def profile(c: String) =
+          l.agg(lit(c).as("column_name"),
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("min_val"),
+            max(col(c)).cast("double").as("max_val"))
+        profile("l_quantity")
+          .unionByName(profile("l_extendedprice"))
+          .unionByName(profile("l_discount"))
+      },
+      Some("""
+        SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT l_quantity) AS n_distinct,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*),
+               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_extendedprice),
+               CAST(MIN(l_extendedprice) AS DOUBLE),
+               CAST(MAX(l_extendedprice) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*),
+               CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_discount),
+               CAST(MIN(l_discount) AS DOUBLE),
+               CAST(MAX(l_discount) AS DOUBLE)
+        FROM lineitem"""),
+      "Column profiling: per-column row/null/distinct counts and min/max " +
+        "in one scan each — the data-quality survey a warehouse runs " +
+        "before ingest (beyond-reference engine surface)."))
 }

@@ -352,5 +352,29 @@ object Extras {
         FROM lineitem"""),
       "Column profiling: per-column row/null/distinct counts and min/max " +
         "in one scan each — the data-quality survey a warehouse runs " +
-        "before ingest (beyond-reference engine surface)."))
+        "before ingest (beyond-reference engine surface)."),
+
+    // --------------------------------------------- EXCEPT / INTERSECT
+    Q(
+      "q71_set_ops",
+      (s, dir) => {
+        // churn/retention via relational set ops: customers active only in
+        // H1 (EXCEPT), and customers active in both halves (INTERSECT)
+        val o = Tables(s, dir, "orders")
+        val h1 = o.filter(month(col("o_orderdate")) <= 6).select("o_custkey")
+        val h2 = o.filter(month(col("o_orderdate")) > 6).select("o_custkey")
+        h1.except(h2)
+          .select(lit("h1_only").as("segment"), col("o_custkey"))
+          .unionByName(
+            h1.intersect(h2)
+              .select(lit("both").as("segment"), col("o_custkey")))
+      },
+      Some("""
+        WITH h1 AS (SELECT o_custkey FROM orders WHERE EXTRACT(month FROM o_orderdate) <= 6),
+        h2 AS (SELECT o_custkey FROM orders WHERE EXTRACT(month FROM o_orderdate) > 6)
+        SELECT 'h1_only' AS segment, o_custkey FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+        UNION ALL
+        SELECT 'both', o_custkey FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)"""),
+      "EXCEPT / INTERSECT set operations: half-year churn and retention " +
+        "segments — beyond-reference engine surface (§2.10 completion)."))
 }

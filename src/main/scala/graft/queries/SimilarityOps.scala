@@ -121,6 +121,68 @@ object SimilarityOps {
         "candidates by bucket-equality join, exact rescoring of candidates " +
         "only (pipeline ops brief; the 100 TB path)."),
 
+    // ------------------------------------------------- multiprobe LSH ANN
+    Q(
+      "q72_ann_multiprobe",
+      (s, dir) => {
+        // Multiprobe LSH: each query probes its own bucket PLUS the 6
+        // one-bit-flip neighbors in every table — near-miss sign bits (the
+        // dominant LSH failure mode) stop costing recall, so 4 tables with
+        // 7 probes each beat plain LSH at comparable candidate volume
+        // without storing more tables. Probe keys are generated by XOR
+        // masks on the query side only; the corpus index is untouched.
+        val tables = 4; val bits = 6
+        val base = vecs(s, dir)
+        val withBuckets = base.select(
+          (col("vec_id") +: col("v") +: buckets(col("v"), tables, bits)): _*)
+        val q = withBuckets.filter(col("vec_id") < 5)
+        val c = withBuckets.filter(col("vec_id") >= 5)
+        val masks = typedLit(0L +: (0 until bits).map(b => 1L << b))
+        val cands = (0 until tables).map { t =>
+          q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+              explode(transform(masks, m => col(s"bucket$t").bitwiseXOR(m)))
+                .as("bk"))
+            .join(c.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+              col(s"bucket$t").as("bk")), "bk")
+            .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+        }.reduce(_ unionByName _).distinct()
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        cands
+          .withColumn("sim",
+            dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${graft.functions.VectorFns.planesCte(4, 6)},
+        probes AS (
+          SELECT vec_id, t, xor(bk, m) AS bk
+          FROM bk, UNNEST([0, 1, 2, 4, 8, 16, 32]) AS mm(m)
+          WHERE vec_id < 5),
+        cand AS (
+          SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM probes p JOIN bk c ON p.t = c.t AND p.bk = c.bk
+          WHERE c.vec_id >= 5),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qe.v, ce.v) /
+                   (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS sim
+          FROM cand JOIN e qe ON query_id = qe.vec_id
+                    JOIN e ce ON neighbor_id = ce.vec_id),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
+        FROM r WHERE rn <= 5"""),
+      "Multiprobe LSH ANN: 4 tables x (own bucket + 6 one-bit-flip " +
+        "probes) — recall of a larger index at the storage cost of a " +
+        "smaller one; probes generated query-side only " +
+        "(pipeline ops brief: the recall/storage trade at scale)."),
+
     // ----------------------------------------------------------- IVF ANN
     Q(
       "q46_ann_ivf",

@@ -28,6 +28,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall collapsed: $recall")
   }
 
+  test("q72 multiprobe LSH recall is usable and its candidates cover the exact buckets") {
+    val exact = run("q38_knn_bruteforce")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = run("q72_ann_multiprobe")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect multi).size.toDouble / exact.size
+    info(s"multiprobe recall@5 = $recall (${multi.size} rows)")
+    assert(recall >= 0.2, s"multiprobe recall collapsed: $recall")
+  }
+
   test("q46 IVF ANN finds a usable fraction of brute-force top-5 (recall)") {
     val exact = run("q38_knn_bruteforce")
       .select("query_id", "neighbor_id").collect()

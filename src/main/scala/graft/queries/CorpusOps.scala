@@ -166,10 +166,14 @@ object CorpusOps {
         // bench and corpus are shingled SEPARATELY so the doc_id filters
         // push to the scans and each row is 5-grammed exactly once (a
         // shared g5 frame would re-derive the full shingle pipeline under
-        // both filters)
+        // both filters). Grams are 8-byte-hashed before the join — the
+        // same shuffle-volume trick as q35 (counts unchanged modulo a
+        // 2^-64 collision; the oracle joins raw strings).
         def g5(df: org.apache.spark.sql.DataFrame) =
           df.select(col("doc_id"),
-            explode(wordNgrams(tokens(col("text")), 5)).as("ng")).distinct()
+            explode(wordNgrams(tokens(col("text")), 5)).as("g"))
+            .select(col("doc_id"), xxhash64(col("g")).as("ng"))
+            .distinct()
         val benchG = g5(docs(s, dir).filter(col("doc_id") < 10))
           .select("ng").distinct()
         val corpus = docs(s, dir).filter(col("doc_id") >= 10).select("doc_id")

@@ -295,5 +295,110 @@ object SimilarityOps {
       "Random-projection embedding compression 64→16 (JL transform with " +
         "deterministic ±1 planes): the pre-indexing compression pass; " +
         "leading components + projected norm verified cross-engine " +
-        "(pipeline ops brief: embedding ops at scale)."))
+        "(pipeline ops brief: embedding ops at scale)."),
+
+    // --------------------------------------------- hybrid retrieval (RRF)
+    Q(
+      "q73_hybrid_rrf",
+      (s, dir) => {
+        // Hybrid search: a lexical arm (shared distinct tokens, df-capped
+        // blocking — never all-pairs) and a vector arm (exact cosine)
+        // fused by reciprocal-rank fusion. RRF works on INTEGER ranks, so
+        // the fusion is engine-exact: score = Σ 1/(60+rank) over the arms
+        // that found the doc — the standard k=60 formula. vec_id aligns
+        // with doc_id in the fixture (one embedding per document).
+        import graft.functions.TextFns.hash32
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+        val docsT = Tables(s, dir, "documents")
+        val words = docsT
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+          .withColumn("wtok", hash32(col("tok"))).drop("tok")
+        val capped = words.join(
+          words.groupBy("wtok").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 100).select("wtok"), "wtok")
+        val lex = capped.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("wtok"))
+          .join(capped.filter(col("doc_id") >= 5)
+            .select(col("doc_id").as("doc_id"), col("wtok")), "wtok")
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
+          .withColumn("rank_lex", row_number().over(
+            w.orderBy(col("shared").desc, col("doc_id").asc)))
+          .filter(col("rank_lex") <= 20)
+          .select("query_id", "doc_id", "rank_lex")
+        val base = vecs(s, dir)
+        val vec = base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("doc_id"), col("v").as("cv"))
+          .crossJoin(broadcast(base.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+          .withColumn("sim",
+            dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rank_vec", row_number().over(
+            w.orderBy(col("sim").desc, col("doc_id").asc)))
+          .filter(col("rank_vec") <= 20)
+          .select("query_id", "doc_id", "rank_vec")
+        val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            when(col("rank_lex").isNotNull, lit(1.0) / (lit(60) + col("rank_lex")))
+              .otherwise(lit(0.0)) +
+            when(col("rank_vec").isNotNull, lit(1.0) / (lit(60) + col("rank_vec")))
+              .otherwise(lit(0.0)))
+          .withColumn("rank", row_number().over(
+            w.orderBy(col("rrf").desc, col("doc_id").asc)))
+          .filter(col("rank") <= 5)
+        fused.select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("rrf"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS wtok
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^\pL\p{Nd}]+')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        capped AS (
+          SELECT t.* FROM toks t
+          JOIN (SELECT wtok FROM toks GROUP BY wtok HAVING COUNT(*) <= 100) g
+          USING (wtok)),
+        lex AS (
+          SELECT query_id, doc_id, rank_lex FROM (
+            SELECT q.doc_id AS query_id, c.doc_id AS doc_id, COUNT(*) AS shared,
+                   row_number() OVER (PARTITION BY q.doc_id
+                     ORDER BY COUNT(*) DESC, c.doc_id ASC) AS rank_lex
+            FROM capped q JOIN capped c
+              ON q.wtok = c.wtok AND q.doc_id < 5 AND c.doc_id >= 5
+            GROUP BY 1, 2)
+          WHERE rank_lex <= 20),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        vec AS (
+          SELECT query_id, doc_id, rank_vec FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_dot_product(q.v, c.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     DESC, c.vec_id ASC) AS rank_vec
+            FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id >= 5)
+          WHERE rank_vec <= 20),
+        fused AS (
+          SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 (CASE WHEN l.rank_lex IS NULL THEN 0.0
+                       ELSE 1.0 / (60 + l.rank_lex) END) +
+                 (CASE WHEN v.rank_vec IS NULL THEN 0.0
+                       ELSE 1.0 / (60 + v.rank_vec) END) AS rrf
+          FROM lex l FULL JOIN vec v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        r AS (SELECT query_id, doc_id, rrf,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf DESC, doc_id ASC) AS rank
+              FROM fused)
+        SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf
+        FROM r WHERE rank <= 5"""),
+      "Hybrid retrieval: df-capped lexical overlap arm + exact cosine arm " +
+        "fused by reciprocal-rank fusion (k=60, integer ranks → " +
+        "engine-exact doubles) — the lexical+vector search a training-data " +
+        "retrieval stack runs (pipeline ops brief)."))
 }

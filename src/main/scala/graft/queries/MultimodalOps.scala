@@ -266,5 +266,34 @@ object MultimodalOps {
         FROM documents"""),
       "Real PNG/GIF/JPEG header parsing (parseDims) exercised end-to-end " +
         "by a hash-checked query over synthesized container payloads " +
-        "(pipeline ops brief: multimodal decode plumbing)."))
+        "(pipeline ops brief: multimodal decode plumbing)."),
+
+    Q(
+      "q74_resize_geometry",
+      (s, dir) =>
+        // The resize stage through the gate: decode real headers, resize to
+        // maxDim=256 preserving aspect ratio, and hash-check the geometry
+        // against the same arithmetic in DuckDB (scale = min(1, 256/max),
+        // truncating like the kernel does). Exercises decode→resize as a
+        // pipeline, not just per-stage specs.
+        resizeStub(decodeStub(syntheticContainers(s, dir)), maxDim = 256).toDF()
+          .select(col("mediaId").as("doc_id"),
+            col("width").as("r_width"), col("height").as("r_height")),
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + doc_id % 1000 AS INT) AS w,
+                 CAST(9 + doc_id % 500 AS INT) AS h
+          FROM documents),
+        scaled AS (
+          SELECT doc_id, w, h,
+                 LEAST(1.0, 256.0 / GREATEST(w, h)) AS sc
+          FROM dims)
+        SELECT doc_id,
+               CAST(GREATEST(1, TRUNC(w * sc)) AS INT) AS r_width,
+               CAST(GREATEST(1, TRUNC(h * sc)) AS INT) AS r_height
+        FROM scaled"""),
+      "Resize geometry through the decode pipeline: aspect-preserving " +
+        "maxDim=256 targets verified against the oracle's identical " +
+        "truncating arithmetic (pipeline ops brief: multimodal transforms)."))
 }

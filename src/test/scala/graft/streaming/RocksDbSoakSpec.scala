@@ -83,6 +83,28 @@ class RocksDbSoakSpec extends SparkSpec {
       .forall(_.map(p => p.ts.getTime / 86400000L).distinct.size == 1))
   }
 
+  test("DwdLogStream multi-stateful topology: RocksDB provider matches default") {
+    import graft.model.Envelopes
+    import spark.implicits._
+    // repair (flatMapGroupsWithState) chained into a watermarked window
+    // aggregate — two state stores in one query, both on RocksDB
+    val fixture = Seq(
+      Seq(LogEv(1, 10, "view", """{"k":1}""", ts(5)),
+        LogEv(2, 11, "click", """{"k":1}""", ts(6))),
+      Seq(LogEv(3, 10, "view", """{"k":1}""", ts(15)),
+        LogEv(4, 12, "purchase", """{"k":1}""", ts(16))),
+      Seq(LogEv(5, 99, "view", """{"k":1}""", ts(1000))))
+    def topo(ds: Dataset[LogEv]) =
+      DwdLogStream.keywordWindow(
+        StatefulOps.newVisitorRepair(
+          DwdLogStream.pageViews(
+            Envelopes.parseLog(Envelopes.logFromEvents(ds.toDF())))))
+        .as[(String, String, Long)]
+    val (rocks, default) = bothProviders(fixture)(topo)
+    assert(rocks.sorted == default.sorted)
+    assert(rocks.nonEmpty)
+  }
+
   test("C1 bounce detection: RocksDB provider matches default") {
     import spark.implicits._
     val fixture = (1 to 300).flatMap { u =>

@@ -66,6 +66,31 @@ object VectorFns {
         .reduce(_ + _).as(s"bucket$t")
     }
 
+  /** All `tables` packed bucket ids as ONE array column — identical values
+    * to [[buckets]] (same left-fold dot per plane p = t*bits+b, same
+    * low-to-high sign-bit packing, exact integer adds), but the Catalyst
+    * tree is a single nested higher-order function over one literal plane
+    * matrix instead of tables*bits unrolled 64-element folds. The unrolled
+    * form cost ~1 s of fixed analyze/optimize time PER REFERENCE of the
+    * bucketed frame (measured on q39, which referenced it 12x through a
+    * 6-way union); this form plans in milliseconds and `posexplode`s into
+    * the (vec_id, t, bk) triple shape the pair joins want anyway.
+    */
+  def bucketArray(v: Column, tables: Int, bits: Int): Column = {
+    val planes = typedLit((0 until tables * bits).map(p => planeSigns(p)))
+    val powers = typedLit((0 until bits).map(b => 1L << b))
+    val arr = transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) => {
+        val signs = element_at(planes, t * lit(bits) + b + lit(1))
+        val d = aggregate(zip_with(v, signs, (x, sgn) => x * sgn),
+          lit(0.0), (a, x) => a + x)
+        acc + when(d >= 0, element_at(powers, b + lit(1))).otherwise(lit(0L))
+      }))
+    when(size(v) === Dims, arr).otherwise(raise_error(concat(
+      lit(s"bucketArray: expected $Dims-dim vector, got size="),
+      size(v).cast("string"))))
+  }
+
   /** DuckDB CTE computing the same (plane, signs) table for `tables*bits`
     * hyperplanes — prepend to any oracle that needs bucket assignment.
     */

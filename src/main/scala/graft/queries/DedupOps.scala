@@ -295,7 +295,7 @@ object DedupOps {
     Q(
       "q45_embedding_neardup",
       (s, dir) => {
-        import graft.functions.VectorFns.{buckets, dot, norm}
+        import graft.functions.VectorFns.{bucketArray, dot, norm}
         val tables = 4; val bits = 6
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
@@ -305,10 +305,8 @@ object DedupOps {
         // deduped while still small and vectors re-attach afterwards by
         // key join — at corpus scale this is the difference between
         // shuffling ids and shuffling the embedding matrix
-        val ids = base.select(
-          (col("vec_id") +: buckets(col("v"), tables, bits)): _*)
-          .selectExpr("vec_id",
-            "stack(4, 0, bucket0, 1, bucket1, 2, bucket2, 3, bucket3) as (t, bk)")
+        val ids = base.select(col("vec_id"),
+          posexplode(bucketArray(col("v"), tables, bits)).as(Seq("t", "bk")))
         val pairIds = ids.select(col("vec_id").as("i"), col("t"), col("bk"))
           .join(ids.select(col("vec_id").as("j"), col("t"), col("bk")),
             Seq("t", "bk"))

@@ -26,7 +26,7 @@ object SimilarityOps {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  import graft.functions.VectorFns.{dot, norm, buckets}
+  import graft.functions.VectorFns.{dot, norm, bucketArray}
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------ brute-force cosine kNN
@@ -70,25 +70,28 @@ object SimilarityOps {
       "q39_ann_lsh",
       (s, dir) => {
         // L=6 tables x 6 sign bits: recall rises with L (union of tables),
-        // candidate cost stays bounded by bucket width (bits)
+        // candidate cost stays bounded by bucket width (bits). One
+        // (vec_id, t, bk) triple frame + a single (t, bk) equality join —
+        // the 6-way per-table union was candidate-identical but re-planned
+        // the 36-plane bucket tree 12x (~1 s of fixed optimizer time).
         val tables = 6; val bits = 6
         val base = vecs(s, dir)
-        val withBuckets = base.select(
-          (col("vec_id") +: col("v") +: buckets(col("v"), tables, bits)): _*)
-        val q = withBuckets.filter(col("vec_id") < 5)
-        val c = withBuckets.filter(col("vec_id") >= 5)
-        // candidates = union over tables of same-bucket (query, candidate)
-        val cands = (0 until tables).map { t =>
-          q.select(col("vec_id").as("query_id"), col("v").as("qv"),
-              col(s"bucket$t").as("bk"))
-            .join(
-              c.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-                col(s"bucket$t").as("bk")), "bk")
-            .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
-        }.reduce(_ unionByName _).distinct()
+        val trip = base.select(col("vec_id"),
+          posexplode(bucketArray(col("v"), tables, bits)).as(Seq("t", "bk")))
+        val cands = trip.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("t"), col("bk"))
+          .join(trip.filter(col("vec_id") >= 5)
+            .select(col("vec_id").as("neighbor_id"), col("t"), col("bk")),
+            Seq("t", "bk"))
+          .select(col("query_id"), col("neighbor_id"))
+          .distinct()
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
         cands
+          .join(base.select(col("vec_id").as("query_id"), col("v").as("qv")),
+            "query_id")
+          .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+            "neighbor_id")
           .withColumn("sim",
             dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
           .withColumn("rank", row_number().over(w))
@@ -133,22 +136,27 @@ object SimilarityOps {
         // masks on the query side only; the corpus index is untouched.
         val tables = 4; val bits = 6
         val base = vecs(s, dir)
-        val withBuckets = base.select(
-          (col("vec_id") +: col("v") +: buckets(col("v"), tables, bits)): _*)
-        val q = withBuckets.filter(col("vec_id") < 5)
-        val c = withBuckets.filter(col("vec_id") >= 5)
+        val trip = base.select(col("vec_id"),
+          posexplode(bucketArray(col("v"), tables, bits)).as(Seq("t", "bk")))
         val masks = typedLit(0L +: (0 until bits).map(b => 1L << b))
-        val cands = (0 until tables).map { t =>
-          q.select(col("vec_id").as("query_id"), col("v").as("qv"),
-              explode(transform(masks, m => col(s"bucket$t").bitwiseXOR(m)))
-                .as("bk"))
-            .join(c.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-              col(s"bucket$t").as("bk")), "bk")
-            .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
-        }.reduce(_ unionByName _).distinct()
+        // probe keys generated query-side from the same triple frame: own
+        // bucket XOR each one-bit mask, per table
+        val probes = trip.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("t"),
+            explode(transform(masks, m => col("bk").bitwiseXOR(m))).as("bk"))
+        val cands = probes
+          .join(trip.filter(col("vec_id") >= 5)
+            .select(col("vec_id").as("neighbor_id"), col("t"), col("bk")),
+            Seq("t", "bk"))
+          .select(col("query_id"), col("neighbor_id"))
+          .distinct()
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
         cands
+          .join(base.select(col("vec_id").as("query_id"), col("v").as("qv")),
+            "query_id")
+          .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+            "neighbor_id")
           .withColumn("sim",
             dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
           .withColumn("rank", row_number().over(w))

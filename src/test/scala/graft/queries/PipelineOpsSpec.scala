@@ -175,6 +175,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"near-dup recall collapsed: $recall")
   }
 
+  test("bucketArray packs the same bucket ids as the unrolled buckets columns") {
+    import spark.implicits._
+    import graft.functions.VectorFns.{buckets, bucketArray}
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(13)
+    val df = (0 until 50).map(i => i.toLong -> Seq.fill(64)(rng.nextGaussian()))
+      .toDF("vec_id", "v")
+    val tables = 6; val bits = 6
+    val unrolled = df.select(
+      (col("vec_id") +: buckets(col("v"), tables, bits)): _*)
+      .collect().map(r => r.getLong(0) -> (1 to tables).map(r.getLong)).toMap
+    val packed = df.select(col("vec_id"), bucketArray(col("v"), tables, bits).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed.keySet == unrolled.keySet)
+    packed.foreach { case (id, bks) => assert(bks == unrolled(id), s"vec $id") }
+  }
+
+  test("bucketArray raises on dimensionality drift instead of mis-bucketing") {
+    import spark.implicits._
+    import graft.functions.VectorFns.bucketArray
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq.fill(63)(0.5))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      df.select(bucketArray(col("v"), 2, 4)).collect()
+    }
+    assert(e.getMessage.contains("expected 64-dim"))
+  }
+
   test("q52 rolling-hash chunks are insertion-robust") {
     import graft.functions.RollingHash
     val words = Seq("alpha","bridge","cloud","delta","ember","forest","glade",

@@ -251,6 +251,48 @@ object DedupOps {
         "round, O(diameter) rounds), keep = component-min representative " +
         "(pipeline ops brief: dedup decisions at corpus scale)."),
 
+    // -------------------------------------- cluster representative selection
+    Q(
+      "q78_cluster_representative",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Quality-aware dedup: instead of q57's arbitrary min-id keeper,
+        // each near-dup cluster elects the LONGEST member (n_chars as the
+        // quality proxy; doc_id tiebreak) — the "keep the best copy" rule a
+        // curation pipeline actually wants. One join to attach quality, one
+        // windowed top-1 per cluster (partial before the exchange), one
+        // count aggregate; reuses the session-staged CC labels.
+        val members = stagedLabels(s, dir)
+          .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+          .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+        val stats = members.groupBy("cluster_rep")
+          .agg(count(lit(1)).as("n_members"), max(col("n_chars")).as("max_chars"))
+        val w = Window.partitionBy(col("cluster_rep"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        members
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster_rep"), col("doc_id").as("best_doc"))
+          .join(stats, "cluster_rep")
+      },
+      Some(ccCte + """,
+        m AS (SELECT cc.doc_id, cc.cluster_rep, d.n_chars
+              FROM cc JOIN documents d USING (doc_id)),
+        best AS (
+          SELECT cluster_rep, doc_id AS best_doc,
+                 row_number() OVER (PARTITION BY cluster_rep
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM m),
+        st AS (SELECT cluster_rep, COUNT(*) AS n_members,
+                      MAX(n_chars) AS max_chars
+               FROM m GROUP BY cluster_rep)
+        SELECT cluster_rep, best_doc, n_members, max_chars
+        FROM best JOIN st USING (cluster_rep) WHERE rn = 1"""),
+      "Cluster-representative election: each near-dup cluster keeps its " +
+        "highest-quality member (length proxy, deterministic tiebreak) — " +
+        "the keep-the-best-copy dedup decision; windowed top-1 per cluster " +
+        "over session-staged CC labels (pipeline ops brief)."),
+
     // --------------------------------------------- end-to-end curation
     Q(
       "q65_curation_pipeline",

@@ -376,5 +376,104 @@ object Extras {
         UNION ALL
         SELECT 'both', o_custkey FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)"""),
       "EXCEPT / INTERSECT set operations: half-year churn and retention " +
-        "segments — beyond-reference engine surface (§2.10 completion)."))
+        "segments — beyond-reference engine surface (§2.10 completion)."),
+
+    // ------------------------------------------------- lead/lag gap stats
+    Q(
+      "q75_event_gap_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Per-user inter-event gaps via lag over a total order (ts, then
+        // event_id for same-microsecond ties). Gaps in integer microseconds
+        // so every aggregate is order-independent exact; one shuffle on
+        // user_id (high cardinality — naturally parallel at corpus scale).
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+          .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("gap_us")).as("n_gaps"),
+            max(col("gap_us")).as("max_gap_us"),
+            sum(col("gap_us")).as("total_gap_us"),
+            sum(when(col("gap_us") > 300L * 1000000L, 1L).otherwise(0L))
+              .as("n_session_breaks"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS gap_us
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(gap_us) AS n_gaps,
+               MAX(gap_us) AS max_gap_us,
+               CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+               CAST(SUM(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_session_breaks
+        FROM g GROUP BY user_id"""),
+      "Per-user inter-event gap statistics via lag over a deterministic " +
+        "total order: session-break detection in integer microseconds — " +
+        "beyond-reference engine surface (lead/lag window navigation)."),
+
+    // -------------------------------------------------------------- CUBE
+    Q(
+      "q76_cube_agg",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("line_ct"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .select(col("l_returnflag").as("rflag"),
+            col("l_linestatus").as("lstatus"),
+            col("line_ct"), col("sum_qty"), col("sum_price")),
+      Some("""
+        SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+               COUNT(*) AS line_ct,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)"""),
+      "CUBE aggregation: all 2^k grouping-set combinations (flag x status " +
+        "x subtotals x grand total) in one pass over exact decimals — " +
+        "beyond-reference engine surface (completes ROLLUP/PIVOT/CUBE)."),
+
+    // -------------------------------------------------- ntile quantile bins
+    Q(
+      "q79_length_deciles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Decile binning of document lengths: ntile over a total order
+        // (n_chars, doc_id), rolled up to per-bin profiles. The global sort
+        // is the scale cost — at 100 TB this becomes approx_percentile
+        // cutpoints + a broadcast range join; exact ntile is the
+        // correctness baseline the approximate path is judged against.
+        val w = Window.orderBy(col("n_chars"), col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            ntile(10).over(w).cast("int").as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, n_chars,
+                 CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile
+          FROM documents)
+        SELECT decile, COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM b GROUP BY decile"""),
+      "Quantile binning: ntile(10) length deciles over a deterministic " +
+        "total order with per-bin profiles — the length-bucketing step of " +
+        "a curriculum/packing pipeline (beyond-reference engine surface)."))
 }

@@ -408,5 +408,53 @@ object SimilarityOps {
       "Hybrid retrieval: df-capped lexical overlap arm + exact cosine arm " +
         "fused by reciprocal-rank fusion (k=60, integer ranks → " +
         "engine-exact doubles) — the lexical+vector search a training-data " +
-        "retrieval stack runs (pipeline ops brief)."))
+        "retrieval stack runs (pipeline ops brief)."),
+
+    // -------------------------------------------- int8 scalar quantization
+    Q(
+      "q77_int8_quantize",
+      (s, dir) => {
+        // Symmetric per-vector int8 quantization (the storage/serving
+        // format of a billion-vector index): scale = max|x|, q =
+        // floor(x/scale*127 + 0.5). Explode→agg keeps every reported
+        // statistic integer-exact (scale itself is a max — order-free);
+        // the profile proves round-trip bounds without shipping arrays
+        // through the compare layer. Scan + one groupBy on vec_id: no
+        // joins, naturally parallel at corpus scale.
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(transform(col("embedding"), x => x.cast("double")))
+              .as(Seq("i", "x")))
+        val q = e
+          .withColumn("scale", max(abs(col("x")))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))))
+          .withColumn("q",
+            when(col("scale") === 0.0, lit(0L))
+              .otherwise(floor(col("x") / col("scale") * 127.0 + 0.5)))
+        q.groupBy("vec_id")
+          .agg(max(col("scale")).as("scale"),
+            sum(col("q")).as("q_sum"),
+            min(col("q")).cast("int").as("q_min"),
+            max(col("q")).cast("int").as("q_max"),
+            sum(when(col("q") =!= 0L, 1L).otherwise(0L)).as("n_nonzero"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+        sc AS (SELECT vec_id, MAX(ABS(x)) AS scale FROM x GROUP BY 1),
+        q AS (
+          SELECT x.vec_id, sc.scale,
+                 CASE WHEN sc.scale = 0 THEN 0
+                      ELSE CAST(FLOOR(x / sc.scale * 127 + 0.5) AS BIGINT) END AS q
+          FROM x JOIN sc USING (vec_id))
+        SELECT vec_id, MAX(scale) AS scale,
+               CAST(SUM(q) AS BIGINT) AS q_sum,
+               CAST(MIN(q) AS INT) AS q_min,
+               CAST(MAX(q) AS INT) AS q_max,
+               CAST(SUM(CASE WHEN q <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+        FROM q GROUP BY vec_id"""),
+      "Int8 scalar quantization of embeddings: per-vector symmetric scale " +
+        "+ round-half-up codes, profiled with integer-exact stats — the " +
+        "compression step before a vector index ships to serving " +
+        "(pipeline ops brief)."))
 }

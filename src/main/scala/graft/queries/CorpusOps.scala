@@ -287,5 +287,92 @@ object CorpusOps {
         FROM r WHERE rank <= 3"""),
       "TF-IDF keyword extraction: per-doc top-3 terms by (tf desc, df asc) " +
         "— the tf·idf ordering made float-free and engine-exact; partial " +
-        "top-k before the shuffle (pipeline ops brief: keyword tagging)."))
+        "top-k before the shuffle (pipeline ops brief: keyword tagging)."),
+
+    // ------------------------------------------- JSONL/CSV source interop
+    Q(
+      "q80_format_interop",
+      (s, dir) => {
+        val base = interopDir(s, dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        // the same corpus through two non-parquet sources, schema'd reads
+        // (never inferSchema — an extra pass at corpus scale), rolled up
+        // independently and equi-joined: any format/row divergence breaks
+        // the join or the oracle hash
+        def roll(df: DataFrame, suffix: String) =
+          df.groupBy("lang", "source")
+            .agg(count(lit(1)).as(s"n_$suffix"),
+              sum(col("n_chars")).as(s"chars_$suffix"))
+        roll(s.read.schema(schema).json(s"$base/jsonl"), "json")
+          .join(roll(s.read.schema(schema).option("header", "true")
+            .csv(s"$base/csv"), "csv"), Seq("lang", "source"))
+      },
+      Some("""
+        SELECT lang, source,
+               COUNT(*) AS n_json, CAST(SUM(n_chars) AS BIGINT) AS chars_json,
+               COUNT(*) AS n_csv,  CAST(SUM(n_chars) AS BIGINT) AS chars_csv
+        FROM documents
+        GROUP BY lang, source"""),
+      "Source-format interop: the corpus staged as JSON-lines AND " +
+        "headered CSV, read back through schema'd (never inferred) " +
+        "readers, rolled up per format and equi-joined — both formats must " +
+        "agree with the parquet oracle row-for-row (source surface: " +
+        "json/csv/parquet)."),
+
+    // ------------------------------------------------- domain mix weights
+    Q(
+      "q81_domain_mix",
+      (s, dir) => {
+        // Mixture weighting (the step after q58's balancing): per-source
+        // quota weight = min(1, target/|source|), expected kept count =
+        // min(target, |source|). One count aggregate over the corpus; the
+        // weight is a single division (engine-exact), never a rand()
+        // sample. At 100 TB the counts come from table stats; the weights
+        // feed q58's hash gate unchanged.
+        val target = 40L
+        docs(s, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("source"), col("n_docs"),
+            least(lit(1.0), lit(target.toDouble) / col("n_docs"))
+              .as("mix_weight"),
+            least(lit(target), col("n_docs")).as("n_after"))
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               LEAST(1.0, 40.0 / COUNT(*)) AS mix_weight,
+               LEAST(40, COUNT(*)) AS n_after
+        FROM documents
+        GROUP BY source"""),
+      "Domain-mix weighting: per-source sampling quotas (min(1, N/|src|) " +
+        "weight + expected kept count) — the mixture-balancing step of a " +
+        "pretraining data recipe, deterministic and engine-exact " +
+        "(pipeline ops brief)."))
+
+  /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
+    * dir — the side-effect analog of [[graft.Staging]] (cost once per
+    * session, results invariant; Bench stages it in warmup via q80).
+    */
+  private val interopDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def interopDir(s: SparkSession, dir: String): String =
+    interopDirs.getOrElseUpdate(dir, {
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_interop_").toString
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      d.coalesce(4).write.mode("overwrite").json(s"$base/jsonl")
+      d.coalesce(4).write.mode("overwrite").option("header", "true")
+        .csv(s"$base/csv")
+      base
+    })
 }

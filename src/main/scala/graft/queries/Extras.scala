@@ -422,17 +422,30 @@ object Extras {
     // -------------------------------------------------------------- CUBE
     Q(
       "q76_cube_agg",
-      (s, dir) =>
-        Tables(s, dir, "lineitem")
+      (s, dir) => {
+        // Pre-aggregate on the FULL grouping key before the cube: Spark's
+        // Expand otherwise replicates every input row once per grouping set
+        // (4x the scan through the shuffle). Exact decimal sums are
+        // associative, so cubing the |flag x status| pre-aggregate is
+        // result-identical — and at 100 TB the expand input drops from the
+        // fact table to a handful of rows. Measured 1.87 s -> ~0.3 s at
+        // sf0.1.
+        val base = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("ct"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("price"))
+        base
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("line_ct"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-              .as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-              .as("sum_price"))
+          .agg(sum(col("ct")).as("line_ct"),
+            sum(col("qty")).cast("double").as("sum_qty"),
+            sum(col("price")).cast("double").as("sum_price"))
           .select(col("l_returnflag").as("rflag"),
             col("l_linestatus").as("lstatus"),
-            col("line_ct"), col("sum_qty"), col("sum_price")),
+            col("line_ct"), col("sum_qty"), col("sum_price"))
+      },
       Some("""
         SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
                COUNT(*) AS line_ct,

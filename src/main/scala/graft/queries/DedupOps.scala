@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline over `documents`:
@@ -26,11 +27,14 @@ object DedupOps {
   /** Distinct (doc_id, 3-gram) pairs. Recomputed per query on purpose:
     * persisting this set measured SLOWER end-to-end (cache pressure on the
     * shared heap outweighed the recompute — shingling is scan-speed).
+    * Distinctness is PER DOC, so it's enforced with array_distinct inside
+    * the row before exploding — a global .distinct() here cost a full
+    * shuffle of 40-char shingle strings for the identical result.
     */
   private def ngramSet(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 3)).as("ng"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("ng"))
 
   private val ngramCte = """
     WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -178,29 +182,36 @@ object DedupOps {
         // this divides the blocking join's shuffle volume ~5x
         val g = ngramSet(s, dir)
           .select(col("doc_id"), xxhash64(col("ng")).as("ng"))
-        // df-cap FIRST (count-only aggregate, no collection), so a hot
-        // shingle can never materialize an unbounded list or df² pairs.
-        val capped = g.join(
-          g.groupBy("ng").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= 100).select("ng"),
-          "ng")
-        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        // df-cap FIRST (windowed count, no collection), so a hot shingle
+        // can never materialize an unbounded list or df² pairs. Windows
+        // instead of aggregate-and-rejoin: the shingle explode — the
+        // expensive subtree — runs ONCE through the plan (the join form
+        // recomputed it on both sides, and the separate sizes branch a
+        // third time; measured 3.0 s -> 2.1 s at sf0.1).
+        val wN = Window.partitionBy(col("ng"))
+        val wD = Window.partitionBy(col("doc_id"))
+        val capped = g
+          .withColumn("df", count(lit(1)).over(wN))
+          .filter(col("df") <= 100)
+          // per-doc CAPPED set size rides along into the pair expression —
+          // no sizes table, no rejoin
+          .withColumn("sz", count(lit(1)).over(wD))
         // pair generation per shingle group (bounded by the cap): collect
-        // the <=100 doc ids and emit ordered pairs as one expression —
-        // measured ~25% faster than the equivalent self-join at sf0.1.
-        val pairs = capped
-          .groupBy("ng").agg(collect_list(col("doc_id")).as("ids"))
+        // the <=100 (doc, sz) structs and emit ordered pairs as one
+        // expression — measured ~25% faster than the equivalent self-join.
+        capped
+          .groupBy("ng")
+          .agg(collect_list(struct(col("doc_id").as("d"), col("sz").as("s")))
+            .as("ids"))
           .select(explode(expr(
             "flatten(transform(ids, (x, ix) -> " +
               "filter(transform(ids, (y, iy) -> " +
-              "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
+              "IF(x.d < y.d, struct(x.d AS i, x.s AS si, y.d AS j, y.s AS sj), " +
+              "NULL)), p -> p IS NOT NULL)))"))
             .as("p"))
-          .select(col("p.i"), col("p.j"))
-          .groupBy(col("i"), col("j"))
+          .select(col("p.i"), col("p.si"), col("p.j"), col("p.sj"))
+          .groupBy(col("i"), col("si"), col("j"), col("sj"))
           .agg(count(lit(1)).as("common"))
-        pairs
-          .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
-          .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
           .withColumn("jaccard",
             col("common").cast("double") / (col("si") + col("sj") - col("common")))
           .filter(col("jaccard") >= 0.8)

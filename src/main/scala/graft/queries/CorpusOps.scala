@@ -169,11 +169,13 @@ object CorpusOps {
         // both filters). Grams are 8-byte-hashed before the join — the
         // same shuffle-volume trick as q35 (counts unchanged modulo a
         // 2^-64 collision; the oracle joins raw strings).
+        // per-doc gram distinctness enforced in-row (array_distinct) — a
+        // global .distinct() here shuffled every (doc_id, gram) pair for
+        // the identical result
         def g5(df: org.apache.spark.sql.DataFrame) =
           df.select(col("doc_id"),
-            explode(wordNgrams(tokens(col("text")), 5)).as("g"))
+            explode(array_distinct(wordNgrams(tokens(col("text")), 5))).as("g"))
             .select(col("doc_id"), xxhash64(col("g")).as("ng"))
-            .distinct()
         val benchG = g5(docs(s, dir).filter(col("doc_id") < 10))
           .select("ng").distinct()
         val corpus = docs(s, dir).filter(col("doc_id") >= 10).select("doc_id")

@@ -63,15 +63,22 @@ object DedupOps {
   }
 
   /** q36's candidate pairs (i &lt; j, distinct): equality join on full bands. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(s, dir)
-    bands.select(col("doc_id").as("i"), col("band"), col("bkey"))
-      .join(bands.select(col("doc_id").as("j"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("i") < col("j"))
-      .select(col("i"), col("j"))
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    // in-group pair generation instead of a band self-join: the join form
+    // recomputed the whole shingle->signature->band pipeline on both sides
+    // (persisting it was measured slower — see ngramSet). Same pairs, one
+    // scan. Groups are same-signature-band buckets: their size is bounded
+    // by the near-dup cluster size (docs that really do collide), the same
+    // bound the self-join's output had.
+    minhashBands(s, dir)
+      .groupBy("band", "bkey").agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, ix) -> " +
+          "filter(transform(ids, (y, iy) -> " +
+          "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
+        .as("p"))
+      .select(col("p.i"), col("p.j"))
       .distinct()
-  }
 
   /** Oracle CTE chain ending in `mh_pairs(i, j)` — the SQL twin of
     * [[minhashPairs]], shared by the q36 and q57 oracles.

@@ -488,5 +488,38 @@ object Extras {
         FROM b GROUP BY decile"""),
       "Quantile binning: ntile(10) length deciles over a deterministic " +
         "total order with per-bin profiles — the length-bucketing step of " +
-        "a curriculum/packing pipeline (beyond-reference engine surface)."))
+        "a curriculum/packing pipeline (beyond-reference engine surface)."),
+
+    // ------------------------------------------------- skew-salted join
+    Q(
+      "q82_skew_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        // The fact side joins a 5-row conversion-class dim through
+        // SkewOps.saltedJoin: the dim is replicated per salt bucket and the
+        // fact side salts deterministically, so ONE hot key fans out over
+        // saltBuckets reducers instead of one — the manual mitigation for
+        // the AQE skew-join blind spots (joins AQE can't split). Salting is
+        // result-invariant; the oracle is the plain join, which is the
+        // proof.
+        val events = Tables(s, dir, "events")
+          .select(col("event_type"), col("user_id"))
+        val dim = Seq(("click", 0), ("view", 0), ("signup", 1),
+          ("purchase", 1), ("error", 0)).toDF("et", "conv")
+        graft.operators.SkewOps.saltedJoin(events, dim, col("event_type"), col("et"))
+          .groupBy(col("conv"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        WITH dim(et, conv) AS (VALUES ('click', 0), ('view', 0),
+          ('signup', 1), ('purchase', 1), ('error', 0))
+        SELECT conv, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events JOIN dim ON event_type = et
+        GROUP BY conv"""),
+      "Skew-salted join surfaced as a query: hot-key fact side joins a " +
+        "replicated-per-salt dim, oracle-proven identical to the plain " +
+        "join — the manual skew mitigation for AQE's blind spots " +
+        "(beyond-reference engine surface)."))
 }

@@ -521,5 +521,122 @@ object Extras {
       "Skew-salted join surfaced as a query: hot-key fact side joins a " +
         "replicated-per-salt dim, oracle-proven identical to the plain " +
         "join — the manual skew mitigation for AQE's blind spots " +
-        "(beyond-reference engine surface)."))
+        "(beyond-reference engine surface)."),
+
+    // -------------------------------------------- exact percentile profile
+    Q(
+      "q83_exact_percentiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Discrete (picked, never interpolated) percentiles: the element at
+        // rank ceil(p*n) under a per-group sort. Picking an actual data
+        // value sidesteps interpolation-formula drift between engines —
+        // both sides run the identical rank arithmetic. One sort per group
+        // key; at 100 TB the same profile comes from approx_percentile
+        // (documented switch), this is its exactness baseline.
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("value"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n_events"),
+            max(when(col("rk") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+            max(when(col("rk") === ceil(col("n") * 0.9), col("value"))).as("p90"),
+            max(when(col("rk") === ceil(col("n") * 0.99), col("value"))).as("p99"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type, MAX(n) AS n_events,
+               MAX(CASE WHEN rk = CEIL(n * 0.5) THEN value END) AS p50,
+               MAX(CASE WHEN rk = CEIL(n * 0.9) THEN value END) AS p90,
+               MAX(CASE WHEN rk = CEIL(n * 0.99) THEN value END) AS p99
+        FROM r GROUP BY event_type"""),
+      "Exact discrete percentiles per group (rank-picked data values, no " +
+        "interpolation): the column-profile percentiles a warehouse quotes " +
+        "— engine-exact by construction (beyond-reference engine " +
+        "surface)."),
+
+    // ------------------------------------------------- fixed-width histogram
+    Q(
+      "q84_value_histogram",
+      (s, dir) =>
+        // Fixed-width histogram as a pure hash aggregation: bucket =
+        // floor(value/width) — scan-speed, one shuffle on (type, bucket),
+        // bucket count bounded by the value range, not the row count.
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") / 50.0).cast("long").as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("bucket_lo", col("bucket") * 50.0),
+      Some("""
+        SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(FLOOR(value / 50.0) AS BIGINT) * 50.0 AS bucket_lo
+        FROM events
+        GROUP BY 1, 2"""),
+      "Fixed-width value histogram per event type: floor-bucketing as one " +
+        "hash aggregation — the distribution profile behind monitoring " +
+        "dashboards (beyond-reference engine surface)."),
+
+    // ------------------------------------------------ time-grid gap fill
+    Q(
+      "q85_time_grid_fill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Resample to a dense per-user daily grid: sequence() generates the
+        // calendar spine (one row, exploded), cross join the (small) user
+        // dim, left join real daily counts, then forward-fill the last
+        // active day with a running max — gap filling and
+        // days-since-last-activity without any non-deterministic
+        // interpolation. The spine explode is O(days); the fill is one
+        // window per user.
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val grid = e.select("user_id").distinct().crossJoin(broadcast(spine))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        grid.join(daily, Seq("user_id", "day"), "left_outer")
+          .withColumn("n_events", coalesce(col("n"), lit(0L)))
+          .withColumn("last_active",
+            max(when(col("n_events") > 0, col("day"))).over(w))
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_events"),
+            when(col("last_active").isNull, lit(-1L))
+              .otherwise(datediff(col("day"), col("last_active")).cast("long"))
+              .as("days_since_active"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        daily AS (SELECT user_id, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        spine AS (
+          SELECT CAST(unnest(generate_series(MIN(day), MAX(day),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+          FROM e),
+        grid AS (SELECT DISTINCT e.user_id, spine.day FROM e CROSS JOIN spine),
+        f AS (
+          SELECT g.user_id, g.day, COALESCE(d.n, 0) AS n_events
+          FROM grid g LEFT JOIN daily d USING (user_id, day)),
+        ff AS (
+          SELECT user_id, day, n_events,
+                 MAX(CASE WHEN n_events > 0 THEN day END)
+                   OVER (PARTITION BY user_id ORDER BY day) AS last_active
+          FROM f)
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CAST(n_events AS BIGINT) AS n_events,
+               CASE WHEN last_active IS NULL THEN -1
+                    ELSE date_diff('day', last_active, day) END AS days_since_active
+        FROM ff"""),
+      "Time-series resampling: calendar-spine cross join + left join + " +
+        "running-max forward fill — dense per-user daily activity with " +
+        "days-since-last-active, fully deterministic (beyond-reference " +
+        "engine surface: gap filling)."))
 }

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.tokenizeDescriptor)
     ext.injectFunction(GraftExtensions.chunkFingerprintsDescriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectOptimizerRule(_ => ApproxDistinctRule)
   }
 }
@@ -50,11 +51,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, "chunk_fingerprints"),
     chunkFingerprintsExpr)
 
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "vec_dot"),
+    (args: Seq[Expression]) => graft.functions.VecDot(args(0), args(1)))
+
   /** Register on an already-running session (same effect as the extension
     * config for sessions created before the library was on the classpath).
     */
   def install(spark: SparkSession): Unit = {
-    for ((id, info, builder) <- Seq(tokenizeDescriptor, chunkFingerprintsDescriptor))
+    for ((id, info, builder) <- Seq(tokenizeDescriptor, chunkFingerprintsDescriptor,
+        vecDotDescriptor))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRule))
       spark.experimental.extraOptimizations =

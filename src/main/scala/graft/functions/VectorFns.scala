@@ -10,8 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Left-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-fold dot product of two double-array columns, as the native
+    * codegen [[VecDot]] expression (bit-identical to the HOF fold below —
+    * VecDotSpec proves it — but stays inside whole-stage codegen instead
+    * of interpreting two lambdas per element).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The higher-order-function reference form of [[dot]] — kept as the
+    * executable spec of the fold order (and the shape the DuckDB oracle's
+    * list_dot_product mirrors).
+    */
+  private[graft] def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -82,8 +96,7 @@ object VectorFns {
     val arr = transform(sequence(lit(0), lit(tables - 1)), t =>
       aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) => {
         val signs = element_at(planes, t * lit(bits) + b + lit(1))
-        val d = aggregate(zip_with(v, signs, (x, sgn) => x * sgn),
-          lit(0.0), (a, x) => a + x)
+        val d = dot(v, signs)
         acc + when(d >= 0, element_at(powers, b + lit(1))).otherwise(lit(0L))
       }))
     when(size(v) === Dims, arr).otherwise(raise_error(concat(

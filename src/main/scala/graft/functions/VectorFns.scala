@@ -61,10 +61,7 @@ object VectorFns {
     * drifted vector into wrong-but-plausible buckets.
     */
   def planeDot(v: Column, p: Int): Column =
-    when(size(v) === Dims,
-      aggregate(
-        zip_with(v, typedLit(planeSigns(p)), (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x))
+    when(size(v) === Dims, dot(v, typedLit(planeSigns(p))))
       .otherwise(raise_error(concat(
         lit(s"planeDot: expected $Dims-dim vector, got size="),
         size(v).cast("string"))))

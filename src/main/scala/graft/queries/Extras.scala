@@ -638,5 +638,75 @@ object Extras {
       "Time-series resampling: calendar-spine cross join + left join + " +
         "running-max forward fill — dense per-user daily activity with " +
         "days-since-last-active, fully deterministic (beyond-reference " +
-        "engine surface: gap filling)."))
+        "engine surface: gap filling)."),
+
+    // ---------------------------------------------------- global top-k
+    Q(
+      "q86_global_topk",
+      (s, dir) =>
+        // Global ORDER BY + LIMIT plans as TakeOrderedAndProject: each
+        // partition keeps its local top-20 and only those reach the driver-
+        // side merge — no global sort ever materializes. The deterministic
+        // (n_chars desc, doc_id) tiebreak makes the result set (and the
+        // oracle) total-order stable.
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(20),
+      Some("""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 20"""),
+      "Global top-k (ORDER BY + LIMIT -> TakeOrderedAndProject: per-" +
+        "partition partial top-k, no full sort) — the longest-documents " +
+        "report every corpus survey starts with (beyond-reference engine " +
+        "surface)."),
+
+    // ------------------------------------------------- sequence packing
+    Q(
+      "q87_sequence_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Concat-and-chunk packing index (how pretraining actually packs
+        // documents into fixed context windows): documents concatenate in
+        // doc_id order, every window of C tokens becomes one training
+        // sequence, docs may straddle windows. One running sum + integer
+        // floor division — fully deterministic. The global running sum is
+        // the scale cost; at 100 TB it becomes a per-shard running sum
+        // with broadcast shard offsets (two-pass prefix sum), identical
+        // output.
+        val C = 512L
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("bin", floor((col("cum") - col("tok")) / C))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs_starting"),
+            sum(col("tok")).as("tokens_started"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, tok,
+                 SUM(tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT CAST(FLOOR((cum - tok) / 512.0) AS BIGINT) AS bin,
+               COUNT(*) AS n_docs_starting,
+               CAST(SUM(tok) AS BIGINT) AS tokens_started,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c
+        GROUP BY 1"""),
+      "Sequence-packing index: concat-and-chunk documents into 512-token " +
+        "context windows via one running sum + floor division — the " +
+        "packing step between curation and the trainer (pipeline ops " +
+        "brief)."))
 }

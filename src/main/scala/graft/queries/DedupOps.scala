@@ -193,8 +193,9 @@ object DedupOps {
         // can never materialize an unbounded list or df² pairs. Windows
         // instead of aggregate-and-rejoin: the shingle explode — the
         // expensive subtree — runs ONCE through the plan (the join form
-        // recomputed it on both sides, and the separate sizes branch a
-        // third time; measured 3.0 s -> 2.1 s at sf0.1).
+        // recomputed it on both sides; a broadcast-df variant was measured
+        // 1.5x slower at sf0.1 because the df aggregate re-derives the
+        // explode).
         val wN = Window.partitionBy(col("ng"))
         val wD = Window.partitionBy(col("doc_id"))
         val capped = g

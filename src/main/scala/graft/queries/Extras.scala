@@ -708,5 +708,41 @@ object Extras {
       "Sequence-packing index: concat-and-chunk documents into 512-token " +
         "context windows via one running sum + floor division — the " +
         "packing step between curation and the trainer (pipeline ops " +
-        "brief)."))
+        "brief)."),
+
+    // ------------------------------------------------------ event debounce
+    Q(
+      "q88_event_debounce",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Debounce/throttle: kept=1 iff >= 6 h after the previous raw event
+        // of the same user (first event kept). Millisecond integers over a
+        // (ms, event_id) total order — engine-exact; one shuffle on
+        // user_id. Streaming twin: StatefulOps.debounce (same semantics
+        // across micro-batches, spec-proven equivalent).
+        val gapMs = 6L * 3600 * 1000
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+          .withColumn("prev", lag(col("ms"), 1).over(w))
+          .select(col("user_id"), col("event_id"),
+            when(col("prev").isNull || col("ms") - col("prev") >= gapMs, 1)
+              .otherwise(0).cast("int").as("kept"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+                 lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS prev
+          FROM events)
+        SELECT user_id, event_id,
+               CAST(CASE WHEN prev IS NULL OR ms - prev >= 21600000
+                         THEN 1 ELSE 0 END AS INT) AS kept
+        FROM g"""),
+      "Event debounce/throttle: keep an event only >= 6 h after the " +
+        "user's previous raw event — rate limiting for alert/notification " +
+        "pipelines; streaming twin in StatefulOps.debounce " +
+        "(beyond-reference engine surface)."))
 }

@@ -37,6 +37,12 @@ final case class UserAction(userId: String, ts: Timestamp)
 /** ST6 output: first-login-of-day + 8-day-returning flags. */
 final case class LoginFlags(uid: String, uu: Int, back: Int, ts: Timestamp)
 
+/** A timestamped keyed event and its debounce-flagged output (q88's
+  * streaming twin).
+  */
+final case class Stamped(userId: Long, eventId: Long, ts: Timestamp)
+final case class StampedKept(userId: Long, eventId: Long, ts: Timestamp, kept: Int)
+
 /** Streaming renditions of the reference's keyed-state operators (SURVEY.md
   * §2.6 ST1-ST7, §2.7 C1, §2.8 W1-W8): Flink `ValueState` + timers become
   * `flatMapGroupsWithState` with small case-class state. The batch oracles for
@@ -388,4 +394,28 @@ object StatefulOps {
       df: DataFrame, fpCol: String, eventCol: String, horizon: String): DataFrame =
     df.withWatermark(eventCol, horizon)
       .dropDuplicatesWithinWatermark(fpCol)
+
+  /** Debounce/throttle: flag each event kept=1 iff it arrives at least
+    * `minGapMs` after the PREVIOUS raw event of the same key (first event
+    * kept) — q88's streaming twin; StatefulOpsSpec asserts streaming ≡
+    * batch on the shared events fixture. State is one long (last raw
+    * event-time millis) per key; within a micro-batch events process in
+    * (ts, eventId) order, the same total order the batch lag() uses.
+    */
+  def debounce(ds: Dataset[Stamped], minGapMs: Long): Dataset[StampedKept] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[Long, StampedKept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[Stamped], state: GroupState[Long]) =>
+          var last = state.getOption
+          val out = events.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).map { e =>
+            val kept = if (last.forall(l => e.ts.getTime - l >= minGapMs)) 1 else 0
+            last = Some(e.ts.getTime)
+            StampedKept(e.userId, e.eventId, e.ts, kept)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 }

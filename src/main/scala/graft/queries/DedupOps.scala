@@ -312,6 +312,47 @@ object DedupOps {
         "the keep-the-best-copy dedup decision; windowed top-1 per cluster " +
         "over session-staged CC labels (pipeline ops brief)."),
 
+    // --------------------------------------- leakage-safe train/eval split
+    Q(
+      "q90_leakage_safe_split",
+      (s, dir) => {
+        // Train/eval assignment by CLUSTER, not by document: every member
+        // of a near-dup cluster lands on the same side (hash-gated on the
+        // cluster representative), so an eval doc can never have a
+        // near-duplicate in train — the split-leakage guard a benchmark
+        // pipeline needs on top of q63's exact decontamination.
+        // Deterministic (hash32, no rand()); singletons are their own
+        // cluster.
+        val reps = stagedLabels(s, dir)
+          .select(col("node").as("doc_id"), col("label").as("rep"))
+        docs(s, dir).select(col("doc_id"))
+          .join(reps, Seq("doc_id"), "left_outer")
+          .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+          .withColumn("split",
+            when(pmod(hash32(col("rep").cast("string")), lit(100)) < 90,
+              lit("train")).otherwise(lit("eval")))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("rep")).as("n_clusters"))
+      },
+      Some(ccCte + """,
+        r AS (
+          SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS rep
+          FROM documents d LEFT JOIN cc USING (doc_id)),
+        sp AS (
+          SELECT doc_id, rep,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 100 < 90
+                      THEN 'train' ELSE 'eval' END AS split
+          FROM r)
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT rep) AS n_clusters
+        FROM sp GROUP BY split"""),
+      "Leakage-safe train/eval split: hash-gated by near-dup CLUSTER " +
+        "representative so no eval doc has a near-duplicate in train — " +
+        "the split guard on top of exact decontamination (pipeline ops " +
+        "brief)."),
+
     // --------------------------------------------- end-to-end curation
     Q(
       "q65_curation_pipeline",

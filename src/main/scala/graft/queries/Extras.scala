@@ -744,5 +744,43 @@ object Extras {
       "Event debounce/throttle: keep an event only >= 6 h after the " +
         "user's previous raw event — rate limiting for alert/notification " +
         "pipelines; streaming twin in StatefulOps.debounce " +
-        "(beyond-reference engine surface)."))
+        "(beyond-reference engine surface)."),
+
+    // ----------------------------------------------- RANGE-frame rolling sum
+    Q(
+      "q91_rolling_7d",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // 7-day trailing revenue per day through a RANGE frame over the
+        // day number — unlike q69's ROWS frame, missing calendar days
+        // correctly shrink the window instead of reaching further back.
+        // Exact decimals inside the frame, one cast at the edge.
+        // The unpartitioned window runs AFTER the per-day rollup, whose
+        // cardinality is bounded by the calendar (1 row/day regardless of
+        // input scale), so the single-partition sort never sees raw data.
+        val daily = Tables(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("day_amt"))
+          .withColumn("dayn", datediff(col("d"), to_date(lit("1970-01-01"))))
+        val w = Window.orderBy(col("dayn")).rangeBetween(-6, 0)
+        daily.select(
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("day_amt").cast("double").as("day_amount"),
+          sum(col("day_amt")).over(w).cast("double").as("rolling_7d"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_amt,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayn
+          FROM orders GROUP BY 1, 3)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(day_amt AS DOUBLE) AS day_amount,
+               CAST(SUM(day_amt) OVER (ORDER BY dayn
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS rolling_7d
+        FROM daily"""),
+      "7-day trailing sums via a RANGE window frame over day numbers " +
+        "(calendar gaps shrink the window; ROWS frames would not) — " +
+        "beyond-reference engine surface (range frames)."))
 }

@@ -338,5 +338,54 @@ object Dwd {
         FROM b"""),
       "F13/F1/F7: lexicographic vs temporal ordering of ISO timestamp " +
         "strings agree — the property the reference's " +
-        "TimestampLtz3CompareUtil.java:9-17 relies on."))
+        "TimestampLtz3CompareUtil.java:9-17 relies on."),
+
+    // --------------------------------------------- SCD2 dimension history
+    Q(
+      "q89_scd2_history",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Slowly-changing-dimension type 2 built from the CDC stream: each
+        // user_info change event becomes a validity-interval version row
+        // (valid_from = its ts, valid_to = the next version's ts, open
+        // interval on the current row). One shuffle, partitioned by the
+        // dimension pk — each key's history is tiny, so the window state
+        // is O(versions-per-key) regardless of corpus size. Timestamps as
+        // integer microseconds (unix_micros ≡ DuckDB epoch_us) so the
+        // hash compare is engine-exact; (tus, event_id) is the total
+        // order for same-microsecond ties.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        cdc(s, dir)
+          .filter(col("env.table") === "user_info")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            element_at(col("env.data"), "order_status").as("status"))
+          .withColumn("version", row_number().over(w).cast("int"))
+          .withColumn("valid_from_us", col("tus"))
+          .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+          .withColumn("is_current",
+            (lead(col("tus"), 1).over(w).isNull).cast("int"))
+          .select("user_id", "event_id", "version", "status",
+            "valid_from_us", "valid_to_us", "is_current")
+      },
+      Some(cdcCte + """,
+        v AS (
+          SELECT cdc.user_id, cdc.event_id,
+                 epoch_us(CAST(events.ts AS TIMESTAMP)) AS tus,
+                 CASE WHEN cdc.m IN (6, 7) THEN '1003' ELSE '1001' END AS status
+          FROM cdc JOIN events USING (event_id)
+          WHERE cdc.tbl = 'user_info')
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS INT) AS version,
+               status,
+               tus AS valid_from_us,
+               LEAD(tus, 1) OVER w AS valid_to_us,
+               CAST(LEAD(tus, 1) OVER w IS NULL AS INT) AS is_current
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)"""),
+      "SCD2 dimension history from CDC: validity intervals per pk version " +
+        "via lead over a deterministic total order — the warehouse-history " +
+        "form of the reference's dim layer (ref RT/app/dim/DimApp.java " +
+        "keep-latest upsert, extended to full history)."))
 }

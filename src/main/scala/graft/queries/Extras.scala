@@ -782,5 +782,98 @@ object Extras {
         FROM daily"""),
       "7-day trailing sums via a RANGE window frame over day numbers " +
         "(calendar gaps shrink the window; ROWS frames would not) — " +
-        "beyond-reference engine surface (range frames)."))
+        "beyond-reference engine surface (range frames)."),
+
+    // ------------------------------------------------- ordered event funnel
+    Q(
+      "q92_funnel_conversion",
+      (s, dir) => {
+        // Ordered view→click→purchase funnel per user-day: each stage's
+        // first qualifying timestamp must strictly follow the previous
+        // stage's (min-ts chaining, not mere same-day presence). Three
+        // aggregations + two equi joins, all shuffled on (user_id, day) —
+        // high-cardinality keys, so the plan stays balanced at corpus
+        // scale; integer-µs comparisons keep it engine-exact.
+        val e = Tables(s, dir, "events").select(
+          col("user_id"), to_date(col("ts")).as("d"),
+          col("event_type"), unix_micros(col("ts")).as("tus"))
+        val ks = Seq("user_id", "d")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(ks.map(col): _*).agg(min("tus").as("v_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, ks).filter(col("tus") > col("v_ts"))
+          .groupBy(ks.map(col): _*).agg(min("tus").as("c_ts"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, ks).filter(col("tus") > col("c_ts"))
+          .groupBy(ks.map(col): _*).agg(min("tus").as("p_ts"))
+        v.join(c.select(col("user_id"), col("d"), col("c_ts")), ks, "left_outer")
+          .join(p.select(col("user_id"), col("d"), col("p_ts")), ks, "left_outer")
+          .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_viewed"),
+            count(col("c_ts")).as("n_clicked_after_view"),
+            count(col("p_ts")).as("n_purchased_after_click"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+          FROM events),
+        v AS (SELECT user_id, d, MIN(tus) AS v_ts FROM e
+              WHERE event_type = 'view' GROUP BY user_id, d),
+        c AS (SELECT e.user_id, e.d, MIN(e.tus) AS c_ts
+              FROM e JOIN v ON e.user_id = v.user_id AND e.d = v.d
+              WHERE e.event_type = 'click' AND e.tus > v.v_ts
+              GROUP BY e.user_id, e.d),
+        p AS (SELECT e.user_id, e.d, MIN(e.tus) AS p_ts
+              FROM e JOIN c ON e.user_id = c.user_id AND e.d = c.d
+              WHERE e.event_type = 'purchase' AND e.tus > c.c_ts
+              GROUP BY e.user_id, e.d)
+        SELECT strftime(v.d, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_viewed,
+               COUNT(c.c_ts) AS n_clicked_after_view,
+               COUNT(p.p_ts) AS n_purchased_after_click
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id AND v.d = c.d
+        LEFT JOIN p ON v.user_id = p.user_id AND v.d = p.d
+        GROUP BY 1"""),
+      "Ordered conversion funnel (view→click→purchase, each stage " +
+        "strictly after the previous) per day via min-ts chaining — the " +
+        "product-analytics staple (beyond-reference engine surface)."),
+
+    // --------------------------------------------------- retention cohorts
+    Q(
+      "q93_retention_cohorts",
+      (s, dir) => {
+        // Cohort retention matrix: users grouped by first-active day,
+        // counted at each day offset they return. Two aggregations + one
+        // join on user_id — the per-user history fan-in is bounded by the
+        // calendar, and the output is cohorts × offsets (tiny) however
+        // large the input.
+        val act = Tables(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val first = act.groupBy("user_id").agg(min("d").as("cd"))
+        val sizes = first.groupBy("cd").agg(count(lit(1)).as("cohort_size"))
+        act.join(first, "user_id")
+          .groupBy(col("cd"), datediff(col("d"), col("cd")).as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cd")
+          .select(date_format(col("cd"), "yyyy-MM-dd").as("cohort_day"),
+            col("day_offset"), col("cohort_size"), col("n_active"))
+      },
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        f AS (SELECT user_id, MIN(d) AS cd FROM act GROUP BY user_id),
+        sz AS (SELECT cd, COUNT(*) AS cohort_size FROM f GROUP BY cd),
+        r AS (
+          SELECT f.cd, CAST(date_diff('day', f.cd, act.d) AS INT) AS day_offset,
+                 COUNT(*) AS n_active
+          FROM act JOIN f USING (user_id)
+          GROUP BY 1, 2)
+        SELECT strftime(r.cd, '%Y-%m-%d') AS cohort_day,
+               r.day_offset, sz.cohort_size, r.n_active
+        FROM r JOIN sz USING (cd)"""),
+      "Retention cohort matrix: first-active-day cohorts × return-day " +
+        "offsets with cohort sizes — distinct-activity rollup, join on " +
+        "user_id only (beyond-reference engine surface)."))
 }

@@ -357,7 +357,118 @@ object CorpusOps {
       "Domain-mix weighting: per-source sampling quotas (min(1, N/|src|) " +
         "weight + expected kept count) — the mixture-balancing step of a " +
         "pretraining data recipe, deterministic and engine-exact " +
-        "(pipeline ops brief)."))
+        "(pipeline ops brief)."),
+
+    // ------------------------------------------------- PMI co-occurrence
+    Q(
+      "q94_pmi_cooccurrence",
+      (s, dir) => {
+        // Document-level PMI: which token pairs co-occur more often than
+        // chance. Per-doc token sets are capped to the 24 first distinct
+        // tokens (sorted — deterministic) of length >= 3, so the in-row
+        // pair expansion is bounded at C(24,2)=276 pairs/doc regardless of
+        // document length — the cap that keeps the pair count linear in
+        // corpus size at 100 TB. PMI is emitted as a scaled-integer ratio
+        // (c_xy*N*1e6 div c_x*c_y), exact in both engines — no log(), no
+        // float summation.
+        val tk = docs(s, dir).select(col("doc_id"),
+          expr("slice(array_sort(array_distinct(" +
+            "filter(split(text, ' '), x -> length(x) >= 3))), 1, 24)")
+            .as("tk"))
+        val exploded = tk.select(col("doc_id"), explode(col("tk")).as("t"))
+        val dfCount = exploded.groupBy("t").agg(count(lit(1)).as("c_t"))
+        val pairs = tk.select(explode(expr(
+            "flatten(transform(tk, (x, ix) -> " +
+              "filter(transform(tk, (y, iy) -> " +
+              "IF(x < y, struct(x AS a, y AS b), NULL)), p -> p IS NOT NULL)))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+        val n = docs(s, dir).agg(count(lit(1)).as("n"))
+        pairs
+          .join(dfCount.select(col("t").as("a"), col("c_t").as("c_a")), "a")
+          .join(dfCount.select(col("t").as("b"), col("c_t").as("c_b")), "b")
+          .crossJoin(broadcast(n))
+          .select(col("a"), col("b"), col("c_xy"), col("c_a"), col("c_b"),
+            expr("c_xy * n * 1000000L div (c_a * c_b)").as("pmi_ppm"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(
+                   list_filter(string_split(text, ' '),
+                               x -> length(x) >= 3)))[1:24] AS tk
+          FROM documents),
+        e AS (SELECT doc_id, UNNEST(tk) AS t FROM tk),
+        df AS (SELECT t, COUNT(*) AS c_t FROM e GROUP BY t),
+        pr AS (
+          SELECT e1.t AS a, e2.t AS b, COUNT(*) AS c_xy
+          FROM e e1 JOIN e e2
+            ON e1.doc_id = e2.doc_id AND e1.t < e2.t
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 5),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT pr.a, pr.b, pr.c_xy, da.c_t AS c_a, db.c_t AS c_b,
+               (pr.c_xy * n.n * 1000000) // (da.c_t * db.c_t) AS pmi_ppm
+        FROM pr, n
+        JOIN df da ON da.t = pr.a
+        JOIN df db ON db.t = pr.b"""),
+      "Pointwise-mutual-information co-occurrence over capped per-doc " +
+        "token sets: in-row pair expansion (bounded 276 pairs/doc), " +
+        "scaled-integer PMI — collocation mining without float " +
+        "nondeterminism (pipeline ops brief)."),
+
+    // -------------------------------------- repeated-n-gram substring dedup
+    Q(
+      "q96_repeated_ngram_dedup",
+      (s, dir) => {
+        // Cross-document repeated-substring detection (the exact-substring
+        // dedup of Lee et al. 2022, at word granularity): any 10-token
+        // gram appearing in more than one document marks all its holders.
+        // Grams are 8-byte-hashed before the df aggregation — shuffles
+        // ids+hashes only (the q35/q63 trick); per-doc distinctness is
+        // in-row. One groupBy on the gram hash, one on doc_id.
+        import graft.functions.TextFns.{tokens, wordNgrams}
+        val g = docs(s, dir).select(col("doc_id"),
+            explode(array_distinct(wordNgrams(tokens(col("text")), 10)))
+              .as("gram"))
+          .select(col("doc_id"), xxhash64(col("gram")).as("ng"))
+        val dup = g.groupBy("ng").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+        val perDoc = g.join(dup, "ng")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+        val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        docs(s, dir).select(col("doc_id"))
+          .join(totals, Seq("doc_id"), "left_outer")
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+            (coalesce(col("n_dup_grams"), lit(0L)) > 0).cast("int")
+              .as("has_shared_substring"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS ng
+              FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
+        dup AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(*) >= 2),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_dup_grams
+          FROM g JOIN dup USING (ng) GROUP BY doc_id),
+        totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(t.n_grams, 0) AS n_grams,
+               COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+               CAST(COALESCE(p.n_dup_grams, 0) > 0 AS INT)
+                 AS has_shared_substring
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN per_doc p USING (doc_id)"""),
+      "Repeated-10-gram substring detection across the corpus (word-level " +
+        "exact-substring dedup a la Lee et al. 2022): hashed-gram df " +
+        "aggregation, ids+hashes shuffled only " +
+        "(pipeline ops brief: substring dedup)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -312,6 +312,72 @@ object DedupOps {
         "the keep-the-best-copy dedup decision; windowed top-1 per cluster " +
         "over session-staged CC labels (pipeline ops brief)."),
 
+    // ------------------------------------- PageRank over the near-dup graph
+    Q(
+      "q95_pagerank_neardup",
+      (s, dir) => {
+        // Fixed-iteration PageRank over the LSH near-dup pair graph — the
+        // iterative-graph-computation shape (centrality over a similarity
+        // graph) expressed as three unrolled join+aggregate rounds. All
+        // arithmetic is scaled-integer (ranks in millionths, per-edge
+        // contribution = rank div degree, damping 0.85 as *850 div 1000)
+        // so both engines produce bit-identical ranks — no float summation
+        // order anywhere. Per iteration: one join rank⋈edges (shuffled on
+        // doc_id) + one sum by destination — linear in |E|, the plan a
+        // Pregel round compiles to. Fixed 3 iterations keeps the plan
+        // static; convergence-to-fixpoint would loop the same two ops.
+        val pairs = minhashPairs(s, dir)
+        val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+          .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodes = docs(s, dir).select(col("doc_id"))
+        var r = nodes.withColumn("pr", lit(1000000L))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(r.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(col("dst"), expr("pr div deg").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+          r = nodes
+            .join(contrib.withColumnRenamed("dst", "doc_id"),
+              Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              expr("150000L + 850 * coalesce(in_sum, 0L) div 1000").as("pr"))
+        }
+        r.join(deg.withColumnRenamed("src", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("pr"),
+            coalesce(col("deg"), lit(0L)).as("deg"))
+      },
+      Some(minhashPairsCte + """,
+        edges AS (SELECT i AS a, j AS b FROM mh_pairs
+                  UNION SELECT j, i FROM mh_pairs),
+        deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+        nodes AS (SELECT doc_id FROM documents),
+        r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        c1 AS (SELECT e.b AS doc_id, SUM(r0.pr // d.deg) AS s
+               FROM edges e JOIN r0 ON e.a = r0.doc_id
+               JOIN deg d ON d.a = e.a GROUP BY e.b),
+        r1 AS (SELECT n.doc_id, 150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS pr
+               FROM nodes n LEFT JOIN c1 USING (doc_id)),
+        c2 AS (SELECT e.b AS doc_id, SUM(r1.pr // d.deg) AS s
+               FROM edges e JOIN r1 ON e.a = r1.doc_id
+               JOIN deg d ON d.a = e.a GROUP BY e.b),
+        r2 AS (SELECT n.doc_id, 150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS pr
+               FROM nodes n LEFT JOIN c2 USING (doc_id)),
+        c3 AS (SELECT e.b AS doc_id, SUM(r2.pr // d.deg) AS s
+               FROM edges e JOIN r2 ON e.a = r2.doc_id
+               JOIN deg d ON d.a = e.a GROUP BY e.b),
+        r3 AS (SELECT n.doc_id, 150000 + (850 * COALESCE(c3.s, 0)) // 1000 AS pr
+               FROM nodes n LEFT JOIN c3 USING (doc_id))
+        SELECT r3.doc_id, CAST(r3.pr AS BIGINT) AS pr,
+               COALESCE(d.deg, 0) AS deg
+        FROM r3 LEFT JOIN deg d ON d.a = r3.doc_id"""),
+      "PageRank (3 unrolled iterations, damping 0.85) over the MinHash-LSH " +
+        "near-dup graph in exact scaled-integer arithmetic — iterative " +
+        "graph centrality as join+aggregate rounds " +
+        "(pipeline ops brief: graph ops on similarity graphs)."),
+
     // --------------------------------------- leakage-safe train/eval split
     Q(
       "q90_leakage_safe_split",

@@ -100,10 +100,10 @@ object Bench {
 
     // Warmup (untimed): flagship query for JIT/codegen/parquet-footer caches,
     // plus one query from each session-staged family (Dwd.cdc / Dwd.logEnv /
-    // DedupOps CC labels) so staging builds before any timed run and every
-    // timed number is steady-state plan cost.
+    // DedupOps CC labels / MinHash pairs) so staging builds before any timed
+    // run and every timed number is steady-state plan cost.
     val warmupNames = Set("q01_pricing_summary", "q23_cdc_insert_facts",
-      "q26_log_split", "q57_neardup_cluster")
+      "q26_log_split", "q57_neardup_cluster", "q36_minhash_band_dedup")
     queries.filter(q => warmupNames(q._1)).foreach { case (_, fn) =>
       try once(fn) catch { case _: Throwable => () }
     }

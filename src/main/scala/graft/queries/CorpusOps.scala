@@ -434,14 +434,19 @@ object CorpusOps {
             explode(array_distinct(wordNgrams(tokens(col("text")), 10)))
               .as("gram"))
           .select(col("doc_id"), xxhash64(col("gram")).as("ng"))
-        val dup = g.groupBy("ng").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2)
-        val perDoc = g.join(dup, "ng")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
-        val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        // per-gram df as a window count, NOT a groupBy+self-join: the
+        // shingle explode runs ONCE and the plan is two shuffles total
+        // (by ng for the window, by doc_id for the rollup) — the
+        // join formulation re-derived g three times and was 2.4x slower
+        // at sf0.1.
+        val stats = g
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("ng"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
         docs(s, dir).select(col("doc_id"))
-          .join(totals, Seq("doc_id"), "left_outer")
-          .join(perDoc, Seq("doc_id"), "left_outer")
+          .join(stats, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
             coalesce(col("n_grams"), lit(0L)).as("n_grams"),
             coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),

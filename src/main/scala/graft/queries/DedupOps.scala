@@ -62,23 +62,31 @@ object DedupOps {
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bkey)")
   }
 
-  /** q36's candidate pairs (i &lt; j, distinct): equality join on full bands. */
+  /** q36's candidate pairs (i &lt; j, distinct): equality join on full bands.
+    * Session-staged: the pair set is tiny (near-dup collisions only) but
+    * its producing pipeline is the most expensive in the dedup family, and
+    * the graph queries (q95 PageRank, q97 triangles) reference it 5–7
+    * times per plan — staging pays for itself on the second reference.
+    * (Staging the upstream SHINGLE set was measured slower — it is
+    * corpus-sized; the pairs are not.)
+    */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    // in-group pair generation instead of a band self-join: the join form
-    // recomputed the whole shingle->signature->band pipeline on both sides
-    // (persisting it was measured slower — see ngramSet). Same pairs, one
-    // scan. Groups are same-signature-band buckets: their size is bounded
-    // by the near-dup cluster size (docs that really do collide), the same
-    // bound the self-join's output had.
-    minhashBands(s, dir)
-      .groupBy("band", "bkey").agg(collect_list(col("doc_id")).as("ids"))
-      .select(explode(expr(
-        "flatten(transform(ids, (x, ix) -> " +
-          "filter(transform(ids, (y, iy) -> " +
-          "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
-        .as("p"))
-      .select(col("p.i"), col("p.j"))
-      .distinct()
+    graft.Staging.stage(s, dir, "mh_pairs") {
+      // in-group pair generation instead of a band self-join: the join form
+      // recomputed the whole shingle->signature->band pipeline on both sides.
+      // Same pairs, one scan. Groups are same-signature-band buckets: their
+      // size is bounded by the near-dup cluster size (docs that really do
+      // collide), the same bound the self-join's output had.
+      minhashBands(s, dir)
+        .groupBy("band", "bkey").agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(expr(
+          "flatten(transform(ids, (x, ix) -> " +
+            "filter(transform(ids, (y, iy) -> " +
+            "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
+          .as("p"))
+        .select(col("p.i"), col("p.j"))
+        .distinct()
+    }
 
   /** Oracle CTE chain ending in `mh_pairs(i, j)` — the SQL twin of
     * [[minhashPairs]], shared by the q36 and q57 oracles.
@@ -377,6 +385,68 @@ object DedupOps {
         "near-dup graph in exact scaled-integer arithmetic — iterative " +
         "graph centrality as join+aggregate rounds " +
         "(pipeline ops brief: graph ops on similarity graphs)."),
+
+    // --------------------------------------------------- triangle counting
+    Q(
+      "q97_triangle_count",
+      (s, dir) => {
+        // Per-node triangle participation + clustering coefficient over
+        // the near-dup graph. Edges are canonically ordered (i<j), so each
+        // triangle a<b<c is enumerated exactly once by the classic
+        // two-join plan (e1.j=e2.i closes a<b<c candidates, e3 confirms
+        // the a–c edge) — |E|-proportional shuffles, never a node
+        // cross-product. The coefficient is scaled-integer
+        // (2·tri·1e6 div deg·(deg−1)), engine-exact.
+        val e = minhashPairs(s, dir)
+        val cand = e.as("e1").join(e.as("e2"), col("e1.j") === col("e2.i"))
+          .select(col("e1.i").as("ta"), col("e1.j").as("tb"),
+            col("e2.j").as("tc"))
+        val tri = cand.join(e.as("e3"),
+          col("ta") === col("e3.i") && col("tc") === col("e3.j"))
+          .select("ta", "tb", "tc")
+        val perNode = tri.select(explode(array(col("ta"), col("tb"),
+            col("tc"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        val deg = e.select(col("i").as("doc_id"))
+          .unionByName(e.select(col("j").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        deg.join(perNode, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("deg"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            when(col("deg") >= 2,
+              expr("2 * coalesce(n_triangles, 0L) * 1000000L " +
+                "div (deg * (deg - 1))"))
+              .otherwise(lit(0L)).as("clust_ppm"))
+      },
+      Some(minhashPairsCte + """,
+        cand AS (
+          SELECT e1.i AS ta, e1.j AS tb, e2.j AS tc
+          FROM mh_pairs e1 JOIN mh_pairs e2 ON e1.j = e2.i),
+        tri AS (
+          SELECT ta, tb, tc
+          FROM cand JOIN mh_pairs e3 ON cand.ta = e3.i AND cand.tc = e3.j),
+        pn AS (
+          SELECT doc_id, COUNT(*) AS n_triangles
+          FROM (SELECT ta AS doc_id FROM tri
+                UNION ALL SELECT tb FROM tri
+                UNION ALL SELECT tc FROM tri)
+          GROUP BY doc_id),
+        deg AS (
+          SELECT doc_id, COUNT(*) AS deg
+          FROM (SELECT i AS doc_id FROM mh_pairs
+                UNION ALL SELECT j FROM mh_pairs)
+          GROUP BY doc_id)
+        SELECT deg.doc_id, deg.deg,
+               COALESCE(pn.n_triangles, 0) AS n_triangles,
+               CASE WHEN deg.deg >= 2
+                    THEN (2 * COALESCE(pn.n_triangles, 0) * 1000000)
+                         // (deg.deg * (deg.deg - 1))
+                    ELSE 0 END AS clust_ppm
+        FROM deg LEFT JOIN pn USING (doc_id)"""),
+      "Triangle counting + clustering coefficient on the near-dup graph: " +
+        "canonical-order two-join enumeration (each triangle once), " +
+        "scaled-integer coefficient — the graph-density diagnostic for " +
+        "dedup cluster quality (pipeline ops brief: graph ops)."),
 
     // --------------------------------------- leakage-safe train/eval split
     Q(

@@ -875,5 +875,53 @@ object Extras {
         FROM r JOIN sz USING (cd)"""),
       "Retention cohort matrix: first-active-day cohorts × return-day " +
         "offsets with cohort sizes — distinct-activity rollup, join on " +
-        "user_id only (beyond-reference engine surface)."))
+        "user_id only (beyond-reference engine surface)."),
+
+    // ------------------------------------------------- Z-order data layout
+    Q(
+      "q98_zorder_layout",
+      (s, dir) => {
+        // Z-order (Morton) interleaving of (custkey, order-day) — the
+        // multi-dimensional clustering key behind OPTIMIZE ZORDER BY: one
+        // sort key that keeps BOTH dimensions range-bounded per bucket, so
+        // a 100 TB table laid out by z supports file skipping on either
+        // column. The per-bucket min/max spans ARE the demonstration:
+        // every bucket bounds custkey and day simultaneously (row-major
+        // sorting would bound only the leading column). Bit interleave as
+        // an integer fold — engine-exact.
+        val zExpr = "aggregate(sequence(0, 9), 0L, (acc, i) -> acc" +
+          " + shiftleft(shiftright(zx, i) & 1L, 2 * i)" +
+          " + shiftleft(shiftright(zy, i) & 1L, 2 * i + 1))"
+        Tables(s, dir, "orders")
+          .select(pmod(col("o_custkey"), lit(1024)).cast("long").as("zx"),
+            pmod(datediff(to_date(col("o_orderdate")),
+              to_date(lit("1970-01-01"))), lit(1024)).cast("long").as("zy"))
+          .withColumn("z", expr(zExpr))
+          .withColumn("bucket", expr("z div 16384"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("zx").as("min_cust"), max("zx").as("max_cust"),
+            min("zy").as("min_day"), max("zy").as("max_day"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT o_custkey % 1024 AS zx,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) % 1024 AS zy
+          FROM orders),
+        z AS (
+          SELECT zx, zy,
+                 (SELECT SUM((((zx >> i) & 1) << (2 * i))
+                           + (((zy >> i) & 1) << (2 * i + 1)))
+                  FROM UNNEST(generate_series(0, 9)) AS t(i)) AS z
+          FROM b)
+        SELECT CAST(z AS BIGINT) // 16384 AS bucket,
+               COUNT(*) AS n_rows,
+               MIN(zx) AS min_cust, MAX(zx) AS max_cust,
+               MIN(zy) AS min_day, MAX(zy) AS max_day
+        FROM z GROUP BY 1"""),
+      "Z-order (Morton) multi-dimensional layout key: bit-interleaved " +
+        "(custkey, day) with per-bucket min/max spans bounding BOTH " +
+        "columns — the OPTIMIZE ZORDER clustering primitive for " +
+        "two-column file skipping (beyond-reference engine surface)."))
 }

@@ -473,7 +473,41 @@ object CorpusOps {
       "Repeated-10-gram substring detection across the corpus (word-level " +
         "exact-substring dedup a la Lee et al. 2022): hashed-gram df " +
         "aggregation, ids+hashes shuffled only " +
-        "(pipeline ops brief: substring dedup)."))
+        "(pipeline ops brief: substring dedup)."),
+
+    // ------------------------------------------- temperature-weighted mix
+    Q(
+      "q99_temperature_mix",
+      (s, dir) => {
+        // Temperature sampling weights (T=2 ⇒ n^(1/2)) across sources —
+        // the up/down-weighting step of a pretraining mixture (e.g.
+        // multilingual alpha-sampling). isqrt = floor(sqrt(n)) is
+        // engine-exact (IEEE sqrt is correctly rounded, perfect squares
+        // exact), and the ppm share is integer division over an integer
+        // sum — no float aggregation anywhere. One count aggregate; the
+        // weights table is sources-sized (tiny) at any corpus scale.
+        val counts = docs(s, dir).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_raw",
+            floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+        val total = counts.agg(sum(col("w_raw")).as("w_total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"), col("w_raw"),
+            expr("w_raw * 1000000L div w_total").as("mix_ppm"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w_raw
+          FROM documents GROUP BY source),
+        t AS (SELECT CAST(SUM(w_raw) AS BIGINT) AS w_total FROM c)
+        SELECT c.source, c.n_docs, c.w_raw,
+               (c.w_raw * 1000000) // t.w_total AS mix_ppm
+        FROM c, t"""),
+      "Temperature-weighted source mixture (T=2: weights ∝ sqrt(n), " +
+        "integer-exact via floor(sqrt) and ppm shares) — the " +
+        "alpha-sampling rebalancing step of a pretraining recipe " +
+        "(pipeline ops brief)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

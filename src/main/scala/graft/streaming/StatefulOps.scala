@@ -43,6 +43,19 @@ final case class LoginFlags(uid: String, uu: Int, back: Int, ts: Timestamp)
 final case class Stamped(userId: Long, eventId: Long, ts: Timestamp)
 final case class StampedKept(userId: Long, eventId: Long, ts: Timestamp, kept: Int)
 
+/** A CDC dimension-version event (q89's streaming-twin input) and the SCD2
+  * interval row the twin emits. Changelog semantics: the open current row is
+  * emitted with isCurrent=1, and a later version re-emits it closed
+  * (isCurrent=0, validToUs set) — a keep-latest consumer per (key, version)
+  * reconstructs the exact batch history (the K2 upsert-kafka contract).
+  */
+final case class DimVersion(key: Long, eventId: Long, status: String, ts: Timestamp)
+final case class Scd2Row(key: Long, eventId: Long, version: Int, status: String,
+    validFromUs: Long, validToUs: Option[Long], isCurrent: Int)
+
+/** SCD2 state: the open (current) version of one key. */
+final case class Scd2Open(eventId: Long, version: Int, fromUs: Long, status: String)
+
 /** Streaming renditions of the reference's keyed-state operators (SURVEY.md
   * §2.6 ST1-ST7, §2.7 C1, §2.8 W1-W8): Flink `ValueState` + timers become
   * `flatMapGroupsWithState` with small case-class state. The batch oracles for
@@ -416,6 +429,45 @@ object StatefulOps {
           }
           last.foreach(state.update)
           out.iterator
+      }
+  }
+
+  private def micros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** SCD2 dimension history as a stream — q89's streaming twin. Each
+    * arriving version CLOSES the open interval (re-emitting it with
+    * validToUs and isCurrent=0) and emits itself open (isCurrent=1); state
+    * is exactly one [[Scd2Open]] per key. A keep-latest consumer per
+    * (key, version) — preferring the closed emission — reconstructs the
+    * batch q89 history bit-for-bit; StatefulOpsSpec asserts this on the
+    * shared sf0.001 fixture across multi-batch arrival. Within a
+    * micro-batch, events process in (micros, eventId) order — the same
+    * total order the batch window uses; cross-batch in-order arrival is
+    * the CDC-source contract (same-key-same-partition, ordered offsets).
+    */
+  def scd2(ds: Dataset[DimVersion]): Dataset[Scd2Row] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2Open, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[DimVersion], state: GroupState[Scd2Open]) =>
+          var open = state.getOption
+          val out = Seq.newBuilder[Scd2Row]
+          events.toSeq.sortBy(e => (micros(e.ts), e.eventId)).foreach { e =>
+            val us = micros(e.ts)
+            open.foreach { o =>
+              out += Scd2Row(key, o.eventId, o.version, o.status,
+                o.fromUs, Some(us), 0)
+            }
+            val v = open.map(_.version + 1).getOrElse(1)
+            out += Scd2Row(key, e.eventId, v, e.status, us, None, 1)
+            open = Some(Scd2Open(e.eventId, v, us, e.status))
+          }
+          open.foreach(state.update)
+          out.result().iterator
       }
   }
 }

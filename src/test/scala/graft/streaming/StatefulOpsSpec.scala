@@ -369,4 +369,40 @@ class StatefulOpsSpec extends SparkSpec {
     // sanity: the flag actually splits the fixture
     assert(streamed.values.toSet == Set(0, 1))
   }
+
+  test("SCD2 streaming twin reconstructs batch q89 history across batches") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    // the q89 input contract: user_info CDC versions = signup events, with
+    // the envelope's status mapping (event_id%10 in {6,7} -> update 1003)
+    val versions = graft.Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("key"), col("event_id").as("eventId"),
+        when(pmod(col("event_id"), lit(10)).isin(6, 7), "1003")
+          .otherwise("1001").as("status"), col("ts"))
+      .as[DimVersion]
+      .collect().sortBy(e => (e.ts.getTime, e.eventId))
+    val batches = versions.grouped((versions.length + 2) / 3).map(_.toSeq).toSeq
+    assert(batches.length == 3)
+    val emitted = runStream[DimVersion, Scd2Row](batches)(StatefulOps.scd2)
+    // changelog reconstruction: per (key, version) the closed emission
+    // (isCurrent=0) supersedes the open one — the K2 keep-latest contract
+    val streamed = emitted.groupBy(r => (r.key, r.version)).map {
+      case (kv, rows) =>
+        kv -> rows.minBy(_.isCurrent) // 0 (closed) wins over 1 (open)
+    }
+    val batch = graft.Registry.all.find(_.name == "q89_scd2_history").get
+      .run(spark, sfDir).collect().map { r =>
+        (r.getLong(0), r.getInt(2)) ->
+          (r.getLong(1), r.getString(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getInt(6))
+      }.toMap
+    assert(streamed.size == batch.size)
+    streamed.foreach { case (kv, s) =>
+      assert(batch(kv) == ((s.eventId, s.status, s.validFromUs,
+        s.validToUs, s.isCurrent)), s"mismatch at $kv")
+    }
+    // sanity: multi-version keys exist and close intervals
+    assert(emitted.exists(_.isCurrent == 0))
+  }
 }

@@ -456,5 +456,73 @@ object SimilarityOps {
       "Int8 scalar quantization of embeddings: per-vector symmetric scale " +
         "+ round-half-up codes, profiled with integer-exact stats — the " +
         "compression step before a vector index ships to serving " +
+        "(pipeline ops brief)."),
+
+    // ----------------------------------------------- SemDeDup-style dedup
+    Q(
+      "q100_semantic_dedup",
+      (s, dir) => {
+        import graft.functions.VectorFns.cosine
+        // SemDeDup (Abbas et al. 2023): cluster embeddings, then pairwise
+        // cosine ONLY within a cluster — the centroid assignment is the
+        // blocking key that makes semantic dedup sub-quadratic. Drop rule:
+        // in each >=threshold pair, the larger vec_id goes (deterministic;
+        // the paper's keep-farthest-from-centroid is one ORDER BY away).
+        // At 100 TB: K grows with the corpus so cluster size stays
+        // bounded; the pair join shuffles on cid and each cluster's
+        // pairwork is local and quadratic only in that bounded size.
+        val nCentroids = 16
+        val base = vecs(s, dir)
+        val centroids = broadcast(base.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cdist").desc, col("cid"))
+        val assigned = base.crossJoin(centroids)
+          .withColumn("cdist", cosine(col("v"), col("cv")))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("v"), col("cid"))
+        val dropped = assigned
+          .select(col("cid"), col("vec_id").as("i"), col("v").as("vi"))
+          .join(assigned.select(col("cid"), col("vec_id").as("j"),
+            col("v").as("vj")), "cid")
+          .filter(col("i") < col("j"))
+          .filter(cosine(col("vi"), col("vj")) >= 0.35)
+          .select(col("cid"), col("j")).distinct()
+          .groupBy("cid").agg(count(lit(1)).as("n_dropped"))
+        assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
+          .join(dropped, Seq("cid"), "left_outer")
+          .select(col("cid"), col("n_members"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_members") - coalesce(col("n_dropped"), lit(0L)))
+              .as("n_kept"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        aa AS (SELECT e.vec_id, e.v, cent.cid,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        list_dot_product(e.v, cent.cv) /
+                          (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                        cent.cid) AS rn
+               FROM e, cent),
+        a AS (SELECT vec_id, v, cid FROM aa WHERE rn = 1),
+        dr AS (
+          SELECT DISTINCT a1.cid, a2.vec_id AS j
+          FROM a a1 JOIN a a2
+            ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+          WHERE list_dot_product(a1.v, a2.v) /
+                  (sqrt(list_dot_product(a1.v, a1.v))
+                   * sqrt(list_dot_product(a2.v, a2.v))) >= 0.35),
+        dc AS (SELECT cid, COUNT(*) AS n_dropped FROM dr GROUP BY cid)
+        SELECT a.cid, COUNT(*) AS n_members,
+               COALESCE(ANY_VALUE(dc.n_dropped), 0) AS n_dropped,
+               COUNT(*) - COALESCE(ANY_VALUE(dc.n_dropped), 0) AS n_kept
+        FROM a LEFT JOIN dc ON a.cid = dc.cid
+        GROUP BY a.cid"""),
+      "SemDeDup-style semantic dedup (Abbas et al. 2023): centroid " +
+        "assignment as the blocking key, within-cluster pairwise cosine, " +
+        "deterministic drop rule — sub-quadratic semantic dedup " +
         "(pipeline ops brief)."))
 }

@@ -123,4 +123,18 @@ class RocksDbSoakSpec extends SparkSpec {
     assert(rocks.map(_.toString).sorted == default.map(_.toString).sorted)
     assert(rocks.nonEmpty)
   }
+
+  test("SCD2 changelog twin: RocksDB provider matches default on a 1k-key soak") {
+    import spark.implicits._
+    // 1000 keys x 4 versions arriving across 4 micro-batches in ts order
+    val fixture = for {
+      v <- 0 to 3; k <- 1 to 1000
+    } yield DimVersion(k.toLong, (v * 1000 + k).toLong,
+      if (v % 2 == 0) "1001" else "1003", ts(v * 3600L + k))
+    val batches = fixture.grouped(1000).map(_.toSeq).toSeq
+    val (rocks, default) = bothProviders(batches)(StatefulOps.scd2)
+    assert(rocks.map(_.toString).sorted == default.map(_.toString).sorted)
+    // 4 versions/key: 3 closed re-emissions + 4 open emissions = 7 rows/key
+    assert(rocks.length == 7000)
+  }
 }

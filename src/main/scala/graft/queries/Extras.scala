@@ -923,5 +923,178 @@ object Extras {
       "Z-order (Morton) multi-dimensional layout key: bit-interleaved " +
         "(custkey, day) with per-bucket min/max spans bounding BOTH " +
         "columns — the OPTIMIZE ZORDER clustering primitive for " +
-        "two-column file skipping (beyond-reference engine surface)."))
+        "two-column file skipping (beyond-reference engine surface)."),
+
+    // ------------------------------------------------ explicit GROUPING SETS
+    Q(
+      "q101_grouping_sets",
+      (s, dir) => {
+        // The non-hierarchical grouping-set combination neither ROLLUP
+        // (q67, prefixes) nor CUBE (q76, all subsets) expresses: the two
+        // one-dimensional margins plus the grand total, skipping the full
+        // cross table. Same Expand pre-aggregation trick as q76: exact
+        // decimal sums are associative, so expanding the |flag×status|
+        // rollup instead of the fact scan is result-identical.
+        val base = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("ct"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("price"))
+        base
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("ct")).as("line_ct"),
+            sum(col("price")).cast("double").as("sum_price"))
+          .select(col("l_returnflag").as("rflag"),
+            col("l_linestatus").as("lstatus"),
+            col("line_ct"), col("sum_price"))
+      },
+      Some("""
+        SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+               COUNT(*) AS line_ct,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""),
+      "Explicit GROUPING SETS (both one-dim margins + grand total, no " +
+        "cross table) — the arbitrary-subtotal form completing " +
+        "ROLLUP/CUBE/PIVOT (beyond-reference engine surface)."),
+
+    // --------------------------------------- relative-rank window functions
+    Q(
+      "q102_relative_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // percent_rank / cume_dist per language over document length:
+        // rank-based ratios of integers, so the doubles are single exact
+        // divisions — engine-identical (unlike any summed float). One
+        // shuffle on lang; each partition's window is a local sort.
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+      },
+      Some("""
+        SELECT doc_id, lang, n_chars,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars)"""),
+      "Relative-rank window functions (percent_rank, cume_dist) per " +
+        "group: exact integer-ratio doubles, ties resolved identically in " +
+        "both engines — beyond-reference engine surface (window " +
+        "navigation completion)."),
+
+    // ------------------------------------------------ last-touch attribution
+    Q(
+      "q103_last_touch_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Marketing attribution: each purchase credits the user's most
+        // recent view/click in the prior 7 days (deterministic tiebreak on
+        // (tus, event_id) desc); purchases with no touch are 'direct'.
+        // The as-of shape of q53, composed into a revenue rollup: join on
+        // user_id (high cardinality), per-purchase top-1 via the
+        // WindowGroupLimit partial-rank path, then a channels-sized
+        // aggregate.
+        val e = Tables(s, dir, "events").select(col("user_id"),
+          col("event_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"), col("value"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_eid"),
+            col("tus").as("p_tus"), col("value"))
+        val t = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_id").as("t_eid"),
+            col("tus").as("t_tus"), col("event_type").as("channel"))
+        val w = Window.partitionBy(col("p_eid"))
+          .orderBy(col("t_tus").desc, col("t_eid").desc)
+        // lookback predicate INSIDE the join condition: as a post-filter it
+        // would delete purchases whose only touches are out-of-window
+        // instead of falling them back to 'direct'
+        val attributed = p.join(t,
+            p("user_id") === t("user_id") &&
+              t("t_tus") < p("p_tus") &&
+              t("t_tus") >= p("p_tus") - lit(7L * 86400000000L),
+            "left_outer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        attributed
+          .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("attributed_value"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                 event_type, value
+          FROM events),
+        p AS (SELECT user_id, event_id AS p_eid, tus AS p_tus, value
+              FROM e WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, event_id AS t_eid, tus AS t_tus,
+                     event_type AS channel
+              FROM e WHERE event_type IN ('view', 'click')),
+        j AS (
+          SELECT p.p_eid, p.value, t.channel,
+                 row_number() OVER (PARTITION BY p.p_eid
+                   ORDER BY t.t_tus DESC, t.t_eid DESC) AS rn
+          FROM p LEFT JOIN t
+            ON p.user_id = t.user_id
+           AND t.t_tus < p.p_tus
+           AND t.t_tus >= p.p_tus - 604800000000)
+        SELECT COALESCE(channel, 'direct') AS channel,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS attributed_value
+        FROM j WHERE rn = 1
+        GROUP BY 1"""),
+      "Last-touch attribution: each purchase credits the most recent " +
+        "view/click inside a 7-day lookback (as-of top-1 per purchase), " +
+        "unmatched purchases fall to 'direct' — the product-analytics " +
+        "revenue-attribution staple (beyond-reference engine surface)."),
+
+    // --------------------------------------------- page-transition matrix
+    Q(
+      "q104_transition_matrix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // First-order Markov transition counts over each user's event
+        // sequence (lag over the deterministic total order), with a ppm
+        // row-share per source state — integer-exact. One shuffle on
+        // user_id for the lag, one tiny aggregate; the matrix is
+        // |event-types|² however large the input.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val wf = Window.partitionBy(col("from_type"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"), col("event_type"))
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share_ppm",
+            expr("n * 1000000L div sum(n) over (partition by from_type)"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_type,
+                 lag(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   AS from_type
+          FROM events),
+        m AS (
+          SELECT from_type, event_type AS to_type, COUNT(*) AS n
+          FROM g WHERE from_type IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_type)
+                                  AS BIGINT) AS share_ppm
+        FROM m"""),
+      "First-order Markov page-transition matrix (lag pairs over the " +
+        "per-user total order) with integer ppm row shares — the " +
+        "user-journey diagnostic behind funnel design " +
+        "(beyond-reference engine surface)."))
 }

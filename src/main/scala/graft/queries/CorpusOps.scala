@@ -507,7 +507,97 @@ object CorpusOps {
       "Temperature-weighted source mixture (T=2: weights ∝ sqrt(n), " +
         "integer-exact via floor(sqrt) and ppm shares) — the " +
         "alpha-sampling rebalancing step of a pretraining recipe " +
-        "(pipeline ops brief)."))
+        "(pipeline ops brief)."),
+
+    // ---------------------------------------- weighted mixture sampling
+    Q(
+      "q107_weighted_sample",
+      (s, dir) => {
+        // APPLY q99's temperature weights as a deterministic sampler:
+        // per-source keep budget = T·w_raw div w_total docs, keep rate in
+        // ppm, keep iff hash32(doc_id) mod 1e6 falls under the rate — the
+        // same hash-gate as q58, driven by the mixture recipe instead of
+        // equal quotas. One count aggregate + a broadcast rates join; the
+        // gate is a pure scan predicate at any corpus size.
+        val target = 200L
+        val counts = docs(s, dir).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_raw",
+            floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+        val total = counts.agg(sum(col("w_raw")).as("w_total"))
+        val rates = counts.crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"),
+            least(lit(1000000L),
+              expr(s"(${target}L * w_raw div w_total) * 1000000L div n_docs"))
+              .as("rate_ppm"))
+        docs(s, dir).select(col("doc_id"), col("source"))
+          .join(broadcast(rates), "source")
+          .filter(pmod(hash32(col("doc_id").cast("string")),
+            lit(1000000)) < col("rate_ppm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            first(col("n_docs")).as("n_docs"),
+            first(col("rate_ppm")).as("rate_ppm"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w_raw
+          FROM documents GROUP BY source),
+        t AS (SELECT CAST(SUM(w_raw) AS BIGINT) AS w_total FROM c),
+        rates AS (
+          SELECT c.source, c.n_docs,
+                 LEAST(1000000,
+                   ((200 * c.w_raw) // t.w_total) * 1000000 // c.n_docs)
+                   AS rate_ppm
+          FROM c, t)
+        SELECT d.source, COUNT(*) AS n_kept,
+               ANY_VALUE(r.n_docs) AS n_docs,
+               ANY_VALUE(r.rate_ppm) AS rate_ppm
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 < r.rate_ppm
+        GROUP BY d.source"""),
+      "Temperature-mixture sampling: q99's sqrt-weights turned into " +
+        "per-source ppm keep rates applied through the deterministic " +
+        "hash gate — the recipe-execution step after mixture design " +
+        "(pipeline ops brief)."),
+
+    // ------------------------------------------------- bottom-k sketch
+    Q(
+      "q108_bottomk_sketch",
+      (s, dir) => {
+        // Bottom-k sketch per source: the k smallest hash32 values of the
+        // member doc ids — the mergeable synopsis behind distinct-count
+        // and set-similarity estimation. Partial top-k per partition
+        // (WindowGroupLimit) before the exchange, so the shuffle carries
+        // at most k rows per (partition, source) at any corpus size.
+        val k = 4
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("hv"), col("doc_id"))
+        docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            hash32(col("doc_id").cast("string")).as("hv"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col("source"), col("rnk"), col("hv"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT source, doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv
+          FROM documents),
+        r AS (
+          SELECT source, hv,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY hv, doc_id) AS rnk
+          FROM h)
+        SELECT source, CAST(rnk AS INT) AS rnk, hv FROM r WHERE rnk <= 4"""),
+      "Bottom-k sketch per source (k smallest id hashes): the mergeable " +
+        "synopsis for distinct-count / Jaccard estimation at corpus " +
+        "scale, built with partial per-partition top-k " +
+        "(pipeline ops brief: sketches)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Engine-completeness operators beyond the reference's inventory (the
@@ -1096,5 +1097,118 @@ object Extras {
       "First-order Markov page-transition matrix (lag pairs over the " +
         "per-user total order) with integer ppm row shares — the " +
         "user-journey diagnostic behind funnel design " +
+        "(beyond-reference engine surface)."),
+
+    // ------------------------------------------------ Pareto skyline
+    Q(
+      "q105_pareto_skyline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Skyline (Pareto frontier) over orders: keep an order iff no
+        // strictly earlier day saw a strictly higher price. Computed
+        // scale-safely: the prefix max runs over the DAILY maxima
+        // (calendar-bounded, one row/day however large the table), then a
+        // broadcast join back to orders applies the per-day threshold —
+        // never an unpartitioned window over the fact table.
+        val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          col("o_totalprice").cast("double").as("price"))
+        val daily = o.groupBy("d").agg(max(col("price")).as("day_max"))
+          .withColumn("dayn",
+            datediff(col("d"), to_date(lit("1970-01-01"))))
+        val w = Window.orderBy(col("dayn"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val thresholds = daily
+          .withColumn("prev_max", max(col("day_max")).over(w))
+          .select(col("d"), col("prev_max"))
+        o.join(broadcast(thresholds), "d")
+          .filter(col("prev_max").isNull || col("price") >= col("prev_max"))
+          .select(col("o_orderkey"),
+            date_format(col("d"), "yyyy-MM-dd").as("day"), col("price"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders),
+        daily AS (
+          SELECT d, MAX(price) AS day_max,
+                 date_diff('day', DATE '1970-01-01', d) AS dayn
+          FROM o GROUP BY d),
+        th AS (
+          SELECT d, MAX(day_max) OVER (ORDER BY dayn
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+          FROM daily)
+        SELECT o.o_orderkey, strftime(o.d, '%Y-%m-%d') AS day, o.price
+        FROM o JOIN th ON o.d = th.d
+        WHERE th.prev_max IS NULL OR o.price >= th.prev_max"""),
+      "Pareto skyline (no strictly earlier day with a strictly higher " +
+        "price): prefix max over calendar-bounded daily maxima + broadcast " +
+        "threshold join — multi-objective dominance filtering " +
+        "(beyond-reference engine surface)."),
+
+    // --------------------------------------------- MAD outlier detection
+    Q(
+      "q106_mad_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Robust outlier detection on daily revenue: median absolute
+        // deviation with rank-picked medians (actual data values, never
+        // interpolated — the q83 trick), flag = |x − med| > 3·1.4826·MAD.
+        // Exact decimals through both median picks; one double multiply
+        // at the comparison, identical in both engines. All windows run
+        // over the calendar-bounded daily rollup.
+        val daily = Tables(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("amt"))
+        def medianOf(df: DataFrame, c: String): DataFrame = {
+          val w = Window.orderBy(col(c), col("d"))
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(
+              Window.partitionBy()))
+            .filter(col("rn") === expr("(n + 1) div 2"))
+            .select(col(c).as("m"))
+        }
+        val med = medianOf(daily, "amt")
+        val dev = daily.crossJoin(broadcast(med))
+          .withColumn("adev", abs(col("amt") - col("m")))
+        val mad = medianOf(dev.select(col("d"), col("adev")), "adev")
+          .withColumnRenamed("m", "mad")
+        dev.crossJoin(broadcast(mad))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("amt").cast("double").as("day_amount"),
+            // 4.4478 as ONE literal on both sides: 3.0*1.4826 rounds
+            // differently than the decimal literal's nearest double
+            (col("adev").cast("double") >
+              lit(4.4478) * col("mad").cast("double"))
+              .cast("int").as("is_outlier"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT d, amt,
+                 row_number() OVER (ORDER BY amt, d) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM daily),
+        med AS (SELECT amt AS m FROM r WHERE rn = (n + 1) // 2),
+        dev AS (SELECT daily.d, daily.amt, ABS(daily.amt - med.m) AS adev
+                FROM daily, med),
+        r2 AS (
+          SELECT adev, row_number() OVER (ORDER BY adev, d) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM dev),
+        mad AS (SELECT adev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        SELECT strftime(dev.d, '%Y-%m-%d') AS day,
+               CAST(dev.amt AS DOUBLE) AS day_amount,
+               CAST(CAST(dev.adev AS DOUBLE) >
+                      4.4478 * CAST(mad.mad AS DOUBLE) AS INT) AS is_outlier
+        FROM dev, mad"""),
+      "Robust anomaly detection: median-absolute-deviation flags on daily " +
+        "revenue with rank-picked (never interpolated) medians — " +
+        "engine-exact despite the robust statistics " +
         "(beyond-reference engine surface)."))
 }

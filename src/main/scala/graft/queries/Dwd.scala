@@ -387,5 +387,69 @@ object Dwd {
       "SCD2 dimension history from CDC: validity intervals per pk version " +
         "via lead over a deterministic total order — the warehouse-history " +
         "form of the reference's dim layer (ref RT/app/dim/DimApp.java " +
-        "keep-latest upsert, extended to full history)."))
+        "keep-latest upsert, extended to full history)."),
+
+    // ------------------------------------------------- snapshot diff audit
+    Q(
+      "q111_snapshot_diff",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Table reconciliation: diff the user_info dimension as-of
+        // 2024-01-16 against the final state (both keep-latest per pk over
+        // the CDC stream) and classify every key added / changed /
+        // unchanged — the audit op behind backfill validation. Two
+        // keep-latest passes over one staged scan + a full outer join on
+        // the pk; 'removed' is impossible for this append-only feed but
+        // classified anyway (the general contract).
+        val cutoffUs = 1705363200000000L // 2024-01-16T00:00:00Z in micros
+        val versions = cdc(s, dir)
+          .filter(col("env.table") === "user_info")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            element_at(col("env.data"), "order_status").as("status"))
+        def latest(df: DataFrame) = {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("tus").desc, col("event_id").desc)
+          df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("user_id"), col("status"))
+        }
+        val old = latest(versions.filter(col("tus") < cutoffUs))
+          .withColumnRenamed("status", "old_status")
+        val neu = latest(versions).withColumnRenamed("status", "new_status")
+        old.join(neu, Seq("user_id"), "full_outer")
+          .select(
+            when(col("old_status").isNull, "added")
+              .when(col("new_status").isNull, "removed")
+              .when(col("old_status") =!= col("new_status"), "changed")
+              .otherwise("unchanged").as("diff_class"))
+          .groupBy("diff_class").agg(count(lit(1)).as("n_keys"))
+      },
+      Some(cdcCte + """,
+        v AS (
+          SELECT cdc.user_id, cdc.event_id,
+                 epoch_us(CAST(events.ts AS TIMESTAMP)) AS tus,
+                 CASE WHEN cdc.m IN (6, 7) THEN '1003' ELSE '1001' END AS status
+          FROM cdc JOIN events USING (event_id)
+          WHERE cdc.tbl = 'user_info'),
+        old AS (
+          SELECT user_id, status AS old_status FROM (
+            SELECT user_id, status, row_number() OVER (PARTITION BY user_id
+              ORDER BY tus DESC, event_id DESC) AS rn
+            FROM v WHERE tus < 1705363200000000) WHERE rn = 1),
+        neu AS (
+          SELECT user_id, status AS new_status FROM (
+            SELECT user_id, status, row_number() OVER (PARTITION BY user_id
+              ORDER BY tus DESC, event_id DESC) AS rn
+            FROM v) WHERE rn = 1)
+        SELECT CASE WHEN old.old_status IS NULL THEN 'added'
+                    WHEN neu.new_status IS NULL THEN 'removed'
+                    WHEN old.old_status <> neu.new_status THEN 'changed'
+                    ELSE 'unchanged' END AS diff_class,
+               COUNT(*) AS n_keys
+        FROM old FULL OUTER JOIN neu USING (user_id)
+        GROUP BY 1"""),
+      "Snapshot diff / reconciliation: keep-latest dimension state at two " +
+        "points in time, full-outer compared and classified " +
+        "added/changed/unchanged — the backfill-audit op over the same " +
+        "CDC substrate as q89 (beyond-reference engine surface)."))
 }

@@ -1210,5 +1210,121 @@ object Extras {
       "Robust anomaly detection: median-absolute-deviation flags on daily " +
         "revenue with rank-picked (never interpolated) medians — " +
         "engine-exact despite the robust statistics " +
+        "(beyond-reference engine surface)."),
+
+    // ------------------------------------------------ rolling distinct DAU
+    Q(
+      "q109_rolling_dau",
+      (s, dir) => {
+        // 7-day rolling ACTIVE USERS per day. Distinct counts cannot ride
+        // a window frame (sums can — q91), so the rolling set is expressed
+        // as day-spine × 7 offsets joined to the distinct (user, day)
+        // activity — the offsets table is a constant 7 rows, the spine is
+        // calendar-bounded, and the only large shuffle is the final
+        // count-distinct keyed by report day.
+        val act = Tables(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val spine = act.select(col("d").as("rd")).distinct()
+        val win = spine.crossJoin(
+            broadcast(s.range(0, 7).select(col("id").cast("int").as("off"))))
+          .select(col("rd"), date_sub(col("rd"), col("off")).as("d"))
+        win.join(act, "d")
+          .groupBy(date_format(col("rd"), "yyyy-MM-dd").as("day"))
+          .agg(countDistinct(col("user_id")).as("dau_7d"))
+      },
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        spine AS (SELECT DISTINCT d AS rd FROM act),
+        win AS (
+          SELECT rd, rd - i * INTERVAL 1 DAY AS d
+          FROM spine, UNNEST(generate_series(0, 6)) AS t(i))
+        SELECT strftime(win.rd, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT act.user_id) AS dau_7d
+        FROM win JOIN act ON CAST(win.d AS DATE) = act.d
+        GROUP BY 1"""),
+      "Rolling 7-day distinct active users: day-spine × offsets join " +
+        "against distinct activity (distinct counts cannot ride a window " +
+        "frame) — the DAU/WAU dashboard staple " +
+        "(beyond-reference engine surface)."),
+
+    // ----------------------------------------------- activity bitmaps
+    Q(
+      "q110_activity_bitmaps",
+      (s, dir) => {
+        // Per-user activity as a 30-bit bitmap (bit i = active on day i) —
+        // the bitmap-index representation Druid/ClickHouse-style engines
+        // use for segment membership: one bit_or aggregate per user, then
+        // popcount analytics are pure integer ops on one long per user.
+        val base = to_date(lit("2024-01-01"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), datediff(to_date(col("ts")), base).as("off"))
+          .filter(col("off").between(0, 29))
+          .select(col("user_id"), expr("shiftleft(1L, off)").as("bit"))
+          .groupBy("user_id")
+          .agg(expr("bit_or(bit)").as("bitmap"))
+          .select(col("user_id"), col("bitmap"),
+            bit_count(col("bitmap")).as("n_active_days"),
+            bit_count(col("bitmap").bitwiseAND(lit(127L)))
+              .as("active_week1"),
+            (col("bitmap").bitwiseAND(lit(1L)) === 1L).cast("int")
+              .as("active_day0"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS off
+          FROM events),
+        m AS (
+          SELECT user_id,
+                 CAST(BIT_OR(1::BIGINT << off) AS BIGINT) AS bitmap
+          FROM b WHERE off BETWEEN 0 AND 29
+          GROUP BY user_id)
+        SELECT user_id, bitmap,
+               CAST(bit_count(bitmap) AS INT) AS n_active_days,
+               CAST(bit_count(bitmap & 127) AS INT) AS active_week1,
+               CAST((bitmap & 1) = 1 AS INT) AS active_day0
+        FROM m"""),
+      "Per-user activity bitmaps (bit_or of day bits + popcount " +
+        "analytics): the bitmap-index membership representation, one " +
+        "long per user regardless of event count " +
+        "(beyond-reference engine surface)."),
+
+    // --------------------------------------------------- zone maps
+    Q(
+      "q112_zone_maps",
+      (s, dir) => {
+        // Zone maps (per-storage-bucket min/max synopses) — the data-
+        // skipping metadata parquet/ORC/ClickHouse keep per block: one
+        // aggregate keyed by bucket, plus the skip decision for a sample
+        // predicate (o_orderdate >= 2024-07-01) evaluated on the synopsis
+        // alone. Lexicographic-vs-temporal agreement of ISO date strings
+        // (q31) is what makes the string min/max a valid date zone map.
+        Tables(s, dir, "orders")
+          .select(expr("o_orderkey div 1024").as("bucket"),
+            date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("ds"),
+            col("o_totalprice").cast("double").as("price"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("ds")).as("min_date"), max(col("ds")).as("max_date"),
+            min(col("price")).as("min_price"),
+            max(col("price")).as("max_price"))
+          .withColumn("skip_h2",
+            (col("max_date") < "2024-07-01").cast("int"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT o_orderkey // 1024 AS bucket,
+                 strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders)
+        SELECT bucket, COUNT(*) AS n_rows,
+               MIN(ds) AS min_date, MAX(ds) AS max_date,
+               MIN(price) AS min_price, MAX(price) AS max_price,
+               CAST(MAX(ds) < '2024-07-01' AS INT) AS skip_h2
+        FROM b GROUP BY bucket"""),
+      "Zone maps: per-bucket min/max synopses plus a predicate skip " +
+        "decision computed on the synopsis alone — the data-skipping " +
+        "metadata that prunes blocks at 100 TB " +
         "(beyond-reference engine surface)."))
 }

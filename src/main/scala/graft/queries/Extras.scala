@@ -1326,5 +1326,51 @@ object Extras {
       "Zone maps: per-bucket min/max synopses plus a predicate skip " +
         "decision computed on the synopsis alone — the data-skipping " +
         "metadata that prunes blocks at 100 TB " +
+        "(beyond-reference engine surface)."),
+
+    // ------------------------------------------------- lateness audit
+    Q(
+      "q113_lateness_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Watermark-design audit: per partition-analog (user_id — the
+        // Kafka key whose per-partition order a watermark actually sees),
+        // replay events in arrival order (event_id) and count how many
+        // would arrive behind a 3 s / 30 s watermark — the measurement
+        // that picks W1/W2's bounded-OOO delay from data instead of
+        // folklore. One shuffle on user_id, running max per key.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            to_date(col("ts")).as("d"))
+          .withColumn("hwm", max(col("tus")).over(w))
+          .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("tus") < col("hwm") - 3000000L, 1L).otherwise(0L))
+              .as("n_late_3s"),
+            sum(when(col("tus") < col("hwm") - 30000000L, 1L).otherwise(0L))
+              .as("n_late_30s"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                 CAST(ts AS DATE) AS d,
+                 MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+          FROM events)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN tus < hwm - 3000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late_3s,
+               CAST(SUM(CASE WHEN tus < hwm - 30000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late_30s
+        FROM a GROUP BY 1"""),
+      "Watermark lateness audit: per-key arrival-order replay counting " +
+        "events a 3 s / 30 s bounded-OOO watermark would drop — the " +
+        "data-driven way to size W1/W2 delays " +
         "(beyond-reference engine surface)."))
 }

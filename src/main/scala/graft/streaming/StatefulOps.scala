@@ -56,6 +56,18 @@ final case class Scd2Row(key: Long, eventId: Long, version: Int, status: String,
 /** SCD2 state: the open (current) version of one key. */
 final case class Scd2Open(eventId: Long, version: Int, fromUs: Long, status: String)
 
+/** A funnel input event and the per-(user, day) stage flags the streaming
+  * funnel emits after processing it (q92's streaming twin). `seqUs`/`seqId`
+  * are the event's position in the per-key total order — a keep-latest
+  * consumer per (userId, day) on them reconstructs the final funnel state.
+  */
+final case class FunnelEvent(userId: Long, eventId: Long, etype: String, ts: Timestamp)
+final case class FunnelFlags(userId: Long, day: String,
+    hasView: Int, hasClick: Int, hasPurchase: Int, seqUs: Long, seqId: Long)
+
+/** Funnel state: first qualifying timestamp of each stage for one key. */
+final case class FunnelSt(vTs: Option[Long], cTs: Option[Long], pTs: Option[Long])
+
 /** Streaming renditions of the reference's keyed-state operators (SURVEY.md
   * §2.6 ST1-ST7, §2.7 C1, §2.8 W1-W8): Flink `ValueState` + timers become
   * `flatMapGroupsWithState` with small case-class state. The batch oracles for
@@ -467,6 +479,45 @@ object StatefulOps {
             open = Some(Scd2Open(e.eventId, v, us, e.status))
           }
           open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Ordered view→click→purchase funnel as a stream — q92's streaming
+    * twin. State per (userId, day) is the first qualifying timestamp of
+    * each stage; a stage qualifies only STRICTLY after the previous
+    * stage's first timestamp (the same min-ts chaining the batch query
+    * expresses with three aggregate-join rounds). Emits the running flags
+    * after every event; keep-latest per key on (seqUs, seqId) reconstructs
+    * the final funnel, and StatefulOpsSpec asserts the reconstruction's
+    * per-day counts equal batch q92 across multi-batch arrival.
+    */
+  def funnel(ds: Dataset[FunnelEvent]): Dataset[FunnelFlags] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.userId, day(e.ts)))
+      .flatMapGroupsWithState[FunnelSt, FunnelFlags](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), events: Iterator[FunnelEvent],
+            state: GroupState[FunnelSt]) =>
+          var st = state.getOption.getOrElse(FunnelSt(None, None, None))
+          val out = Seq.newBuilder[FunnelFlags]
+          events.toSeq.sortBy(e => (micros(e.ts), e.eventId)).foreach { e =>
+            val us = micros(e.ts)
+            e.etype match {
+              case "view" if st.vTs.isEmpty =>
+                st = st.copy(vTs = Some(us))
+              case "click" if st.cTs.isEmpty && st.vTs.exists(us > _) =>
+                st = st.copy(cTs = Some(us))
+              case "purchase" if st.pTs.isEmpty && st.cTs.exists(us > _) =>
+                st = st.copy(pTs = Some(us))
+              case _ => ()
+            }
+            out += FunnelFlags(key._1, key._2,
+              if (st.vTs.isDefined) 1 else 0,
+              if (st.cTs.isDefined) 1 else 0,
+              if (st.pTs.isDefined) 1 else 0, us, e.eventId)
+          }
+          state.update(st)
           out.result().iterator
       }
   }

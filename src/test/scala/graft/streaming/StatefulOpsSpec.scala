@@ -405,4 +405,36 @@ class StatefulOpsSpec extends SparkSpec {
     // sanity: multi-version keys exist and close intervals
     assert(emitted.exists(_.isCurrent == 0))
   }
+
+  test("funnel streaming twin reconstructs batch q92 per-day counts") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val fixture = graft.Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("event_type").as("etype"), col("ts"))
+      .as[FunnelEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.eventId))
+    val batches = fixture.grouped((fixture.length + 2) / 3).map(_.toSeq).toSeq
+    val emitted = runStream[FunnelEvent, FunnelFlags](batches)(StatefulOps.funnel)
+    // keep-latest per (user, day) on the per-key sequence position
+    val finalFlags = emitted.groupBy(f => (f.userId, f.day)).map {
+      case (_, rows) => rows.maxBy(f => (f.seqUs, f.seqId))
+    }
+    val streamedByDay = finalFlags.filter(_.hasView == 1)
+      .groupBy(_.day).map { case (d, rows) =>
+        d -> (rows.size.toLong, rows.count(_.hasClick == 1).toLong,
+          rows.count(_.hasPurchase == 1).toLong)
+      }
+    val batch = graft.Registry.all.find(_.name == "q92_funnel_conversion").get
+      .run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamedByDay.size == batch.size)
+    streamedByDay.foreach { case (d, counts) =>
+      assert(batch(d) == counts, s"day $d: $counts vs ${batch(d)}")
+    }
+    // sanity: the funnel actually narrows somewhere
+    assert(streamedByDay.values.exists { case (v, _, p) => p < v })
+  }
 }

@@ -1372,5 +1372,85 @@ object Extras {
       "Watermark lateness audit: per-key arrival-order replay counting " +
         "events a 3 s / 30 s bounded-OOO watermark would drop — the " +
         "data-driven way to size W1/W2 delays " +
+        "(beyond-reference engine surface)."),
+
+    // ------------------------------------------- weekly rollup + WoW growth
+    Q(
+      "q114_weekly_growth",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // ISO-week revenue with week-over-week growth: date_trunc('week')
+        // agrees between engines (ISO Monday start), growth is an integer
+        // ppm ratio over exact decimal sums — the BI trend line without a
+        // float division drift. Lag rides the calendar-bounded weekly
+        // rollup.
+        val weekly = Tables(s, dir, "orders")
+          .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("amt"),
+            count(lit(1)).as("n_orders"))
+        val w = Window.orderBy(col("wk"))
+        weekly
+          .withColumn("prev", lag(col("amt"), 1).over(w))
+          .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+            col("n_orders"), col("amt").cast("double").as("revenue"),
+            expr("cast((amt - prev) * 1000000 as bigint) div " +
+              "cast(prev * 100 as bigint)").as("wow_growth_x10k"))
+      },
+      Some("""
+        WITH weekly AS (
+          SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1),
+        g AS (
+          SELECT wk, n_orders, amt,
+                 lag(amt, 1) OVER (ORDER BY wk) AS prev
+          FROM weekly)
+        SELECT strftime(wk, '%Y-%m-%d') AS week_start, n_orders,
+               CAST(amt AS DOUBLE) AS revenue,
+               CAST((amt - prev) * 1000000 AS BIGINT)
+                 // CAST(prev * 100 AS BIGINT) AS wow_growth_x10k
+        FROM g"""),
+      "ISO-week revenue rollup with week-over-week growth as an integer " +
+        "ratio over exact decimal sums — the BI trend staple without " +
+        "float-division drift (beyond-reference engine surface)."),
+
+    // --------------------------------------------- co-purchase affinity
+    Q(
+      "q115_basket_affinity",
+      (s, dir) => {
+        // Market-basket affinity: part-type pairs bought together in one
+        // order. The pair expansion is per-order (bounded by order line
+        // count — TPC-H ≤7, never corpus-sized), then one aggregate over
+        // (type, type) — the same capped-blocking discipline as the dedup
+        // family, applied to retail affinity. Type lookup joins before
+        // the self-join so the pair join carries small ints, not part
+        // rows.
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val types = Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))
+        val typed = li.join(types, li("l_partkey") === types("p_partkey"))
+          .select(col("l_orderkey"), col("p_type")).distinct()
+        typed.as("a").join(typed.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.p_type") < col("b.p_type"))
+          .groupBy(col("a.p_type").as("type_a"), col("b.p_type").as("type_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 20)
+      },
+      Some("""
+        WITH typed AS (
+          SELECT DISTINCT l.l_orderkey, p.p_type
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        SELECT a.p_type AS type_a, b.p_type AS type_b,
+               COUNT(*) AS n_orders
+        FROM typed a JOIN typed b
+          ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 20"""),
+      "Market-basket co-purchase affinity: per-order part-type pairs " +
+        "(bounded expansion per basket) aggregated to pair counts — " +
+        "the retail recommendation primitive " +
         "(beyond-reference engine surface)."))
 }

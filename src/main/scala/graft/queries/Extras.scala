@@ -1452,5 +1452,109 @@ object Extras {
       "Market-basket co-purchase affinity: per-order part-type pairs " +
         "(bounded expansion per basket) aggregated to pair counts — " +
         "the retail recommendation primitive " +
+        "(beyond-reference engine surface)."),
+
+    // --------------------------------------------- fulfillment latency
+    Q(
+      "q116_ship_latency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Order→ship latency distribution per order priority: rank-picked
+        // median (q83 discipline) + late rate as integer ppm. One
+        // fact-fact join on the order key, then priority-sized aggregates;
+        // the median window partitions by priority (bounded groups of the
+        // rollup, not the fact table — rank runs over per-priority day
+        // values which ARE fact-sized, so the shuffle is the same one the
+        // join already pays, keyed by priority).
+        val lat = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+          .join(Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              to_date(col("o_orderdate")).as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            datediff(col("sd"), col("od")).as("days"),
+            col("l_orderkey"))
+        val w = Window.partitionBy(col("priority"))
+          .orderBy(col("days"), col("l_orderkey"))
+        lat
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("priority"))))
+          .groupBy("priority")
+          .agg(first(col("n")).as("n_lines"),
+            min(col("days")).as("min_days"),
+            max(col("days")).as("max_days"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("days")))
+              .as("median_days"),
+            expr("sum(case when days > 90 then 1 else 0 end) " +
+              "* 1000000L div count(1)").as("late90_ppm"))
+      },
+      Some("""
+        WITH lat AS (
+          SELECT o.o_orderpriority AS priority,
+                 date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS days,
+                 l.l_orderkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        r AS (
+          SELECT priority, days,
+                 row_number() OVER (PARTITION BY priority
+                   ORDER BY days, l_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY priority) AS n
+          FROM lat)
+        SELECT priority, ANY_VALUE(n) AS n_lines,
+               CAST(MIN(days) AS INT) AS min_days,
+               CAST(MAX(days) AS INT) AS max_days,
+               CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN days END) AS INT)
+                 AS median_days,
+               CAST(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // COUNT(*) AS late90_ppm
+        FROM r GROUP BY priority"""),
+      "Order→ship latency distribution per priority: rank-picked median " +
+        "+ integer ppm late rate over one fact-fact join — fulfillment " +
+        "SLA analytics (beyond-reference engine surface)."),
+
+    // ------------------------------------------ supplier concentration HHI
+    Q(
+      "q117_supplier_hhi",
+      (s, dir) => {
+        // Herfindahl–Hirschman supplier-concentration index per part
+        // type: squared integer ppm shares summed — fully
+        // order-independent (sum of exact integers), no float anywhere.
+        // Two aggregates + a type lookup join; output is |types| rows at
+        // any scale.
+        val li = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_type"), col("l_suppkey"))
+        val perSupp = li.groupBy("p_type", "l_suppkey")
+          .agg(count(lit(1)).as("n_s"))
+        val perType = li.groupBy("p_type").agg(count(lit(1)).as("n_t"))
+        perSupp.join(perType, "p_type")
+          .withColumn("share_ppm", expr("n_s * 1000000L div n_t"))
+          .groupBy("p_type")
+          .agg(first(col("n_t")).as("n_lines"),
+            count(lit(1)).as("n_suppliers"),
+            expr("sum(share_ppm * share_ppm) div 1000000L").as("hhi_ppm"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT p.p_type, l.l_suppkey
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        ps AS (SELECT p_type, l_suppkey, COUNT(*) AS n_s
+               FROM li GROUP BY 1, 2),
+        pt AS (SELECT p_type, COUNT(*) AS n_t FROM li GROUP BY 1),
+        sh AS (
+          SELECT ps.p_type, pt.n_t,
+                 (ps.n_s * 1000000) // pt.n_t AS share_ppm
+          FROM ps JOIN pt USING (p_type))
+        SELECT p_type, ANY_VALUE(n_t) AS n_lines,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(share_ppm * share_ppm) AS BIGINT) // 1000000
+                 AS hhi_ppm
+        FROM sh GROUP BY p_type"""),
+      "Supplier-concentration HHI per part type: squared integer ppm " +
+        "shares, order-independent exact — the supply-chain risk metric " +
         "(beyond-reference engine surface)."))
 }

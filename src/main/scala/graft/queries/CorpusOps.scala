@@ -597,7 +597,110 @@ object CorpusOps {
       "Bottom-k sketch per source (k smallest id hashes): the mergeable " +
         "synopsis for distinct-count / Jaccard estimation at corpus " +
         "scale, built with partial per-partition top-k " +
-        "(pipeline ops brief: sketches)."))
+        "(pipeline ops brief: sketches)."),
+
+    // ------------------------------------------- overlapping chunk index
+    Q(
+      "q118_chunk_index",
+      (s, dir) => {
+        // RAG-style chunking plan: 128-token windows at stride 96 (32
+        // overlap) per document — the retrieval-chunking complement of
+        // q87's gapless packing. Pure integer arithmetic over the token
+        // count: the chunk table is computed without materializing any
+        // text, so at 100 TB the index is planned from lightweight
+        // counts and the text is sliced only on fetch.
+        val n = size(split(col("text"), " "))
+        docs(s, dir)
+          .select(col("doc_id"), n.as("n_tok"))
+          .select(col("doc_id"), col("n_tok"),
+            posexplode(expr(
+              "filter(sequence(0, greatest(cast(n_tok as int) - 1, 0), 96)," +
+                " x -> x < n_tok)")))
+          .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+            col("col").cast("int").as("start_tok"),
+            least(col("col") + 128, col("n_tok")).cast("int").as("end_tok"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tok, i AS start_tok
+          FROM t, UNNEST(generate_series(0, GREATEST(n_tok - 1, 0), 96))
+                 AS s(i)
+          WHERE i < n_tok)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY start_tok) - 1 AS INT) AS chunk_idx,
+               CAST(start_tok AS INT) AS start_tok,
+               CAST(LEAST(start_tok + 128, n_tok) AS INT) AS end_tok
+        FROM c"""),
+      "Overlapping chunk index (128-token windows, stride 96): the RAG " +
+        "retrieval-chunking plan computed from token counts alone — " +
+        "no text materialized until fetch " +
+        "(pipeline ops brief: context chunking)."),
+
+    // ------------------------------------- substring containment dedup
+    Q(
+      "q119_containment_dedup",
+      (s, dir) => {
+        // Full-containment detection: doc A is contained in doc B when
+        // every 10-gram of A also occurs in B (word-level substring
+        // containment, the subsumption case of Lee et al. dedup).
+        // Candidate pairs come from the shared-gram join with a df cap
+        // (the q35 discipline); the containment test is then pure
+        // counting: shared(a,b) == n_grams(min side). Hashed grams only
+        // through the shuffle.
+        import graft.functions.TextFns.{tokens, wordNgrams}
+        val g = docs(s, dir).select(col("doc_id"),
+            explode(array_distinct(wordNgrams(tokens(col("text")), 10)))
+              .as("gram"))
+          .select(col("doc_id"), xxhash64(col("gram")).as("ng"))
+        val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val capped = g.withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("ng"))))
+          .filter(col("df") <= 20)
+        val shared = capped.select(col("ng"), col("doc_id").as("a"))
+          .join(capped.select(col("ng"), col("doc_id").as("b")), "ng")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(totals.select(col("doc_id").as("a"),
+            col("n_grams").as("na")), "a")
+          .join(totals.select(col("doc_id").as("b"),
+            col("n_grams").as("nb")), "b")
+          .filter(col("n_shared") === least(col("na"), col("nb")))
+          .select(col("a"), col("b"), col("na"), col("nb"),
+            col("n_shared"),
+            when(col("na") <= col("nb"), col("a")).otherwise(col("b"))
+              .as("contained_doc"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS ng
+              FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
+        totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, ng FROM (
+            SELECT doc_id, ng, COUNT(*) OVER (PARTITION BY ng) AS df
+            FROM g) WHERE df <= 20),
+        shared AS (
+          SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS n_shared
+          FROM capped g1 JOIN capped g2
+            ON g1.ng = g2.ng AND g1.doc_id < g2.doc_id
+          GROUP BY 1, 2)
+        SELECT s.a, s.b,
+               ta.n_grams AS na, tb.n_grams AS nb, s.n_shared,
+               CASE WHEN ta.n_grams <= tb.n_grams THEN s.a ELSE s.b END
+                 AS contained_doc
+        FROM shared s
+        JOIN totals ta ON ta.doc_id = s.a
+        JOIN totals tb ON tb.doc_id = s.b
+        WHERE s.n_shared = LEAST(ta.n_grams, tb.n_grams)"""),
+      "Substring containment dedup: doc fully contained in another when " +
+        "shared 10-grams equal its gram count — df-capped shared-gram " +
+        "blocking, hashes only through the shuffle " +
+        "(pipeline ops brief: subsumption dedup)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -529,6 +529,111 @@ object DedupOps {
         "declarative pipeline (pipeline ops brief)."),
 
 
+    // --------------------------------------- full pretraining-recipe funnel
+    Q(
+      "q120_recipe_funnel",
+      (s, dir) => {
+        import graft.functions.TextFns.{hash32, wordNgrams}
+        // The complete modern pretraining data recipe as ONE declarative
+        // plan, reported as a survival funnel: raw corpus → exact dedup →
+        // near-dup representative → benchmark decontamination → quality
+        // floor → temperature-mixture sample. Every stage is a flag
+        // column over one shared scan (independent subtrees joined on
+        // doc_id — no stage re-reads the corpus), and every flag reuses
+        // the family's verified machinery: q34's fingerprint, q57's CC
+        // labels, q63's 5-gram bench overlap, q99/q107's isqrt gate.
+        val corpus = docs(s, dir).filter(col("doc_id") >= 10)
+        val fp = md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+        val d = corpus.select(col("doc_id"), col("source"),
+          col("n_chars"), fp.as("f"))
+        val canon = d.groupBy("f").agg(min("doc_id").as("c"))
+        val reps = stagedLabels(s, dir)
+          .select(col("node").as("doc_id"), col("label").as("rep"))
+        def g5(df: DataFrame) = df.select(col("doc_id"),
+            explode(array_distinct(wordNgrams(tokens(col("text")), 5))).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("ng"))
+        val benchG = g5(docs(s, dir).filter(col("doc_id") < 10))
+          .select("ng").distinct()
+        val contam = g5(corpus).join(broadcast(benchG), "ng")
+          .select("doc_id").distinct().withColumn("bad", lit(1))
+        val flags = d.join(canon, "f")
+          .join(reps, Seq("doc_id"), "left_outer")
+          .join(contam, Seq("doc_id"), "left_outer")
+          .withColumn("k2", (col("doc_id") === col("c")).cast("int"))
+          .withColumn("k3", (col("k2") === 1 &&
+            (col("rep").isNull || col("rep") === col("doc_id"))).cast("int"))
+          .withColumn("k4", (col("k3") === 1 && col("bad").isNull).cast("int"))
+          .withColumn("k5", (col("k4") === 1 && col("n_chars") >= 100).cast("int"))
+        val rates = flags.filter(col("k5") === 1)
+          .groupBy("source").agg(count(lit(1)).as("n_s"))
+          .withColumn("w", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+        val total = rates.agg(sum(col("w")).as("wt"))
+        val rate = rates.crossJoin(broadcast(total))
+          .select(col("source"), least(lit(1000000L),
+            expr("(200L * w div wt) * 1000000L div n_s")).as("rate_ppm"))
+        flags.join(broadcast(rate), Seq("source"), "left_outer")
+          .withColumn("k6", (col("k5") === 1 &&
+            pmod(hash32(col("doc_id").cast("string")), lit(1000000)) <
+              coalesce(col("rate_ppm"), lit(0L))).cast("int"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(col("k2")).as("n_exact"), sum(col("k3")).as("n_neardup"),
+            sum(col("k4")).as("n_decon"), sum(col("k5")).as("n_quality"),
+            sum(col("k6")).as("n_sampled"))
+      },
+      Some(ccCte + """,
+        corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
+        fp AS (SELECT doc_id, source, n_chars,
+                      md5(array_to_string(list_sort(string_split(
+                        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS f
+               FROM corpus),
+        canon AS (SELECT f, MIN(doc_id) AS c FROM fp GROUP BY f),
+        tk5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+               FROM tk5, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        bench AS (SELECT DISTINCT ng FROM g5 WHERE doc_id < 10),
+        contam AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bench USING (ng)
+                   WHERE g5.doc_id >= 10),
+        fl AS (
+          SELECT fp.doc_id, fp.source,
+                 CASE WHEN fp.doc_id = canon.c THEN 1 ELSE 0 END AS k2,
+                 CASE WHEN fp.doc_id = canon.c AND
+                        (cc.cluster_rep IS NULL OR cc.cluster_rep = fp.doc_id)
+                      THEN 1 ELSE 0 END AS k3,
+                 CASE WHEN fp.doc_id = canon.c AND
+                        (cc.cluster_rep IS NULL OR cc.cluster_rep = fp.doc_id)
+                        AND contam.doc_id IS NULL
+                      THEN 1 ELSE 0 END AS k4,
+                 CASE WHEN fp.doc_id = canon.c AND
+                        (cc.cluster_rep IS NULL OR cc.cluster_rep = fp.doc_id)
+                        AND contam.doc_id IS NULL AND fp.n_chars >= 100
+                      THEN 1 ELSE 0 END AS k5
+          FROM fp JOIN canon USING (f)
+          LEFT JOIN cc ON cc.doc_id = fp.doc_id
+          LEFT JOIN contam ON contam.doc_id = fp.doc_id),
+        rates AS (
+          SELECT source, COUNT(*) AS n_s,
+                 CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+          FROM fl WHERE k5 = 1 GROUP BY source),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM rates),
+        rt AS (SELECT rates.source,
+                      LEAST(1000000, ((200 * rates.w) // tot.wt) * 1000000
+                            // rates.n_s) AS rate_ppm
+               FROM rates, tot)
+        SELECT COUNT(*) AS n_raw,
+               CAST(SUM(fl.k2) AS BIGINT) AS n_exact,
+               CAST(SUM(fl.k3) AS BIGINT) AS n_neardup,
+               CAST(SUM(fl.k4) AS BIGINT) AS n_decon,
+               CAST(SUM(fl.k5) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN fl.k5 = 1 AND
+                 CAST(('0x' || substr(md5(CAST(fl.doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1000000 < COALESCE(rt.rate_ppm, 0)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM fl LEFT JOIN rt ON fl.source = rt.source"""),
+      "The full pretraining recipe as one plan: exact dedup ∘ near-dup " +
+        "rep ∘ decontamination ∘ quality floor ∘ temperature sample, " +
+        "reported as a survival funnel — every stage a flag over one " +
+        "shared scan (pipeline ops brief capstone)."),
+
     // ------------------------------------------ embedding-cosine near-dup
     Q(
       "q45_embedding_neardup",

@@ -67,7 +67,10 @@ object Bench {
       .replace("\n", " ").replace("\r", " ")
     val errs = errMap.toVector.sortBy(_._1)
     val shortKey: String => String = {
-      val prefixes = ts.map(_._1.takeWhile(_ != '_'))
+      // Uniqueness is checked over timed AND errored names together: an
+      // errored query shares the key namespace of the stdout JSON, so a
+      // qNN prefix clash on either side falls everything back to full names.
+      val prefixes = (ts.map(_._1) ++ errMap.keys).map(_.takeWhile(_ != '_'))
       val unique = prefixes.distinct.size == prefixes.size
       name => if (unique) name.takeWhile(_ != '_') else name
     }
@@ -103,7 +106,8 @@ object Bench {
     // DedupOps CC labels / MinHash pairs) so staging builds before any timed
     // run and every timed number is steady-state plan cost.
     val warmupNames = Set("q01_pricing_summary", "q23_cdc_insert_facts",
-      "q26_log_split", "q57_neardup_cluster", "q36_minhash_band_dedup")
+      "q26_log_split", "q57_neardup_cluster", "q36_minhash_band_dedup",
+      "q80_format_interop")
     queries.filter(q => warmupNames(q._1)).foreach { case (_, fn) =>
       try once(fn) catch { case _: Throwable => () }
     }

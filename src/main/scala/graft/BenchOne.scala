@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.BenchOne <queryName> [sfDir] [repeats]")
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val repeats = if (args.length > 2) args(2).toInt else 3

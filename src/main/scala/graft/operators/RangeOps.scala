@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order operators for the 100 TB path.
+  *
+  * A plain `Window.orderBy(...)` with no partition funnels the whole input
+  * through ONE task (`WindowExec: No Partition Defined`); fine at sf0.01,
+  * fatal at corpus scale. Every operator here replaces that shape with the
+  * classic two-pass form:
+  *
+  *   1. approx-quantile cutpoints on the order column pick ~balanced value
+  *      ranges (accuracy affects only BALANCE — results never depend on the
+  *      cutpoints, so the approximation introduces zero error);
+  *   2. per-range exact counts/sums collect to the driver (≤ nBuckets rows)
+  *      and prefix-sum into per-range offsets;
+  *   3. a range-partitioned window computes the local rank / running sum,
+  *      and `local + offset` IS the exact global value.
+  *
+  * Outputs are bit-identical to the single-partition window (specs assert
+  * parity), but no task ever holds more than ~1/nBuckets of the data.
+  * Bucketing is a pure function of the order column's VALUE (count of
+  * cutpoints strictly below it), so all ties land in one bucket and the
+  * assignment is monotone in any (value, tiebreak) total order — the
+  * property that makes local-rank + offset exact.
+  */
+object RangeOps {
+
+  /** Approx-quantile cutpoints on a numeric column (distinct, sorted).
+    * Relative error 1%: cutpoints only steer balance, never results.
+    */
+  def cutpoints(df: DataFrame, colName: String, nBuckets: Int): Array[Double] =
+    df.stat
+      .approxQuantile(colName,
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
+      .distinct.sorted
+
+  /** Adds `bucketCol` = number of cutpoints strictly below the value — the
+    * monotone range-bucket id. Equal values always share a bucket.
+    */
+  def withRangeBucket(df: DataFrame, colName: String, bucketCol: String,
+      cuts: Array[Double]): DataFrame =
+    df.withColumn(bucketCol,
+      size(filter(typedLit(cuts.toSeq), c => c < col(colName).cast("double"))))
+
+  /** Per-bucket exclusive prefix sums of `perBucket` totals: collects the
+    * ≤ nBuckets aggregate rows and returns (bucket -> sum over LOWER
+    * buckets, grand total).
+    */
+  private def offsets(perBucket: Array[(Int, Long)]): (Map[Int, Long], Long) = {
+    var acc = 0L
+    val m = perBucket.sortBy(_._1).map { case (b, t) =>
+      val o = acc; acc += t; b -> o
+    }.toMap
+    (m, acc)
+  }
+
+  /** Exact global `row_number()` over the (valueCol, tieCol) total order
+    * without a single-partition sort. Returns (df + rankCol, total rows).
+    * `valueCol` must be numeric; `tieCol` must make the order total.
+    */
+  def globalRowNumber(df: DataFrame, valueCol: String, tieCol: String,
+      rankCol: String, nBuckets: Int = 32): (DataFrame, Long) = {
+    val b = withRangeBucket(df, valueCol, "__rb", cutpoints(df, valueCol, nBuckets))
+    val (off, total) = offsets(
+      b.groupBy(col("__rb")).agg(count(lit(1)).as("t")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)))
+    val w = Window.partitionBy(col("__rb")).orderBy(col(valueCol), col(tieCol))
+    val ranked = b
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") + element_at(typedLit(off), col("__rb")))
+      .drop("__rb")
+    (ranked, total)
+  }
+
+  /** Exact global running sum of `valueCol` over the total order of the
+    * numeric UNIQUE key `orderCol` (two-pass distributed prefix sum):
+    * per-range sums -> broadcast exclusive offsets -> range-local running
+    * sum + offset.
+    */
+  def runningSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, nBuckets: Int = 32): DataFrame = {
+    val b = withRangeBucket(df, orderCol, "__rb", cutpoints(df, orderCol, nBuckets))
+    val (off, _) = offsets(
+      b.groupBy(col("__rb")).agg(sum(col(valueCol)).as("t")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)))
+    val w = Window.partitionBy(col("__rb")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn(outCol,
+        sum(col(valueCol)).over(w) + element_at(typedLit(off), col("__rb")))
+      .drop("__rb")
+  }
+
+  /** Exact `percent_rank` / `cume_dist` per `partCol` group (a STRING
+    * column) over numeric `valueCol`, safe under group skew (a group
+    * holding half the corpus still spreads over all value-range buckets).
+    * Offsets live in a broadcast (group, bucket) frame of
+    * |groups| * nBuckets rows.
+    */
+  def relativeRanks(df: DataFrame, partCol: String, valueCol: String,
+      pctCol: String, cumeCol: String, nBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = withRangeBucket(df, valueCol, "__rb", cutpoints(df, valueCol, nBuckets))
+    val cnt = b.groupBy(col(partCol), col("__rb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offRows = cnt.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val tot = rows.map(_._3).sum
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, rb, c) =>
+        val o = acc; acc += c; (g, rb, o, tot)
+      }
+    }
+    val offDf = broadcast(offRows.toDF(partCol, "__rb", "__off", "__tot"))
+    val wRank = Window.partitionBy(col(partCol), col("__rb")).orderBy(col(valueCol))
+    val wLe = wRank.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(offDf, Seq(partCol, "__rb"))
+      .withColumn("__grank", col("__off") + rank().over(wRank))
+      .withColumn("__nle", col("__off") + count(lit(1)).over(wLe))
+      .withColumn(pctCol,
+        when(col("__tot") === 1, lit(0.0))
+          .otherwise((col("__grank") - 1).cast("double") /
+            (col("__tot") - 1).cast("double")))
+      .withColumn(cumeCol, col("__nle").cast("double") / col("__tot").cast("double"))
+      .drop("__rb", "__off", "__tot", "__grank", "__nle")
+  }
+
+  /** Exact `ntile(n)` bucket from a global row number and total count —
+    * the standard SQL arithmetic (first `total % n` tiles get the extra
+    * row), applied to [[globalRowNumber]]'s output instead of a
+    * single-partition window.
+    */
+  def ntileFromRank(rankCol: String, total: Long, n: Int): org.apache.spark.sql.Column = {
+    val q = total / n
+    val r = total % n
+    val qa = math.max(q, 1L) // q = 0 only when total < n; then r-branch covers all rows
+    if (r == 0)
+      expr(s"cast(($rankCol - 1) div $qa + 1 as int)")
+    else {
+      val thresh = r * (q + 1)
+      expr(s"cast(case when $rankCol <= $thresh then ($rankCol - 1) div ${q + 1} " +
+        s"else $r + ($rankCol - 1 - $thresh) div $qa end + 1 as int)")
+    }
+  }
+}

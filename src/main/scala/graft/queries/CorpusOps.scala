@@ -709,6 +709,19 @@ object CorpusOps {
   private val interopDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // staged dirs are JVM-lifetime caches; delete them on exit so repeated
+  // harness runs don't accumulate tmp garbage
+  sys.addShutdownHook {
+    interopDirs.values.foreach { d =>
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val root = Path.of(d)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   private def interopDir(s: SparkSession, dir: String): String =
     interopDirs.getOrElseUpdate(dir, {
       val base =

@@ -462,16 +462,20 @@ object Extras {
     Q(
       "q79_length_deciles",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        // Decile binning of document lengths: ntile over a total order
-        // (n_chars, doc_id), rolled up to per-bin profiles. The global sort
-        // is the scale cost — at 100 TB this becomes approx_percentile
-        // cutpoints + a broadcast range join; exact ntile is the
-        // correctness baseline the approximate path is judged against.
-        val w = Window.orderBy(col("n_chars"), col("doc_id"))
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"),
-            ntile(10).over(w).cast("int").as("decile"))
+        import graft.operators.RangeOps
+        // Decile binning of document lengths — the SCALE-SAFE form: approx
+        // cutpoints pick balanced n_chars ranges, per-range exact counts
+        // broadcast as offsets, and a range-partitioned local row_number +
+        // offset is the exact global rank; the standard ntile arithmetic on
+        // (rank, N) then assigns deciles. Bit-identical to ntile(10) over
+        // the single-partition (n_chars, doc_id) window (RangeOpsSpec
+        // asserts parity; the DuckDB oracle below IS the exact-ntile twin)
+        // but no task ever sorts more than ~1/32 of the corpus.
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val (ranked, total) =
+          RangeOps.globalRowNumber(docs, "n_chars", "doc_id", "grank")
+        ranked
+          .withColumn("decile", RangeOps.ntileFromRank("grank", total, 10))
           .groupBy("decile")
           .agg(count(lit(1)).as("n_docs"),
             min(col("n_chars")).as("min_chars"),
@@ -668,22 +672,22 @@ object Extras {
     Q(
       "q87_sequence_packing",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.operators.RangeOps
         // Concat-and-chunk packing index (how pretraining actually packs
         // documents into fixed context windows): documents concatenate in
         // doc_id order, every window of C tokens becomes one training
-        // sequence, docs may straddle windows. One running sum + integer
-        // floor division — fully deterministic. The global running sum is
-        // the scale cost; at 100 TB it becomes a per-shard running sum
-        // with broadcast shard offsets (two-pass prefix sum), identical
-        // output.
+        // sequence, docs may straddle windows. The running sum is the
+        // SCALE-SAFE two-pass distributed prefix sum (doc_id range buckets,
+        // per-bucket token sums -> broadcast exclusive offsets -> bucket-
+        // local running sum + offset) — deterministic longs, bit-identical
+        // to the single-partition window (RangeOpsSpec asserts parity),
+        // and every bucket's sort is ~1/32 of the corpus.
         val C = 512L
-        val w = Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables(s, dir, "documents")
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("tok"))
-          .withColumn("cum", sum(col("tok")).over(w))
+        RangeOps.runningSum(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("tok")),
+            "doc_id", "tok", "cum")
           .withColumn("bin", floor((col("cum") - col("tok")) / C))
           .groupBy("bin")
           .agg(count(lit(1)).as("n_docs_starting"),
@@ -966,16 +970,21 @@ object Extras {
     Q(
       "q102_relative_rank",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.operators.RangeOps
         // percent_rank / cume_dist per language over document length:
         // rank-based ratios of integers, so the doubles are single exact
-        // divisions — engine-identical (unlike any summed float). One
-        // shuffle on lang; each partition's window is a local sort.
-        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("pct_rank", percent_rank().over(w))
-          .withColumn("cume", cume_dist().over(w))
+        // divisions — engine-identical (unlike any summed float). The
+        // SCALE-SAFE two-pass form: real corpora are ~50% one language, so
+        // the per-lang window would sort half the corpus in one task;
+        // instead rank = (lang, n_chars-range-bucket)-local rank + a
+        // broadcast per-(lang, bucket) count offset, spreading every
+        // language over all 32 range buckets. Bit-identical to the window
+        // functions (RangeOpsSpec asserts parity on a 90%-one-lang skew
+        // fixture; the oracle below is the exact-window twin).
+        RangeOps.relativeRanks(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", "pct_rank", "cume")
       },
       Some("""
         SELECT doc_id, lang, n_chars,
@@ -1068,7 +1077,6 @@ object Extras {
         // |event-types|² however large the input.
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("tus"), col("event_id"))
-        val wf = Window.partitionBy(col("from_type"))
         Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("tus"), col("event_type"))

@@ -426,15 +426,28 @@ object StatefulOps {
     * batch on the shared events fixture. State is one long (last raw
     * event-time millis) per key; within a micro-batch events process in
     * (ts, eventId) order, the same total order the batch lag() uses.
+    * Cross-batch in-order arrival is ENFORCED, not assumed: a later
+    * micro-batch delivering an event older than the stored last timestamp
+    * fails the query instead of silently mis-flagging (StatefulOpsSpec).
     */
   def debounce(ds: Dataset[Stamped], minGapMs: Long): Dataset[StampedKept] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.userId)
       .flatMapGroupsWithState[Long, StampedKept](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, events: Iterator[Stamped], state: GroupState[Long]) =>
+        (key: Long, events: Iterator[Stamped], state: GroupState[Long]) =>
           var last = state.getOption
-          val out = events.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).map { e =>
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+          sorted.headOption.foreach { e =>
+            last.filter(_ > e.ts.getTime).foreach { l =>
+              throw new IllegalStateException(
+                s"debounce: out-of-order arrival for key $key — event at " +
+                  s"${e.ts.getTime} ms behind stored state $l ms; upstream " +
+                  "must deliver same-key events in order across micro-batches " +
+                  "(same-key-same-partition, ordered offsets)")
+            }
+          }
+          val out = sorted.map { e =>
             val kept = if (last.forall(l => e.ts.getTime - l >= minGapMs)) 1 else 0
             last = Some(e.ts.getTime)
             StampedKept(e.userId, e.eventId, e.ts, kept)
@@ -458,7 +471,10 @@ object StatefulOps {
     * shared sf0.001 fixture across multi-batch arrival. Within a
     * micro-batch, events process in (micros, eventId) order — the same
     * total order the batch window uses; cross-batch in-order arrival is
-    * the CDC-source contract (same-key-same-partition, ordered offsets).
+    * the CDC-source contract (same-key-same-partition, ordered offsets) —
+    * and the contract is ENFORCED: a micro-batch delivering a version
+    * older than the key's open interval fails the query instead of
+    * silently writing negative/overlapping validity (StatefulOpsSpec).
     */
   def scd2(ds: Dataset[DimVersion]): Dataset[Scd2Row] = {
     import ds.sparkSession.implicits._
@@ -470,6 +486,13 @@ object StatefulOps {
           val out = Seq.newBuilder[Scd2Row]
           events.toSeq.sortBy(e => (micros(e.ts), e.eventId)).foreach { e =>
             val us = micros(e.ts)
+            open.filter(_.fromUs > us).foreach { o =>
+              throw new IllegalStateException(
+                s"scd2: out-of-order version for key $key — event at $us us " +
+                  s"behind open interval from ${o.fromUs} us; upstream must " +
+                  "deliver same-key versions in order across micro-batches " +
+                  "(CDC contract: same-key-same-partition, ordered offsets)")
+            }
             open.foreach { o =>
               out += Scd2Row(key, o.eventId, o.version, o.status,
                 o.fromUs, Some(us), 0)

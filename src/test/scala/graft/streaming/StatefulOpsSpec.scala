@@ -406,6 +406,35 @@ class StatefulOpsSpec extends SparkSpec {
     assert(emitted.exists(_.isCurrent == 0))
   }
 
+  // walk the cause chain: MemoryStream failures surface as
+  // StreamingQueryException wrapping the operator's IllegalStateException
+  private def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).toSeq
+
+  test("debounce fails fast when a later batch delivers an older event " +
+    "(in-order cross-batch contract is enforced, not assumed)") {
+    import spark.implicits._
+    val e = intercept[Throwable] {
+      runStream[Stamped, StampedKept](Seq(
+        Seq(Stamped(1L, 1L, ts(100))),
+        Seq(Stamped(1L, 2L, ts(50)))))( // behind the stored last timestamp
+        ds => StatefulOps.debounce(ds, 1000L))
+    }
+    assert(causeMessages(e).exists(_.contains("out-of-order")))
+  }
+
+  test("scd2 fails fast when a later batch delivers a version older than " +
+    "the open interval (no silent negative/overlapping validity)") {
+    import spark.implicits._
+    val e = intercept[Throwable] {
+      runStream[DimVersion, Scd2Row](Seq(
+        Seq(DimVersion(7L, 1L, "1001", ts(100))),
+        Seq(DimVersion(7L, 2L, "1003", ts(50)))))(StatefulOps.scd2)
+    }
+    assert(causeMessages(e).exists(_.contains("out-of-order")))
+  }
+
   test("funnel streaming twin reconstructs batch q92 per-day counts") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"

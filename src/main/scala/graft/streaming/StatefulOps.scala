@@ -43,6 +43,13 @@ final case class LoginFlags(uid: String, uu: Int, back: Int, ts: Timestamp)
 final case class Stamped(userId: Long, eventId: Long, ts: Timestamp)
 final case class StampedKept(userId: Long, eventId: Long, ts: Timestamp, kept: Int)
 
+/** Per-event lateness mark (q113's streaming twin): `late` = 1 iff the
+  * event arrived more than the audited slack behind its key's running
+  * event-time high-watermark — i.e. a bounded-OOO watermark of that slack
+  * would have dropped it.
+  */
+final case class LateMark(userId: Long, eventId: Long, ts: Timestamp, late: Int)
+
 /** A CDC dimension-version event (q89's streaming-twin input) and the SCD2
   * interval row the twin emits. Changelog semantics: the open current row is
   * emitted with isCurrent=1, and a later version re-emits it closed
@@ -406,6 +413,52 @@ object StatefulOps {
       .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
       .withColumn("edt", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
       .drop("window")
+
+  /** Watermark drop-rate audit — q113's streaming twin, and the metric the
+    * reference's silent 3 s slack never exposes (ref
+    * RT/app/dws/DwsTradeSkuOrderWindow.java:216-227: lateness is a
+    * hard-coded constant, drops are invisible). Marks each event late=1 iff
+    * it arrives more than `slackMs` behind its key's running event-time
+    * high-watermark in ARRIVAL order (eventId within a batch, batch order
+    * across batches) — exactly the accounting batch q113 replays, so
+    * StatefulOpsSpec can assert streamed == batch counts on a shared
+    * fixture. State per key is one long (running max event-time µs —
+    * microsecond precision to agree bit-for-bit with the batch replay's
+    * unix_micros accounting).
+    */
+  def lateDropFlags(ds: Dataset[Stamped], slackMs: Long): Dataset[LateMark] = {
+    import ds.sparkSession.implicits._
+    val slackUs = slackMs * 1000L
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[Long, LateMark](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[Stamped], state: GroupState[Long]) =>
+          var hwm = state.getOption
+          val out = events.toSeq.sortBy(_.eventId).map { e =>
+            val us = micros(e.ts)
+            val late = if (hwm.exists(h => us < h - slackUs)) 1 else 0
+            hwm = Some(hwm.fold(us)(math.max(_, us)))
+            LateMark(e.userId, e.eventId, e.ts, late)
+          }
+          hwm.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** [[tumblingAgg]] plus the drop-rate metric its watermark implies: the
+    * same windowed aggregate, and a second (per-event) stream marking what
+    * a bounded-OOO watermark of the SAME slack would drop. Two sinks on one
+    * source — the metric leg costs one extra shuffle on the key and O(1)
+    * state per key, and turns the engine's silent lateness policy into an
+    * observable drop rate.
+    */
+  def tumblingAggWithLateMetric(
+      ds: Dataset[Stamped],
+      slackMs: Long,
+      width: String,
+      aggs: Seq[Column]): (DataFrame, Dataset[LateMark]) =
+    (tumblingAgg(ds.toDF(), "ts", s"$slackMs milliseconds", width, Nil, aggs),
+      lateDropFlags(ds, slackMs))
 
   /** Streaming ingest-time exact dedup — the streaming complement of the
     * q34 batch dedup: content fingerprints deduplicated ACROSS micro-batches

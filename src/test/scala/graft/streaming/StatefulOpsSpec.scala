@@ -435,6 +435,94 @@ class StatefulOpsSpec extends SparkSpec {
     assert(causeMessages(e).exists(_.contains("out-of-order")))
   }
 
+  test("lateDropFlags streamed drop counts equal batch q113 on a shared " +
+    "out-of-order fixture (3 s and 30 s slacks, per day)") {
+    import spark.implicits._
+    // The driver testdata arrives perfectly in order (q113 counts are all
+    // zero there), so the shared fixture here INJECTS disorder: per-user
+    // mostly-increasing timestamps with 5 s regressions (late at 3 s slack
+    // only) and 60 s regressions (late at both). Written as events.parquet
+    // so the REGISTERED batch q113 runs on exactly the rows the stream sees.
+    val events = (for {
+      u <- 1L to 3L
+      i <- 0L until 60L
+    } yield {
+      val base = 1000L + i * 10 // seconds, per-user arrival order
+      val sec =
+        if (i % 13 == 5) base - 5 - 10 // 5 s behind the running max
+        else if (i % 17 == 9) base - 60 - 10 // 60 s behind
+        else base
+      Stamped(u, u * 1000 + i, ts(sec + u)) // offset days? keep one day
+    }).sortBy(_.eventId)
+    val dir = java.nio.file.Files.createTempDirectory("late_fixture_").toString
+    events.toDF().select(col("userId").as("user_id"),
+        col("eventId").as("event_id"), col("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batches = events.grouped((events.length + 3) / 4).map(_.toSeq).toSeq
+    assert(batches.length == 4)
+    def dayOf(t: Timestamp): String = java.time.Instant.ofEpochMilli(t.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    def perDay(marks: Seq[LateMark]): Map[String, (Long, Long)] =
+      marks.groupBy(m => dayOf(m.ts)).view.mapValues(ms =>
+        (ms.size.toLong, ms.map(_.late.toLong).sum)).toMap
+    val s3 = perDay(runStream[Stamped, LateMark](batches)(
+      ds => StatefulOps.lateDropFlags(ds, 3000L)))
+    val s30 = perDay(runStream[Stamped, LateMark](batches)(
+      ds => StatefulOps.lateDropFlags(ds, 30000L)))
+    val batch = graft.Registry.all.find(_.name == "q113_lateness_audit").get
+      .run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(s3.keySet == batch.keySet)
+    batch.foreach { case (day, (nEvents, late3, late30)) =>
+      assert(s3(day) == ((nEvents, late3)), s"3s mismatch on $day")
+      assert(s30(day) == ((nEvents, late30)), s"30s mismatch on $day")
+    }
+    // sanity: both slacks actually observe (different) drop counts
+    assert(batch.values.map(_._2).sum > 0)
+    assert(batch.values.map(_._3).sum > 0)
+    assert(batch.values.map(_._2).sum > batch.values.map(_._3).sum)
+  }
+
+  test("tumblingAggWithLateMetric: agg leg equals plain tumblingAgg, " +
+    "metric leg exposes the watermark's drop rate") {
+    import spark.implicits._
+    val batches = Seq(
+      Seq(Stamped(1L, 1L, ts(10)), Stamped(1L, 2L, ts(20))),
+      // event 3: 15 s behind its key's running max AND behind the global
+      // watermark (17 s) — flagged by the metric leg, dropped by the agg leg
+      Seq(Stamped(1L, 3L, ts(5)), Stamped(2L, 4L, ts(21))),
+      // wake: pushes the watermark to 57 s so closed windows emit in append
+      Seq(Stamped(3L, 5L, ts(60))))
+    queryId += 1
+    val name = s"stateful_out_$queryId"
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stamped]
+    val (agg, metric) = StatefulOps.tumblingAggWithLateMetric(
+      input.toDS(), 3000L, "10 seconds", Seq(count(lit(1)).as("pv")))
+    val aggQ = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val metricQ = metric.writeStream.format("memory").queryName(s"${name}_m")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b)
+        aggQ.processAllAvailable(); metricQ.processAllAvailable()
+      }
+    } finally { aggQ.stop(); metricQ.stop() }
+    val lateById = spark.table(s"${name}_m").as[LateMark].collect()
+      .map(m => m.eventId -> m.late).toMap
+    assert(lateById == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 0))
+    // closed windows (append mode): [10,20) holds event 1 only, [20,30)
+    // events 2+4; [0,10) NEVER emits — its only row (event 3) is the drop
+    // the metric leg flagged. The metric explains the hole in the output.
+    val stts = spark.table(name).select("stt", "pv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stts.get("1970-01-01 00:00:10").contains(1L))
+    assert(stts.get("1970-01-01 00:00:20").contains(2L))
+    assert(!stts.contains("1970-01-01 00:00:00"))
+  }
+
   test("funnel streaming twin reconstructs batch q92 per-day counts") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"

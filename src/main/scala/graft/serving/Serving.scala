@@ -64,4 +64,47 @@ object Serving {
       .map(r => s"""{"name":"${r.getString(0)}","value":${r.getDouble(1)}}""")
     s"""{"status":0,"data":{"mapData":[${rows.mkString(",")}],"valueName":"order_amount"}}"""
   }
+
+  // ------------------------------------------------------------------ DWS
+  // The reference's actual serving split: the publisher never scans facts —
+  // it reads pre-aggregated ClickHouse dws_* tables
+  // (PUB/mapper/TradeStatMapper.java:15-20 FROM dws_trade_province_order
+  // _window). The Spark analog: materialize the q54 window output
+  // date-partitioned, and serve day queries from it with a partition-pruned
+  // one-directory scan. ServingSpec asserts partitionCount == 1.
+
+  /** Writes the q54 DWS province-order-window output as a date-partitioned
+    * parquet table (partition column `dt` = the window's day) — run by the
+    * batch/streaming pipeline, read by the serving endpoints below.
+    */
+  def writeDwsProvinceWindow(spark: SparkSession, sfDir: String, path: String): Unit =
+    graft.pipelines.Pipelines.provinceOrderWindow(spark, sfDir)
+      .withColumn("dt", to_date(substring(col("stt"), 1, 10)))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+
+  /** `dt = day` against the DATE-typed partition column: lands in the
+    * scan's PartitionFilters, so only one directory is listed or read.
+    */
+  private def dwsDay(date: String) =
+    col("dt") === to_date(lit(date), "yyyyMMdd")
+
+  /** GET /gmv served from the DWS table: one pruned partition, then a sum
+    * of that day's pre-aggregated 10 s windows — the serving query touches
+    * O(day's windows) rows however large the fact history grows.
+    */
+  def gmvFromDws(spark: SparkSession, dwsPath: String, date: String): DataFrame =
+    spark.read.parquet(dwsPath)
+      .filter(dwsDay(date))
+      .agg(coalesce(sum(col("order_amount")), lit(0.0))
+        .cast("double").as("gmv"))
+
+  /** GET /province served from the DWS table: pruned day partition rolled
+    * up from 10 s windows to per-province day totals.
+    */
+  def provinceAmountsFromDws(
+      spark: SparkSession, dwsPath: String, date: String): DataFrame =
+    spark.read.parquet(dwsPath)
+      .filter(dwsDay(date))
+      .groupBy(col("province_name"))
+      .agg(sum(col("order_amount")).cast("double").as("order_amount"))
 }

@@ -43,6 +43,51 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("DWS-backed serving: date-partitioned q54 table, one-partition " +
+    "pruned scans, results equal the windowed source rolled up by day") {
+    val dir = java.nio.file.Files.createTempDirectory("dws_province").toString
+    Serving.writeDwsProvinceWindow(spark, sfDir, dir)
+
+    val dws = graft.pipelines.Pipelines.provinceOrderWindow(spark, sfDir)
+      .withColumn("dt", substring(col("stt"), 1, 10)).collect()
+    val days = dws.map(_.getAs[String]("dt")).distinct.sorted
+    assert(days.length > 1, "fixture must span multiple days")
+    val day = days(days.length / 2)
+    val yyyymmdd = day.replace("-", "")
+
+    // AQE wraps subplans in opaque stages; disable for scan inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val gmvQ = Serving.gmvFromDws(spark, dir, yyyymmdd)
+      val provQ = Serving.provinceAmountsFromDws(spark, dir, yyyymmdd)
+      for (q <- Seq(gmvQ, provQ)) {
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters") && plan.contains("dt"),
+          s"expected a partition filter on dt:\n$plan")
+        val scanned = q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.partitionCount
+        }
+        assert(scanned.nonEmpty && scanned.forall(_ == 1),
+          s"expected exactly 1 selected partition, got $scanned (of ${days.length})")
+      }
+      // the served numbers are the day's windows rolled up
+      val dayRows = dws.filter(_.getAs[String]("dt") == day)
+      val expectedGmv = dayRows.map(_.getAs[Double]("order_amount")).sum
+      assert(math.abs(gmvQ.head().getDouble(0) - expectedGmv) < 1e-6)
+      val expectedProv = dayRows.groupBy(_.getAs[String]("province_name"))
+        .view.mapValues(_.map(_.getAs[Double]("order_amount")).sum).toMap
+      val served = provQ.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(served.keySet == expectedProv.keySet)
+      served.foreach { case (p, v) =>
+        assert(math.abs(v - expectedProv(p)) < 1e-6, s"province $p")
+      }
+      // a day with no windows serves 0, not an error
+      assert(Serving.gmvFromDws(spark, dir, "19000101").head().getDouble(0) == 0.0)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("provinceAmounts(date) returns per-province rows and the mapData JSON shape") {
     val date = someDate
     val rows = Serving.provinceAmounts(spark, sfDir, date).collect()

@@ -12,6 +12,9 @@ import java.nio.file.{Files, Paths}
   *   - Each query is timed REPEATS times and the MINIMUM is reported: the min
   *     is the best estimator of intrinsic plan cost under ambient load (any
   *     slower sample is noise by definition on an otherwise-idle box).
+  *   - Samples are spread over two full passes of the query list, so a
+  *     transient load spike (which covers back-to-back samples) cannot
+  *     poison every sample of a query (see [[measure]]).
   *   - A query that throws is recorded in an "errors" map with its exception,
   *     never as a fast-normal timing; its name is excluded from "queries".
   *   - Warmup materializes the session-staged envelope frames (graft.Staging
@@ -29,25 +32,41 @@ object Bench {
     * errors). A query that throws lands in the error map with its exception
     * and is excluded from timings — exposed for the spec that proves a
     * crashing query can never report a fast-normal number.
+    *
+    * Samples are split across TWO temporally-separated full passes over the
+    * query list (`repeats-1` samples in pass one, the last in pass two)
+    * rather than taken back-to-back: a minutes-scale ambient load spike
+    * covers all adjacent samples of whichever queries it lands on, and the
+    * min cannot recover. BENCH_r05's q101 at 3.14 s (isolated + in-order
+    * replay: 0.45-0.61 s) was exactly this — its q100 neighbor was inflated
+    * by the same spike. With the passes minutes apart, a transient spike
+    * poisons at most one pass and the other still yields a clean minimum.
     */
   def measure(
       queries: Seq[(String, () => Unit)],
       repeats: Int = Repeats): (Vector[(String, Double)], Map[String, String]) = {
-    val timings = Vector.newBuilder[(String, Double)]
-    val errors = Map.newBuilder[String, String]
-    queries.foreach { case (name, once) =>
-      val samples = (1 to repeats).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { once(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
-            None
+    val samples = collection.mutable.Map.empty[String, Vector[Double]]
+    val errors = collection.mutable.Map.empty[String, String]
+    val passes = if (repeats >= 2) Seq(repeats - 1, 1) else Seq(repeats)
+    passes.foreach { n =>
+      queries.foreach { case (name, once) =>
+        (1 to n).foreach { _ =>
+          val t0 = System.nanoTime()
+          try {
+            once()
+            samples(name) = samples.getOrElse(name, Vector.empty) :+
+              (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+          }
         }
       }
-      samples.minOption.foreach(best => timings += name -> best)
     }
-    (timings.result(), errors.result())
+    val timings = queries.flatMap { case (name, _) =>
+      samples.get(name).flatMap(_.minOption).map(name -> _)
+    }.toVector
+    (timings, errors.toMap)
   }
 
   /** Renders the two result lines: (stdout line, BENCH_RESULT.json line).

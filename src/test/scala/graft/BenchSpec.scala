@@ -52,6 +52,31 @@ class BenchSpec extends AnyFunSuite {
     assert(stdout.contains("\"q01_a\":1") && stdout.contains("\"q01_b\":2"))
   }
 
+  test("samples are split across two temporally-separated passes") {
+    // With repeats=3 the call sequence must be a,a,b,b (pass one) then a,b
+    // (pass two) — so a load spike spanning one contiguous stretch can never
+    // cover all three samples of any query.
+    val order = collection.mutable.Buffer.empty[String]
+    val (timings, errors) = Bench.measure(Seq(
+      "a" -> (() => order += "a"),
+      "b" -> (() => order += "b")), repeats = 3)
+    assert(order.toSeq == Seq("a", "a", "b", "b", "a", "b"))
+    assert(errors.isEmpty)
+    assert(timings.map(_._1) == Vector("a", "b"))
+  }
+
+  test("a spike covering one pass's samples cannot poison the reported min") {
+    // The first pass's two samples are slow (the "spike"); the second pass's
+    // sample is fast — the reported min must be the clean pass-two number.
+    var calls = 0
+    val (timings, _) = Bench.measure(Seq(
+      "spiked" -> (() => {
+        calls += 1
+        if (calls <= 2) Thread.sleep(80)
+      })), repeats = 3)
+    assert(timings.toMap.apply("spiked") < 0.05)
+  }
+
   test("an intermittently failing query reports both its minimum and its error") {
     var calls = 0
     val (timings, errors) = Bench.measure(Seq(

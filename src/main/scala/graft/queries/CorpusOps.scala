@@ -23,6 +23,23 @@ object CorpusOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Session-staged distinct (doc_id, xxhash64(n-gram)) frame — one
+    * tokenize + explode serves every consumer of the same gram size
+    * (n=5: q63; n=10: q96 + q119, and q119 alone references it three
+    * times in one plan). 16 B/row staged vs re-deriving the explode per
+    * query; measured round 6 (see DedupOps.ngramSet for the history —
+    * string-gram staging once measured slower, hashed-gram staging wins).
+    * At cluster scale this is a written gram staging table.
+    */
+  private def hashedGrams(s: SparkSession, dir: String, n: Int): DataFrame =
+    graft.Staging.stage(s, dir, s"grams$n") {
+      import graft.functions.TextFns.{tokens, wordNgrams}
+      docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(wordNgrams(tokens(col("text")), n)))
+            .as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("ng"))
+    }
+
   /** Per-language target for the q58 balanced sample. */
   private val TargetPerLang = 50L
 
@@ -162,24 +179,18 @@ object CorpusOps {
         // broadcasts and the corpus side streams through one scan — the
         // shape that decontaminates 100 TB against a benchmark suite
         // without shuffling the corpus.
-        import graft.functions.TextFns.{tokens, wordNgrams}
-        // bench and corpus are shingled SEPARATELY so the doc_id filters
-        // push to the scans and each row is 5-grammed exactly once (a
-        // shared g5 frame would re-derive the full shingle pipeline under
-        // both filters). Grams are 8-byte-hashed before the join — the
-        // same shuffle-volume trick as q35 (counts unchanged modulo a
-        // 2^-64 collision; the oracle joins raw strings).
-        // per-doc gram distinctness enforced in-row (array_distinct) — a
-        // global .distinct() here shuffled every (doc_id, gram) pair for
-        // the identical result
-        def g5(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("doc_id"),
-            explode(array_distinct(wordNgrams(tokens(col("text")), 5))).as("g"))
-            .select(col("doc_id"), xxhash64(col("g")).as("ng"))
-        val benchG = g5(docs(s, dir).filter(col("doc_id") < 10))
-          .select("ng").distinct()
+        // Both sides (held-out docs < 10, corpus >= 10) filter the SAME
+        // staged 5-gram frame — the union of the two filters covers every
+        // doc, so one staged explode replaces two filtered re-derivations.
+        // Grams are 8-byte-hashed before the join — the same
+        // shuffle-volume trick as q35 (counts unchanged modulo a 2^-64
+        // collision; the oracle joins raw strings). Per-doc gram
+        // distinctness enforced in-row (array_distinct) inside the staged
+        // frame.
+        val g5 = hashedGrams(s, dir, 5)
+        val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
         val corpus = docs(s, dir).filter(col("doc_id") >= 10).select("doc_id")
-        val hits = g5(docs(s, dir).filter(col("doc_id") >= 10))
+        val hits = g5.filter(col("doc_id") >= 10)
           .join(broadcast(benchG), "ng")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         corpus.join(hits, Seq("doc_id"), "left_outer")
@@ -428,12 +439,9 @@ object CorpusOps {
         // gram appearing in more than one document marks all its holders.
         // Grams are 8-byte-hashed before the df aggregation — shuffles
         // ids+hashes only (the q35/q63 trick); per-doc distinctness is
-        // in-row. One groupBy on the gram hash, one on doc_id.
-        import graft.functions.TextFns.{tokens, wordNgrams}
-        val g = docs(s, dir).select(col("doc_id"),
-            explode(array_distinct(wordNgrams(tokens(col("text")), 10)))
-              .as("gram"))
-          .select(col("doc_id"), xxhash64(col("gram")).as("ng"))
+        // in-row. One groupBy on the gram hash, one on doc_id. The staged
+        // 10-gram frame is shared with q119.
+        val g = hashedGrams(s, dir, 10)
         // per-gram df as a window count, NOT a groupBy+self-join: the
         // shingle explode runs ONCE and the plan is two shuffles total
         // (by ng for the window, by doc_id for the rollup) — the
@@ -650,12 +658,10 @@ object CorpusOps {
         // Candidate pairs come from the shared-gram join with a df cap
         // (the q35 discipline); the containment test is then pure
         // counting: shared(a,b) == n_grams(min side). Hashed grams only
-        // through the shuffle.
-        import graft.functions.TextFns.{tokens, wordNgrams}
-        val g = docs(s, dir).select(col("doc_id"),
-            explode(array_distinct(wordNgrams(tokens(col("text")), 10)))
-              .as("gram"))
-          .select(col("doc_id"), xxhash64(col("gram")).as("ng"))
+        // through the shuffle. The staged 10-gram frame (shared with q96)
+        // is referenced three times in this plan — totals plus both sides
+        // of the self-join — so staging collapses three explodes into one.
+        val g = hashedGrams(s, dir, 10)
         val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
         val capped = g.withColumn("df",
             count(lit(1)).over(Window.partitionBy(col("ng"))))

@@ -24,17 +24,32 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Distinct (doc_id, 3-gram) pairs. Recomputed per query on purpose:
-    * persisting this set measured SLOWER end-to-end (cache pressure on the
-    * shared heap outweighed the recompute — shingling is scan-speed).
-    * Distinctness is PER DOC, so it's enforced with array_distinct inside
-    * the row before exploding — a global .distinct() here cost a full
-    * shuffle of 40-char shingle strings for the identical result.
+  /** Session-staged distinct (doc_id, 3-gram) set carrying BOTH hash forms
+    * the family needs — hv (md5-prefix, the MinHash permutation input the
+    * oracle mirrors) and ng64 (xxhash64, q35's shuffle key). One tokenize +
+    * explode serves q35 and the whole MinHash/LSH family (q36/q57/q65/
+    * q78/q95/q97), the materialize-once DWD discipline of [[graft.Staging]].
+    *
+    * Measurement history: with 40-char STRING grams, persisting measured
+    * SLOWER end-to-end (cache pressure outweighed the recompute). Re-run
+    * in round 6 with 8-byte hashed grams (24 B/row, ~10x smaller), min-of-5
+    * at sf0.1: q35 2.49->1.49 s, and the same flip for the CorpusOps gram
+    * frames (q63 1.60->0.44, q96 1.82->0.47, q119 2.10->0.69), no
+    * regression in the MinHash family — the cache-pressure argument
+    * reversed, so staged it is. At cluster scale the same role is a
+    * written staging table.
+    * Distinctness is PER DOC, enforced with array_distinct inside the row
+    * before exploding — a global .distinct() here cost a full shuffle for
+    * the identical result.
     */
   private def ngramSet(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("ng"))
+    graft.Staging.stage(s, dir, "grams3") {
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("ng"))
+        .select(col("doc_id"), hash32(col("ng")).as("hv"),
+          xxhash64(col("ng")).as("ng64"))
+    }
 
   private val ngramCte = """
     WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -50,7 +65,7 @@ object DedupOps {
     * permutation mins per doc folded into 4 bands of 2.
     */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val g = ngramSet(s, dir).withColumn("hv", hash32(col("ng")))
+    val g = ngramSet(s, dir)
     val sigCols = (0 until 8).map(j =>
       min(pmod(lit(mhA(j)) * col("hv") + lit(mhB(j)), lit(MinhashP))).as(s"s$j"))
     val sigs = g.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
@@ -196,7 +211,7 @@ object DedupOps {
         // cardinalities (and so Jaccard) are unchanged; at corpus scale
         // this divides the blocking join's shuffle volume ~5x
         val g = ngramSet(s, dir)
-          .select(col("doc_id"), xxhash64(col("ng")).as("ng"))
+          .select(col("doc_id"), col("ng64").as("ng"))
         // df-cap FIRST (windowed count, no collection), so a hot shingle
         // can never materialize an unbounded list or df² pairs. Windows
         // instead of aggregate-and-rejoin: the shingle explode — the

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling measurement for the shingle/dedup family: times each named query
+  * on a sequence of corpus directories (e.g. a 1x and a 10x synthetic
+  * `documents` corpus from tools/gen_scale_corpus.py) inside ONE JIT-warm
+  * session, reporting per (query, dir) both the COLD run — first touch of
+  * that dir, so it pays the staged gram-frame build — and the steady-state
+  * min. The scaling exponent log10(t10/t1) is what PERF.md documents: the
+  * "df-cap bounds pairwork" claim predicts ~1.0 on a Heaps-law corpus.
+  *
+  * The FIRST dir is warmup-only (JIT + codegen) and is not reported:
+  * Staging keys on (session, dir), so every reported dir's cold run pays
+  * its own staging build with the JVM already warm. Pass a duplicate of
+  * the baseline corpus (gen_scale_corpus.py writes x1warm) as dir1.
+  *
+  * Usage: runMain graft.ScalingBench <warmupDir> <dir1> <dir2> [dirs...]
+  *        [-q=q35_ngram_jaccard,q63_...]  (default: the dedup family)
+  */
+object ScalingBench {
+  private val DefaultQueries = Seq(
+    "q34_exact_dedup", "q35_ngram_jaccard", "q36_minhash_band_dedup",
+    "q63_decontamination", "q96_repeated_ngram_dedup",
+    "q119_containment_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val (flagArgs, dirs) = args.partition(_.startsWith("-q"))
+    val names = flagArgs.headOption
+      .map(_.stripPrefix("-q").stripPrefix("=").split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(DefaultQueries)
+    if (dirs.length < 3) {
+      System.err.println(
+        "usage: runMain graft.ScalingBench <warmupDir> <dir1> <dir2> [dirs...] [-q=a,b,c]")
+      sys.exit(2)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // JIT/codegen warmup on the sacrificial first dir; its staged frames
+    // are never reused because Staging keys on the dir string.
+    names.foreach(n => try run(n, dirs.head) catch { case _: Throwable => () })
+
+    val results = for (dir <- dirs.tail; name <- names) yield {
+      val cold = run(name, dir) // JVM warm; this dir's staging cold
+      val steady = (1 to 3).map(_ => run(name, dir)).min
+      (name, dir, cold, steady)
+    }
+    println("query,dir,cold_sec,steady_sec")
+    results.foreach { case (n, d, c, s) => println(f"$n,$d,$c%.3f,$s%.3f") }
+    spark.stop()
+  }
+}

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""One-off scaled `documents` corpora for the shingle-family scaling proof
+(driver-side tooling, like compare.py — not part of the Spark library).
+
+Writes three corpora under the given output root (default /tmp/scale_docs):
+
+  x1/documents.parquet      5,000 docs, one vocab shard            (baseline)
+  x10/documents.parquet    50,000 docs, 10 disjoint vocab shards   (Heaps regime)
+  x10sat/documents.parquet 50,000 docs, ONE vocab shard            (saturated regime)
+
+The sharded x10 models how real corpora scale (vocabulary grows with corpus
+size, per-gram document frequency stays constant): 10 shards, each an
+independent x1-like corpus whose tokens carry a shard suffix, so distinct
+grams grow 10x and df distribution matches x1. The saturated x10sat keeps
+the 31-word vocab fixed so the gram space saturates and per-gram df grows
+~10x — the adversarial regime where only the df-cap stands between the
+blocking join and O(doc^2) pairs.
+
+Same generator at both scales (seeded, deterministic): doc length uniform
+8..100 tokens, 2% of docs are near-copies of an earlier same-shard doc with
+~5% token perturbation (gives the Jaccard/containment queries real work).
+"""
+import sys
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "vector", "scan", "fast", "query", "agg", "slow", "value", "filter",
+    "customer", "stream", "join", "window", "state", "shuffle", "hash",
+    "merge", "index", "cache", "table", "group", "count", "plan", "stage",
+]
+LANGS = ["en", "de", "fr", "es", "zh"]
+NEAR_DUP_RATE = 0.02
+PERTURB_RATE = 0.05
+
+
+def gen_shard(rng, shard, n_docs, id_base, suffix):
+    words = [w + suffix for w in VOCAB]
+    docs = []
+    for k in range(n_docs):
+        if docs and rng.random() < NEAR_DUP_RATE:
+            src = docs[rng.integers(0, len(docs))]
+            toks = [
+                words[rng.integers(0, len(words))]
+                if rng.random() < PERTURB_RATE else t
+                for t in src
+            ]
+        else:
+            n = int(rng.integers(8, 101))
+            toks = [words[i] for i in rng.integers(0, len(words), n)]
+        docs.append(toks)
+    rows = []
+    for k, toks in enumerate(docs):
+        text = " ".join(toks)
+        rows.append((id_base + k, text, LANGS[rng.integers(0, len(LANGS))],
+                     f"src{shard}", len(text)))
+    return rows
+
+
+def write(path, rows):
+    ids, texts, langs, srcs, ncs = zip(*rows)
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array(ncs, pa.int64()),
+    })
+    pq.write_table(t, path)
+    print(f"wrote {path}: {t.num_rows} rows")
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_docs"
+    per_shard = 5000
+    import os
+    rng = np.random.default_rng(42)
+    x1 = gen_shard(rng, 0, per_shard, 0, "")
+    os.makedirs(f"{out}/x1", exist_ok=True)
+    write(f"{out}/x1/documents.parquet", x1)
+    # identical copy under a distinct dir: ScalingBench's sacrificial
+    # JIT-warmup target (Staging keys on the dir string)
+    os.makedirs(f"{out}/x1warm", exist_ok=True)
+    write(f"{out}/x1warm/documents.parquet", x1)
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for shard in range(10):
+        suffix = "" if shard == 0 else f"_s{shard}"
+        rows += gen_shard(rng, shard, per_shard, shard * per_shard, suffix)
+    os.makedirs(f"{out}/x10", exist_ok=True)
+    write(f"{out}/x10/documents.parquet", rows)
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for shard in range(10):
+        rows += gen_shard(rng, shard, per_shard, shard * per_shard, "")
+    os.makedirs(f"{out}/x10sat", exist_ok=True)
+    write(f"{out}/x10sat/documents.parquet", rows)
+
+
+if __name__ == "__main__":
+    main()

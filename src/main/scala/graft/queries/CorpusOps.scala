@@ -23,23 +23,6 @@ object CorpusOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Session-staged distinct (doc_id, xxhash64(n-gram)) frame — one
-    * tokenize + explode serves every consumer of the same gram size
-    * (n=5: q63; n=10: q96 + q119, and q119 alone references it three
-    * times in one plan). 16 B/row staged vs re-deriving the explode per
-    * query; measured round 6 (see DedupOps.ngramSet for the history —
-    * string-gram staging once measured slower, hashed-gram staging wins).
-    * At cluster scale this is a written gram staging table.
-    */
-  private def hashedGrams(s: SparkSession, dir: String, n: Int): DataFrame =
-    graft.Staging.stage(s, dir, s"grams$n") {
-      import graft.functions.TextFns.{tokens, wordNgrams}
-      docs(s, dir).select(col("doc_id"),
-          explode(array_distinct(wordNgrams(tokens(col("text")), n)))
-            .as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("ng"))
-    }
-
   /** Per-language target for the q58 balanced sample. */
   private val TargetPerLang = 50L
 
@@ -187,7 +170,7 @@ object CorpusOps {
         // collision; the oracle joins raw strings). Per-doc gram
         // distinctness enforced in-row (array_distinct) inside the staged
         // frame.
-        val g5 = hashedGrams(s, dir, 5)
+        val g5 = Grams.hashed(s, dir, 5)
         val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
         val corpus = docs(s, dir).filter(col("doc_id") >= 10).select("doc_id")
         val hits = g5.filter(col("doc_id") >= 10)
@@ -441,7 +424,7 @@ object CorpusOps {
         // ids+hashes only (the q35/q63 trick); per-doc distinctness is
         // in-row. One groupBy on the gram hash, one on doc_id. The staged
         // 10-gram frame is shared with q119.
-        val g = hashedGrams(s, dir, 10)
+        val g = Grams.hashed(s, dir, 10)
         // per-gram df as a window count, NOT a groupBy+self-join: the
         // shingle explode runs ONCE and the plan is two shuffles total
         // (by ng for the window, by doc_id for the rollup) — the
@@ -661,7 +644,7 @@ object CorpusOps {
         // through the shuffle. The staged 10-gram frame (shared with q96)
         // is referenced three times in this plan — totals plus both sides
         // of the self-join — so staging collapses three explodes into one.
-        val g = hashedGrams(s, dir, 10)
+        val g = Grams.hashed(s, dir, 10)
         val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
         val capped = g.withColumn("df",
             count(lit(1)).over(Window.partitionBy(col("ng"))))

@@ -548,7 +548,6 @@ object DedupOps {
     Q(
       "q120_recipe_funnel",
       (s, dir) => {
-        import graft.functions.TextFns.{hash32, wordNgrams}
         // The complete modern pretraining data recipe as ONE declarative
         // plan, reported as a survival funnel: raw corpus → exact dedup →
         // near-dup representative → benchmark decontamination → quality
@@ -564,12 +563,13 @@ object DedupOps {
         val canon = d.groupBy("f").agg(min("doc_id").as("c"))
         val reps = stagedLabels(s, dir)
           .select(col("node").as("doc_id"), col("label").as("rep"))
-        def g5(df: DataFrame) = df.select(col("doc_id"),
-            explode(array_distinct(wordNgrams(tokens(col("text")), 5))).as("g"))
-          .select(col("doc_id"), xxhash64(col("g")).as("ng"))
-        val benchG = g5(docs(s, dir).filter(col("doc_id") < 10))
+        // decontamination stage rides the staged 5-gram frame shared
+        // with q63 (both sides filter the same staged explode)
+        val g5 = Grams.hashed(s, dir, 5)
+        val benchG = g5.filter(col("doc_id") < 10)
           .select("ng").distinct()
-        val contam = g5(corpus).join(broadcast(benchG), "ng")
+        val contam = g5.filter(col("doc_id") >= 10)
+          .join(broadcast(benchG), "ng")
           .select("doc_id").distinct().withColumn("bad", lit(1))
         val flags = d.join(canon, "f")
           .join(reps, Seq("doc_id"), "left_outer")

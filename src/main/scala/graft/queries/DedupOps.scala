@@ -213,36 +213,39 @@ object DedupOps {
         val g = ngramSet(s, dir)
           .select(col("doc_id"), col("ng64").as("ng"))
         // df-cap FIRST (windowed count, no collection), so a hot shingle
-        // can never materialize an unbounded list or df² pairs. Windows
-        // instead of aggregate-and-rejoin: the shingle explode — the
-        // expensive subtree — runs ONCE through the plan (the join form
-        // recomputed it on both sides; a broadcast-df variant was measured
-        // 1.5x slower at sf0.1 because the df aggregate re-derives the
-        // explode).
+        // can never materialize an unbounded list or df² pairs.
         val wN = Window.partitionBy(col("ng"))
-        val wD = Window.partitionBy(col("doc_id"))
         val capped = g
           .withColumn("df", count(lit(1)).over(wN))
           .filter(col("df") <= 100)
-          // per-doc CAPPED set size rides along into the pair expression —
-          // no sizes table, no rejoin
-          .withColumn("sz", count(lit(1)).over(wD))
+        // Per-doc capped sizes as a SEPARATE aggregate joined onto the
+        // pair set at the end. History: when the gram explode was
+        // recomputed per reference, carrying sz through the pair path as
+        // a second window was 1.5x faster than this aggregate-and-rejoin
+        // form. With the gram frame now session-staged the trade flipped
+        // (round 6, min-of-5 at sf0.1: 1.49 -> 1.12 s): the window-by-
+        // doc_id form shuffled the full gram set twice more (by doc_id
+        // and back by ng), while here the corpus-sized path shuffles once
+        // (by ng — the window's exchange is REUSED by the groupBy below)
+        // and the doc_id shuffle only carries the tiny (doc_id, sz)
+        // aggregate; the pair set it joins is near-dup-sized.
+        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         // pair generation per shingle group (bounded by the cap): collect
-        // the <=100 (doc, sz) structs and emit ordered pairs as one
-        // expression — measured ~25% faster than the equivalent self-join.
+        // the <=100 doc ids and emit ordered pairs as one expression —
+        // measured ~25% faster than the equivalent self-join.
         capped
           .groupBy("ng")
-          .agg(collect_list(struct(col("doc_id").as("d"), col("sz").as("s")))
-            .as("ids"))
+          .agg(collect_list(col("doc_id")).as("ids"))
           .select(explode(expr(
             "flatten(transform(ids, (x, ix) -> " +
               "filter(transform(ids, (y, iy) -> " +
-              "IF(x.d < y.d, struct(x.d AS i, x.s AS si, y.d AS j, y.s AS sj), " +
-              "NULL)), p -> p IS NOT NULL)))"))
+              "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
             .as("p"))
-          .select(col("p.i"), col("p.si"), col("p.j"), col("p.sj"))
-          .groupBy(col("i"), col("si"), col("j"), col("sj"))
+          .select(col("p.i"), col("p.j"))
+          .groupBy(col("i"), col("j"))
           .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+          .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
           .withColumn("jaccard",
             col("common").cast("double") / (col("si") + col("sj") - col("common")))
           .filter(col("jaccard") >= 0.8)

@@ -689,7 +689,187 @@ object CorpusOps {
       "Substring containment dedup: doc fully contained in another when " +
         "shared 10-grams equal its gram count — df-capped shared-gram " +
         "blocking, hashes only through the shuffle " +
-        "(pipeline ops brief: subsumption dedup)."))
+        "(pipeline ops brief: subsumption dedup)."),
+
+    // ------------------------------------- DSIR importance resampling
+    Q(
+      "q121_dsir_importance",
+      (s, dir) => {
+        // DSIR (Xie et al. 2023): select raw-pool documents that look like
+        // a target domain by importance weight under two hashed-n-gram
+        // bag models. Target proxy: lang='en' docs; features: unigrams
+        // hashed into 64 buckets (hash32 so the oracle buckets agree).
+        // Weights here are a deterministic integer variant — the ratio of
+        // add-1-smoothed bucket-probability dot products in ppm — instead
+        // of the paper's log-ratio (log is float and engines differ in the
+        // last ulp; the ordering this produces is the same for the
+        // selection gate's purpose). At 100 TB the two bucket models are
+        // 64-row broadcast tables and scoring is one map-side scan +
+        // per-doc aggregate — the same importance-resample shape DSIR
+        // runs over Pile-sized pools.
+        val words = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+          .filter(col("w") =!= "")
+          .withColumn("b", pmod(hash32(col("w")), lit(64)))
+        val tgt = words.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val raw = words.filter(col("lang") =!= "en")
+          .groupBy("b").agg(count(lit(1)).as("cr"))
+        val model = tgt.join(raw, Seq("b"), "full_outer")
+          .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+            coalesce(col("cr"), lit(0L)).as("cr"))
+        val tot = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+        val m = model.crossJoin(broadcast(tot))
+          .select(col("b"),
+            expr("(ct + 1) * 1000000L div (tt + 64)").as("p_ppm"),
+            expr("(cr + 1) * 1000000L div (tr + 64)").as("q_ppm"))
+        words.filter(col("lang") =!= "en")
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .join(broadcast(m), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("p_ppm")).as("sp"),
+            sum(col("c") * col("q_ppm")).as("sq"))
+          .select(col("doc_id"),
+            expr("sp * 1000000L div sq").as("score_ppm"))
+          .withColumn("selected",
+            (col("score_ppm") >= 1000000L).cast("int"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS b
+          FROM (SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(text), '[^\pL\p{Nd}]+')) AS w
+                FROM documents)
+          WHERE w <> ''),
+        tgt AS (SELECT b, COUNT(*) AS ct FROM w WHERE lang = 'en' GROUP BY b),
+        raw AS (SELECT b, COUNT(*) AS cr FROM w WHERE lang <> 'en' GROUP BY b),
+        model AS (
+          SELECT COALESCE(tgt.b, raw.b) AS b,
+                 COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+          FROM tgt FULL OUTER JOIN raw ON tgt.b = raw.b),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                       CAST(SUM(cr) AS BIGINT) AS tr FROM model),
+        m AS (SELECT b, (ct + 1) * 1000000 // (tt + 64) AS p_ppm,
+                     (cr + 1) * 1000000 // (tr + 64) AS q_ppm
+              FROM model, tot),
+        db AS (SELECT doc_id, b, COUNT(*) AS c
+               FROM w WHERE lang <> 'en' GROUP BY doc_id, b),
+        sc AS (SELECT doc_id,
+                      CAST(SUM(c * p_ppm) AS BIGINT) AS sp,
+                      CAST(SUM(c * q_ppm) AS BIGINT) AS sq
+               FROM db JOIN m USING (b) GROUP BY doc_id)
+        SELECT doc_id, sp * 1000000 // sq AS score_ppm,
+               CAST(sp * 1000000 // sq >= 1000000 AS INT) AS selected
+        FROM sc"""),
+      "DSIR-style importance resampling (Xie et al. 2023): hashed-unigram " +
+        "bucket models for target vs raw pool, integer ppm probability-" +
+        "ratio weights, deterministic selection gate — domain-targeted " +
+        "data selection with broadcast-sized models " +
+        "(pipeline ops brief: data selection)."),
+
+    // --------------------------------------- unigram surprisal quality
+    Q(
+      "q122_unigram_surprisal",
+      (s, dir) => {
+        // Perplexity-proxy quality score without floats: mean per-token
+        // surprisal in whole bits under the corpus unigram model —
+        // bits(t) = floor(log2(N / f_t)) computed as the bit length of
+        // the integer quotient (length(bin(x)) - 1, exact in both
+        // engines). High mean surprisal ≈ OOV/garbled text, low ≈
+        // boilerplate — the unigram stand-in for the KenLM perplexity
+        // filter in CCNet-style curation. Shapes: one vocab-sized
+        // frequency aggregate (joined back on the token — at 100 TB the
+        // head of the vocab broadcasts and the tail is rare by
+        // definition), one per-doc rollup.
+        val words = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+          .filter(col("w") =!= "")
+        val tf = words.groupBy("w").agg(count(lit(1)).as("f"))
+        val n = tf.agg(sum(col("f")).as("n"))
+        val bits = tf.crossJoin(broadcast(n))
+          .select(col("w"),
+            (length(bin(expr("n div f"))) - 1).cast("long").as("bits"))
+        words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .join(bits, "w")
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") * col("bits")).as("total_bits"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("total_bits * 1000 div n_tokens").as("surprisal_mbits"))
+          .withColumn("bits_bucket",
+            expr("surprisal_mbits div 1000").cast("int"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, w
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^\pL\p{Nd}]+')) AS w
+                FROM documents)
+          WHERE w <> ''),
+        tf AS (SELECT w, COUNT(*) AS f FROM w GROUP BY w),
+        n AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM tf),
+        bits AS (SELECT w, CAST(length(bin(n // f)) - 1 AS BIGINT) AS bits
+                 FROM tf, n),
+        dc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+        agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(SUM(c * bits) AS BIGINT) AS total_bits
+                FROM dc JOIN bits USING (w) GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               total_bits * 1000 // n_tokens AS surprisal_mbits,
+               CAST((total_bits * 1000 // n_tokens) // 1000 AS INT)
+                 AS bits_bucket
+        FROM agg"""),
+      "Unigram-surprisal quality score: mean whole-bit surprisal per " +
+        "token under the corpus unigram model, integer-exact via " +
+        "bit-length — the float-free stand-in for perplexity filtering " +
+        "(pipeline ops brief: quality scoring)."),
+
+    // ------------------------------------ padding-aware length bucketing
+    Q(
+      "q123_padding_waste",
+      (s, dir) => {
+        // Batch-inference packing plan: docs bucketed by token count
+        // padded up to 64-token blocks (the paged-KV block shape), per
+        // bucket the padded-token waste and how many 16k-token batches
+        // the bucket fills. Pure integer arithmetic over token counts —
+        // the plan is computed without materializing text, like q118's
+        // chunk index; at 100 TB this is one scan + a tiny rollup.
+        val n = size(split(col("text"), " ")).cast("long")
+        docs(s, dir)
+          .select(col("doc_id"), n.as("n_tok"))
+          .select(col("doc_id"), col("n_tok"),
+            expr("(n_tok + 63) div 64").as("blocks"))
+          .groupBy(col("blocks"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+          .select(col("blocks"), col("n_docs"), col("sum_tok"),
+            expr("n_docs * blocks * 64").as("padded_tok"))
+          .select(col("blocks"), col("n_docs"), col("sum_tok"),
+            col("padded_tok"),
+            expr("(padded_tok - sum_tok) * 1000000L div padded_tok")
+              .as("waste_ppm"),
+            expr("(padded_tok + 16383) div 16384").as("n_batches"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        b AS (SELECT doc_id, n_tok, (n_tok + 63) // 64 AS blocks FROM t),
+        g AS (SELECT blocks, COUNT(*) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+              FROM b GROUP BY blocks)
+        SELECT blocks, n_docs, sum_tok,
+               n_docs * blocks * 64 AS padded_tok,
+               (n_docs * blocks * 64 - sum_tok) * 1000000
+                 // (n_docs * blocks * 64) AS waste_ppm,
+               (n_docs * blocks * 64 + 16383) // 16384 AS n_batches
+        FROM g"""),
+      "Padding-aware length bucketing for batch inference: 64-token-block " +
+        "buckets, per-bucket padded-token waste ppm and 16k-token batch " +
+        "counts — the packing plan from counts alone " +
+        "(pipeline ops brief: inference batching)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -783,5 +783,159 @@ object DedupOps {
         FROM bits GROUP BY doc_id"""),
       "SimHash: 32-bit majority-vote signature over token hashes — one " +
         "aggregation per doc, Hamming-comparable downstream " +
-        "(pipeline ops brief)."))
+        "(pipeline ops brief)."),
+
+    // ----------------------------------------------- LSH recall audit
+    Q(
+      "q124_lsh_recall_audit",
+      (s, dir) => {
+        // Measure, don't guess: how much of the exact Jaccard>=0.5 truth
+        // set does the 8-perm/4-band MinHash index actually recall? Truth
+        // comes from the q35 blocked join (the df cap doesn't bind on the
+        // fixtures — max df 25 — so blocking is complete here; at corpus
+        // scale this audit runs on a sample where the same holds);
+        // candidates are the staged q36 band pairs. One row out:
+        // the numbers that justify — or veto — the band/row choice.
+        val g = ngramSet(s, dir)
+          .select(col("doc_id"), col("ng64").as("ng"))
+        val wN = Window.partitionBy(col("ng"))
+        val capped = g
+          .withColumn("df", count(lit(1)).over(wN))
+          .filter(col("df") <= 100)
+        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val truth = capped
+          .groupBy("ng")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .select(explode(expr(
+            "flatten(transform(ids, (x, ix) -> " +
+              "filter(transform(ids, (y, iy) -> " +
+              "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
+            .as("p"))
+          .select(col("p.i"), col("p.j"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+          .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+          .filter(col("common").cast("double") /
+            (col("si") + col("sj") - col("common")) >= 0.5)
+          .select(col("i"), col("j"))
+        val cand = minhashPairs(s, dir)
+        val marked = truth.join(cand.withColumn("is_cand", lit(1)),
+          Seq("i", "j"), "left_outer")
+        marked
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("is_cand"), lit(0))).cast("long").as("n_hit"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            expr("n_hit * 1000000L div n_truth").as("recall_ppm"))
+      },
+      Some(minhashPairsCte + """,
+        cappedr AS (
+          SELECT g.doc_id, g.ng FROM g
+          JOIN (SELECT ng FROM g GROUP BY 1 HAVING COUNT(*) <= 100) d
+          USING (ng)),
+        sizesr AS (SELECT doc_id, COUNT(*) AS sz FROM cappedr GROUP BY 1),
+        pairsr AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+          FROM cappedr a JOIN cappedr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT i, j FROM pairsr
+          JOIN sizesr s1 ON i = s1.doc_id JOIN sizesr s2 ON j = s2.doc_id
+          WHERE CAST(common AS DOUBLE) / (s1.sz + s2.sz - common) >= 0.5),
+        t AS (SELECT COUNT(*) AS n_truth,
+                     CAST(SUM(CASE WHEN mh.i IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hit
+              FROM truth LEFT JOIN mh_pairs mh
+                ON truth.i = mh.i AND truth.j = mh.j),
+        c AS (SELECT COUNT(*) AS n_cand FROM mh_pairs)
+        SELECT t.n_truth, c.n_cand, t.n_hit,
+               t.n_hit * 1000000 // t.n_truth AS recall_ppm
+        FROM t, c"""),
+      "LSH index quality audit: recall of the MinHash band candidates " +
+        "against the exact Jaccard>=0.5 truth set — the measurement that " +
+        "sizes bands/rows before a 100 TB dedup run " +
+        "(pipeline ops brief: measure the index, don't guess)."),
+
+    // ------------------------------------- incremental ingest dedup
+    Q(
+      "q125_incremental_dedup",
+      (s, dir) => {
+        // Dedup TODAY'S batch against the existing corpus without
+        // reprocessing the corpus: the new side (doc_id % 10 = 0, the
+        // arriving ~10%) probes the corpus's fingerprint set and its
+        // staged 10-gram index. At 100 TB the corpus side is a written
+        // gram/fp index that only the (small) new batch joins against —
+        // per-ingest cost scales with the batch, not the corpus. Exact
+        // matches via q34's content fingerprint; near-misses via best
+        // single-corpus-doc gram overlap (q119's capped discipline).
+        val isNew = pmod(col("doc_id"), lit(10)) === 0
+        val fp = md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+        val fps = docs(s, dir).select(col("doc_id"), fp.as("f"))
+        val corpusFps = fps.filter(!isNew).select(col("f")).distinct()
+        val exact = fps.filter(isNew)
+          .join(corpusFps.withColumn("hit", lit(1)), Seq("f"), "left_outer")
+          .select(col("doc_id"), coalesce(col("hit"), lit(0)).as("exact_dup"))
+        val g = Grams.hashed(s, dir, 10)
+        val gNew = g.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val gCorp = g.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("ng"))))
+          .filter(col("df") <= 20)
+          .select(col("doc_id").as("cid"), col("ng"))
+        val nNew = gNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val best = gNew.join(gCorp, "ng")
+          .groupBy(col("doc_id"), col("cid")).agg(count(lit(1)).as("shared"))
+          .groupBy(col("doc_id")).agg(max(col("shared")).as("best_shared"))
+        exact
+          .join(nNew, Seq("doc_id"), "left_outer")
+          .join(best, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("exact_dup"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("best_shared"), lit(0L)).as("best_shared"),
+            when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0L))
+              .otherwise(expr(
+                "coalesce(best_shared, 0L) * 1000000L div n_grams"))
+              .as("overlap_ppm"))
+      },
+      Some("""
+        WITH fp AS (
+          SELECT doc_id, doc_id % 10 = 0 AS is_new,
+                 md5(array_to_string(list_sort(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS f
+          FROM documents),
+        exact AS (
+          SELECT n.doc_id,
+                 CASE WHEN EXISTS (SELECT 1 FROM fp c
+                                   WHERE NOT c.is_new AND c.f = n.f)
+                      THEN 1 ELSE 0 END AS exact_dup
+          FROM fp n WHERE n.is_new),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS ng
+              FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
+        gnew AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 = 0),
+        gcorp AS (
+          SELECT doc_id AS cid, ng FROM (
+            SELECT doc_id, ng, COUNT(*) OVER (PARTITION BY ng) AS df
+            FROM g WHERE doc_id % 10 <> 0) WHERE df <= 20),
+        nn AS (SELECT doc_id, COUNT(*) AS n_grams FROM gnew GROUP BY 1),
+        best AS (
+          SELECT doc_id, MAX(shared) AS best_shared FROM (
+            SELECT gnew.doc_id, gcorp.cid, COUNT(*) AS shared
+            FROM gnew JOIN gcorp USING (ng)
+            GROUP BY gnew.doc_id, gcorp.cid)
+          GROUP BY doc_id)
+        SELECT e.doc_id, e.exact_dup,
+               COALESCE(nn.n_grams, 0) AS n_grams,
+               COALESCE(best.best_shared, 0) AS best_shared,
+               CASE WHEN COALESCE(nn.n_grams, 0) = 0 THEN 0
+                    ELSE COALESCE(best.best_shared, 0) * 1000000
+                         // nn.n_grams END AS overlap_ppm
+        FROM exact e
+        LEFT JOIN nn USING (doc_id)
+        LEFT JOIN best USING (doc_id)"""),
+      "Incremental ingest dedup: the arriving batch probes the corpus " +
+        "fingerprint set and staged gram index — exact + best-overlap " +
+        "flags at per-batch cost, never per-corpus " +
+        "(pipeline ops brief: daily-crawl dedup)."))
 }

@@ -356,23 +356,34 @@ object DedupOps {
         val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
           .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val nodes = docs(s, dir).select(col("doc_id"))
-        var r = nodes.withColumn("pr", lit(1000000L))
+        // Iterate over EDGE NODES only: contributions flow along edges, so
+        // a node outside the pair graph holds the damped default
+        // 150000 + 850*0 after every round and never influences anyone —
+        // it re-attaches in one left join at the end. The iteration state
+        // is near-dup-graph-sized (collision pairs), not corpus-sized:
+        // at 100 TB the three rounds shuffle the (small) rank frame, and
+        // the corpus is scanned exactly once for the final attach instead
+        // of once per round.
+        val nodesE = edges.select(col("src").as("doc_id")).distinct()
+        var r = nodesE.withColumn("pr", lit(1000000L))
         for (_ <- 1 to 3) {
           val contrib = edges
             .join(r.withColumnRenamed("doc_id", "src"), "src")
             .join(deg, "src")
             .select(col("dst"), expr("pr div deg").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-          r = nodes
+          r = nodesE
             .join(contrib.withColumnRenamed("dst", "doc_id"),
               Seq("doc_id"), "left_outer")
             .select(col("doc_id"),
               expr("150000L + 850 * coalesce(in_sum, 0L) div 1000").as("pr"))
         }
-        r.join(deg.withColumnRenamed("src", "doc_id"),
+        docs(s, dir).select(col("doc_id"))
+          .join(r, Seq("doc_id"), "left_outer")
+          .join(deg.withColumnRenamed("src", "doc_id"),
             Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("pr"),
+          .select(col("doc_id"),
+            coalesce(col("pr"), lit(150000L)).as("pr"),
             coalesce(col("deg"), lit(0L)).as("deg"))
       },
       Some(minhashPairsCte + """,

@@ -181,6 +181,46 @@ object DedupOps {
         cc AS (SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_rep
                FROM reach GROUP BY node)"""
 
+  /** Majority-vote SimHash signatures `(doc_id, simhash)` over `bits`
+    * signature bits (token hash = first bits/4 hex digits of md5, so both
+    * engines agree). q37 pins the classic 32-bit form; q126 uses 60 bits —
+    * at 32 bits the band buckets of a shared-vocab corpus saturate and the
+    * near-dup join degenerates toward all-pairs (measured: 7.3 s and 14k
+    * pairs at sf0.01 vs 0.6 s and tens of pairs at 60 bits).
+    */
+  private def simhashSigs(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("hv",
+        conv(substring(md5(col("tok")), 1, bits / 4), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map(b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"c$b"))
+    val sums = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until bits)
+      .map(b => when(col(s"c$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Oracle CTE chain ending in `sh(doc_id, simhash)` — the SQL twin of
+    * [[simhashSigs]], shared by the q37 and q126 oracles.
+    */
+  private def simhashCte(bits: Int) = s"""
+    WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, ${bits / 4})) AS BIGINT) AS hv FROM t),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      FROM h, UNNEST(generate_series(0, ${bits - 1})) AS s(b)
+      GROUP BY doc_id, b),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)"""
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------- exact dedup
     Q(
@@ -766,34 +806,69 @@ object DedupOps {
     // ------------------------------------------------------------ SimHash
     Q(
       "q37_simhash",
-      (s, dir) => {
-        val toks = docs(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .distinct()
-          .withColumn("hv", hash32(col("tok")))
-        val bitCols = (0 until 32).map(b =>
-          sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-            .as(s"c$b"))
-        val sums = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        val sig = (0 until 32)
-          .map(b => when(col(s"c$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        sums.select(col("doc_id"), sig.as("simhash"))
-      },
-      Some("""
-        WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-                   FROM documents),
-        h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv FROM t),
-        bits AS (
-          SELECT doc_id, b,
-                 SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
-          FROM h, UNNEST(generate_series(0, 31)) AS s(b)
-          GROUP BY doc_id, b)
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN c >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id"""),
+      (s, dir) => simhashSigs(s, dir, 32),
+      Some(simhashCte(32) + "\n        SELECT doc_id, simhash FROM sh"),
       "SimHash: 32-bit majority-vote signature over token hashes — one " +
         "aggregation per doc, Hamming-comparable downstream " +
+        "(pipeline ops brief)."),
+
+    // ------------------------------------------------ SimHash near-dup
+    Q(
+      "q126_simhash_neardup",
+      (s, dir) => {
+        // The dedup operator the q37 signatures exist for: pairs within
+        // Hamming distance 3, over a 60-bit signature (32 bits saturates —
+        // see simhashSigs). Blocking is 4 bands of 15 bits — 3 bit flips
+        // can break at most 3 bands, so by pigeonhole every qualifying
+        // pair shares at least one intact band: the band join is COMPLETE
+        // for d<=3 across surviving buckets (unlike MinHash banding).
+        // Verify is one codegen'd bit_count(xor) per candidate. Buckets
+        // over 100 docs are skipped — the q35/q119 cap discipline: a
+        // band value shared by hundreds of docs is a giant near-identical
+        // cluster that exact dedup (q34) or CC clustering (q57) should
+        // collapse, and enumerating its quadratic pair set adds no
+        // information. The cap bounds pair work at O(cap^2 * buckets).
+        val bands = simhashSigs(s, dir, 60)
+          .select(col("doc_id"), col("simhash"),
+            posexplode(array((0 until 4).map(b =>
+              shiftright(col("simhash"), 15 * b).bitwiseAND(32767)): _*))
+              .as(Seq("band", "bv")))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("band"), col("bv"))))
+          .filter(col("n") <= 100)
+        bands
+          .groupBy(col("band"), col("bv"))
+          .agg(collect_list(struct(col("doc_id").as("d"), col("simhash").as("sg")))
+            .as("ids"))
+          .select(explode(expr(
+            "flatten(transform(ids, (x, ix) -> " +
+              "filter(transform(ids, (y, iy) -> " +
+              "IF(x.d < y.d, struct(x.d AS i, x.sg AS si, y.d AS j, y.sg AS sj), " +
+              "NULL)), p -> p IS NOT NULL)))"))
+            .as("p"))
+          .select(col("p.i"), col("p.j"),
+            bit_count(col("p.si").bitwiseXOR(col("p.sj"))).cast("int")
+              .as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+      },
+      Some(simhashCte(60) + """,
+        bands AS (
+          SELECT doc_id, simhash, band, bv FROM (
+            SELECT doc_id, simhash, b AS band,
+                   (simhash >> (15 * b)) & 32767 AS bv,
+                   COUNT(*) OVER (PARTITION BY b, (simhash >> (15 * b)) & 32767) AS n
+            FROM sh, UNNEST(generate_series(0, 3)) AS s(b))
+          WHERE n <= 100),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT i, j, hamming FROM cand WHERE hamming <= 3"""),
+      "SimHash near-dup join: 60-bit signatures, 4x15-bit band blocking " +
+        "(pigeonhole-complete for Hamming<=3) + bit_count(xor) verify — " +
+        "signature-space dedup closing the q37 family " +
         "(pipeline ops brief)."),
 
     // ----------------------------------------------- LSH recall audit

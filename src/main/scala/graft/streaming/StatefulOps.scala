@@ -414,6 +414,30 @@ object StatefulOps {
       .withColumn("edt", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
       .drop("window")
 
+  /** Watermarked session-window aggregate — q51's streaming twin (gap
+    * sessionization, the W-family member the reference's fixed windows
+    * lack). A session absorbs every event within `gap` of its span and
+    * closes — emitting once, append mode — when the watermark passes
+    * gap beyond its last event; events inside the slack merge sessions
+    * across micro-batches (StatefulOpsSpec exercises the merge). State
+    * per key is the open sessions only, watermark-bounded.
+    */
+  def sessionAgg(
+      df: DataFrame,
+      eventCol: String,
+      slack: String,
+      gap: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventCol, slack)
+      .groupBy(session_window(col(eventCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stt",
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt",
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("session_window")
+
   /** Watermark drop-rate audit — q113's streaming twin, and the metric the
     * reference's silent 3 s slack never exposes (ref
     * RT/app/dws/DwsTradeSkuOrderWindow.java:216-227: lateness is a

@@ -414,6 +414,26 @@ object StatefulOps {
       .withColumn("edt", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
       .drop("window")
 
+  /** Watermarked sliding-window aggregate — q50's streaming twin: each
+    * event lands in width/slide overlapping windows, every window emits
+    * once when the watermark closes it. Completes the streaming window
+    * family (tumbling [[tumblingAgg]], sliding, session [[sessionAgg]]).
+    */
+  def slidingAgg(
+      df: DataFrame,
+      eventCol: String,
+      slack: String,
+      width: String,
+      slide: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventCol, slack)
+      .groupBy(window(col(eventCol), width, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stt", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window")
+
   /** Watermarked session-window aggregate — q51's streaming twin (gap
     * sessionization, the W-family member the reference's fixed windows
     * lack). A session absorbs every event within `gap` of its span and

@@ -364,6 +364,34 @@ class StatefulOpsSpec extends SparkSpec {
       ("1970-01-01 00:00:40", "1970-01-01 00:00:50", 1L, 1L)))
   }
 
+  test("slidingAgg streaming ≡ batch q50 on the shared events fixture") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"), col("ts"))
+      .as[Stamped]
+      .collect().sortBy(e => (e.ts.getTime, e.eventId))
+    val epilogue = Stamped(-1L, 0L,
+      new Timestamp(events.last.ts.getTime + 86400L * 1000))
+    val batches = events.grouped((events.length + 3) / 4).map(_.toSeq).toSeq :+
+      Seq(epilogue)
+    val streamed = runStream[Stamped, (String, Long)](batches) { ds =>
+      StatefulOps.slidingAgg(ds.toDF(), "ts", "0 seconds",
+        "30 seconds", "10 seconds", Nil, Seq(count(lit(1)).as("pv_ct")))
+        .select(col("stt"), col("pv_ct")).as[(String, Long)]
+    }.toMap
+    // batch q50 counts per window start (epilogue contributes 3 windows of
+    // its own — subtract its count from any window it shares, which by
+    // construction (1 day beyond the last event) it doesn't)
+    val batch = graft.Registry.all.find(_.name == "q50_sliding_window").get
+      .run(spark, sfDir)
+      .select(col("stt"), col("pv_ct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epilogueWindows = streamed.keySet -- batch.keySet
+    assert(epilogueWindows.forall(streamed(_) == 1L)) // the epilogue alone
+    assert(streamed -- epilogueWindows == batch)
+  }
+
   test("sessionAgg streaming ≡ batch q51 on the shared events fixture") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"

@@ -137,4 +137,16 @@ class RocksDbSoakSpec extends SparkSpec {
     // 4 versions/key: 3 closed re-emissions + 4 open emissions = 7 rows/key
     assert(rocks.length == 7000)
   }
+
+  test("StreamingLsh pair emitter: RocksDB provider matches default on the corpus") {
+    import spark.implicits._
+    val hits = StreamingLsh.bandAssignments(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents"))
+      .collect().sortBy(_.docId)
+    val batches = hits.grouped((hits.length + 2) / 3).map(_.toSeq).toSeq
+    val (rocks, default) = bothProviders(batches)(
+      (ds: Dataset[BandHit]) => StreamingLsh.pairs(ds))
+    assert(rocks.map(p => (p.i, p.j)).sorted == default.map(p => (p.i, p.j)).sorted)
+    assert(rocks.nonEmpty)
+  }
 }

@@ -4,17 +4,18 @@ import graft.functions.TextFns.{tokens, wordNgrams}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** MinHash-LSH signature/band expressions computed IN-ROW with
-  * higher-order functions — per-doc distinct 3-grams, one md5 per gram,
-  * eight permutation minima via array_min(transform(...)) — a pure
-  * projection with no explode and no shuffle. Being stateless, it applies
-  * to a STREAMING DataFrame unchanged: this is the signature path of
+/** MinHash-LSH signature/band expressions computed IN-ROW — per-doc
+  * distinct 3-grams, one md5 per gram, all permutation minima in one
+  * native codegen pass ([[MinHashSig]]) — a pure projection with no
+  * explode and no shuffle. Being stateless, it applies to a STREAMING
+  * DataFrame unchanged: this is the signature path of
   * streaming/StreamingLsh.scala. Batch (DedupOps.minhashBands) keeps its
   * explode + hash-aggregate form instead — measured FASTER (2.59 vs
-  * 3.78 s cold at sf0.1: the codegen'd aggregate beats the interpreted
-  * HOF chain) — and StreamingLshSpec pins the two renditions equal.
-  * Parameters match the DuckDB oracle CTEs in DedupOps (8 permutations,
-  * 4 bands of 2, P = 2^31-1).
+  * ~3.7 s cold at sf0.1, before AND after nativizing the minima: the
+  * residual cost is md5 inside an interpreted transform() lambda vs
+  * codegen'd md5 over exploded rows) — and StreamingLshSpec pins the two
+  * renditions equal. Parameters match the DuckDB oracle CTEs in DedupOps
+  * (8 permutations, 4 bands of 2, P = 2^31-1).
   */
 object MinHash {
   val Perms = 8
@@ -30,17 +31,24 @@ object MinHash {
     transform(array_distinct(wordNgrams(tokens(text), 3)),
       g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
 
-  /** The doc's `(band, bkey)` LSH assignments as an array of structs —
-    * NULL-free only when the doc has at least one gram; callers filter
-    * `size(gramHashes) > 0` first (gram-less docs have no signature, the
-    * same contract as the explode+groupBy form this replaced).
+  /** The doc's full permutation-minima signature (array<long> of length
+    * [[Perms]]) via the native [[MinHashSig]] expression: one codegen'd
+    * pass over the hash array instead of eight interpreted
+    * array_min(transform(...)) walks. Null for gram-less docs — callers
+    * filter `size(gramHashes) > 0` first (the explode+groupBy batch
+    * form's contract: no grams, no signature).
     */
-  def bandArray(hvs: Column): Column = {
-    val sigs = (0 until Perms).map(j =>
-      array_min(transform(hvs, h => pmod(lit(a(j)) * h + lit(b(j)), lit(P)))))
-    val bands = (0 until Bands).map(bi =>
+  def sig(hvs: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      MinHashSig(org.apache.spark.sql.graft.ColumnBridge.expression(hvs)))
+
+  /** `(band, bkey)` LSH assignments from a materialized signature column —
+    * keep `sig` in its own projection so the native expression evaluates
+    * once per row, not once per element_at reference.
+    */
+  def bandsOfSig(sigCol: Column): Column =
+    array((0 until Bands).map(bi =>
       struct(lit(bi).as("band"),
-        concat_ws(":", sigs(2 * bi), sigs(2 * bi + 1)).as("bkey")))
-    array(bands: _*)
-  }
+        concat_ws(":", element_at(sigCol, 2 * bi + 1),
+          element_at(sigCol, 2 * bi + 2)).as("bkey"))): _*)
 }

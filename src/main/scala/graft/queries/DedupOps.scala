@@ -59,12 +59,14 @@ object DedupOps {
   /** The (doc_id, band, bkey) LSH band assignments behind q36/q57: 8
     * permutation mins per doc folded into 4 bands of 2. Two equivalent
     * renditions exist (output proven identical by StreamingLshSpec):
-    * this explode + hash-aggregate form for batch, and the in-row
-    * higher-order-function form in [[graft.functions.MinHash]] for
-    * streaming (stateless, so it applies to an unbounded frame). Batch
-    * keeps the aggregate: measured 2.59 vs 3.78 s cold staging build at
-    * sf0.1 — the codegen'd hash aggregate beats the interpreted HOF
-    * chain, the reverse of the intuition that "no shuffle is faster".
+    * this explode + hash-aggregate form for batch, and the in-row form
+    * in [[graft.functions.MinHash]] for streaming (stateless, so it
+    * applies to an unbounded frame). Batch keeps the aggregate: measured
+    * 2.59 vs 3.78 s cold staging build at sf0.1, unchanged (3.73) after
+    * nativizing the minima pass (MinHashSig) — the residual gap is md5
+    * evaluated inside an interpreted transform() lambda vs codegen'd md5
+    * over exploded rows. The reverse of the "no shuffle is faster"
+    * intuition, twice measured.
     */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val g = ngramSet(s, dir)

@@ -41,7 +41,8 @@ object StreamingLsh {
     import df.sparkSession.implicits._
     df.select(col("doc_id"), MinHash.gramHashes(col("text")).as("hvs"))
       .filter(size(col("hvs")) > 0)
-      .select(col("doc_id"), explode(MinHash.bandArray(col("hvs"))).as("bb"))
+      .select(col("doc_id"), MinHash.sig(col("hvs")).as("sig"))
+      .select(col("doc_id"), explode(MinHash.bandsOfSig(col("sig"))).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
         col("doc_id").as("docId"))
       .as[BandHit]

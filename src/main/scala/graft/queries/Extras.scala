@@ -683,10 +683,14 @@ object Extras {
         // to the single-partition window (RangeOpsSpec asserts parity),
         // and every bucket's sort is ~1/32 of the corpus.
         val C = 512L
+        // null text packs zero tokens (coalesce BEFORE the typed prefix
+        // sum — RangeOps encodes non-null longs; DirtyCorpusSpec pins
+        // the null-text corpus path)
         RangeOps.runningSum(
             Tables(s, dir, "documents")
               .select(col("doc_id"),
-                size(split(col("text"), " ")).cast("long").as("tok")),
+                coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+                  .as("tok")),
             "doc_id", "tok", "cum")
           .withColumn("bin", floor((col("cum") - col("tok")) / C))
           .groupBy("bin")
@@ -697,7 +701,8 @@ object Extras {
       },
       Some("""
         WITH t AS (
-          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          SELECT doc_id,
+                 CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS tok
           FROM documents),
         c AS (
           SELECT doc_id, tok,

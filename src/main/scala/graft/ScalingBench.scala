@@ -22,7 +22,9 @@ object ScalingBench {
   private val DefaultQueries = Seq(
     "q34_exact_dedup", "q35_ngram_jaccard", "q36_minhash_band_dedup",
     "q63_decontamination", "q96_repeated_ngram_dedup",
-    "q119_containment_dedup")
+    "q119_containment_dedup",
+    "q121_dsir_importance", "q122_unigram_surprisal",
+    "q125_incremental_dedup", "q126_simhash_neardup")
 
   def main(args: Array[String]): Unit = {
     val (flagArgs, dirs) = args.partition(_.startsWith("-q"))

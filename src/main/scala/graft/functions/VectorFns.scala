@@ -30,7 +30,15 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, null for zero-norm input (an empty or all-zero
+    * vector — a failed embedding run): the guard keeps ANSI mode from
+    * raising DIVIDE_BY_ZERO and makes malformed vectors sort behind every
+    * real score instead of crashing the query (DirtyEmbeddingsSpec).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d =!= 0.0, dot(a, b) / d)
+  }
 
   /** Embedding dimensionality of the `embeddings` table. */
   val Dims = 64

@@ -739,7 +739,9 @@ object DedupOps {
             col("nrm").as("ni")), "i")
           .join(normed.select(col("vec_id").as("j"), col("v").as("vj"),
             col("nrm").as("nj")), "j")
-          .withColumn("sim", dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
+          .withColumn("sim",
+            when(col("ni") * col("nj") =!= 0.0,
+              dot(col("vi"), col("vj")) / (col("ni") * col("nj"))))
           .filter(col("sim") >= 0.35)
           .select(col("i"), col("j"), col("sim"))
       },

@@ -40,7 +40,7 @@ object SimilarityOps {
           .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
         val scored = c.crossJoin(broadcast(q))
           .withColumn("sim",
-            dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+            graft.functions.VectorFns.cosine(col("qv"), col("cv")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -93,7 +93,7 @@ object SimilarityOps {
           .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
             "neighbor_id")
           .withColumn("sim",
-            dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+            graft.functions.VectorFns.cosine(col("qv"), col("cv")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
@@ -158,7 +158,7 @@ object SimilarityOps {
           .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
             "neighbor_id")
           .withColumn("sim",
-            dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+            graft.functions.VectorFns.cosine(col("qv"), col("cv")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
@@ -342,7 +342,7 @@ object SimilarityOps {
           .crossJoin(broadcast(base.filter(col("vec_id") < 5)
             .select(col("vec_id").as("query_id"), col("v").as("qv"))))
           .withColumn("sim",
-            dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+            graft.functions.VectorFns.cosine(col("qv"), col("cv")))
           .withColumn("rank_vec", row_number().over(
             w.orderBy(col("sim").desc, col("doc_id").asc)))
           .filter(col("rank_vec") <= 20)

@@ -1,0 +1,66 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Robustness of the embeddings-table operators on a DIRTY index — null
+  * vectors, empty vectors, and a wrong-dimension vector. The contract:
+  * malformed vectors never crash a query and never outrank a well-formed
+  * match — their similarities go null (vec_dot's null-on-length-mismatch)
+  * and sort behind every real score.
+  *
+  * q38's shape: vec_id < 5 are queries, >= 5 are index candidates.
+  */
+class DirtyEmbeddingsSpec extends SparkSpec {
+
+  private val dim = 64
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(dim)(i => ((seed * 31 + i * 7) % 13 - 6) / 6.0f)
+
+  private lazy val dirtyDir: String = {
+    val dir = Files.createTempDirectory("graft_dirty_emb_").toString
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (0L, vec(1)), (1L, vec(2)), (2L, vec(3)),               // queries
+      (3L, null.asInstanceOf[Array[Float]]),                  // null query
+      (4L, Array.empty[Float]),                               // empty query
+      (5L, vec(2)),                                           // dup of q1
+      (6L, Array.tabulate(16)(_.toFloat)),                    // wrong dim
+      (7L, Array.empty[Float]),                               // empty cand
+      (8L, vec(8)), (9L, vec(9)))                             // well-formed
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("kNN: malformed candidates sort behind every well-formed match") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q38_knn_bruteforce")(spark, dirtyDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .as[(Long, Int, Long, Option[Double])].collect()
+    // the planted duplicate is query 1's top hit with cosine ~1
+    val q1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(q1.head._3 == 5L, q1.mkString("\n"))
+    assert(q1.head._4.exists(s => math.abs(s - 1.0) < 1e-9))
+    // wrong-dim candidate 6 ranks behind all well-formed candidates for
+    // every well-formed query (null sim sorts last under desc)
+    for (q <- Seq(0L, 1L, 2L)) {
+      val perQ = rows.filter(_._1 == q).sortBy(_._2)
+      val firstNull = perQ.indexWhere(_._4.isEmpty)
+      val lastReal = perQ.lastIndexWhere(_._4.isDefined)
+      assert(firstNull == -1 || firstNull > lastReal,
+        s"malformed vector outranked a real score for query $q:\n" +
+          perQ.mkString("\n"))
+    }
+    // the null-vector query emits only null sims — visible, not invented
+    assert(rows.filter(_._1 == 3L).forall(_._4.isEmpty))
+  }
+
+  test("int8 quantization profiles malformed vectors without crashing") {
+    val out = graft.SparkEntry.queries("q77_int8_quantize")(spark, dirtyDir)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet.intersect(Set(0L, 1L, 2L, 8L, 9L)).size == 5)
+  }
+}

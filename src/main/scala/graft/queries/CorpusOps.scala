@@ -691,6 +691,73 @@ object CorpusOps {
         "blocking, hashes only through the shuffle " +
         "(pipeline ops brief: subsumption dedup)."),
 
+    // --------------------------------- count-min sketch heavy hitters
+    Q(
+      "q127_cms_heavy_hitters",
+      (s, dir) => {
+        // Count-min sketch (Cormode & Muthukrishnan 2005): 3 hash rows x
+        // 256 buckets of token-instance counts — the fixed-size MERGEABLE
+        // frequency summary (CMS tables from any corpus shards add
+        // cell-wise), used at scale for heavy-hitter / stopword /
+        // boilerplate detection without a vocabulary-sized shuffle. The
+        // sketch here is an aggregated 768-row frame (broadcast-sized by
+        // construction, independent of corpus size); estimates join the
+        // exact top-20 so the output exhibits the CMS guarantee
+        // est >= exact, which the oracle hash-check then proves holds
+        // identically in both engines.
+        val words = docs(s, dir)
+          .select(explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+          .filter(col("w") =!= "")
+        val rowsExpanded = words
+          .select(col("w"), explode(array((0 until 3).map(lit): _*)).as("r"))
+          .withColumn("b",
+            pmod(hash32(concat(col("r").cast("string"), lit(":"), col("w"))),
+              lit(256)))
+        val cms = rowsExpanded.groupBy(col("r"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        val exact = words.groupBy(col("w")).agg(count(lit(1)).as("exact_ct"))
+          .orderBy(col("exact_ct").desc, col("w")).limit(20)
+        val probes = exact
+          .select(col("w"), col("exact_ct"),
+            explode(array((0 until 3).map(lit): _*)).as("r"))
+          .withColumn("b",
+            pmod(hash32(concat(col("r").cast("string"), lit(":"), col("w"))),
+              lit(256)))
+        probes.join(broadcast(cms), Seq("r", "b"))
+          .groupBy(col("w"), col("exact_ct"))
+          .agg(min(col("c")).as("cms_est"))
+          .select(col("w"), col("exact_ct"), col("cms_est"),
+            (col("cms_est") - col("exact_ct")).as("overcount"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^\pL\p{Nd}]+')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        rw AS (
+          SELECT w, r,
+                 CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))
+                      AS BIGINT) % 256 AS b
+          FROM w, UNNEST(generate_series(0, 2)) AS s(r)),
+        cms AS (SELECT r, b, COUNT(*) AS c FROM rw GROUP BY r, b),
+        exact AS (
+          SELECT w, COUNT(*) AS exact_ct FROM w GROUP BY w
+          ORDER BY exact_ct DESC, w LIMIT 20),
+        probes AS (
+          SELECT e.w, e.exact_ct, s.r,
+                 CAST(('0x' || substr(md5(CAST(s.r AS VARCHAR) || ':' || e.w), 1, 8))
+                      AS BIGINT) % 256 AS b
+          FROM exact e, UNNEST(generate_series(0, 2)) AS s(r))
+        SELECT p.w, p.exact_ct, CAST(MIN(cms.c) AS BIGINT) AS cms_est,
+               CAST(MIN(cms.c) - p.exact_ct AS BIGINT) AS overcount
+        FROM probes p JOIN cms ON cms.r = p.r AND cms.b = p.b
+        GROUP BY p.w, p.exact_ct"""),
+      "Count-min sketch heavy hitters: 3x256 mergeable instance-count " +
+        "sketch, min-over-rows estimates for the exact top-20 with the " +
+        "CMS overcount guarantee visible cross-engine " +
+        "(pipeline ops brief: sketches)."),
+
     // ------------------------------------- DSIR importance resampling
     Q(
       "q121_dsir_importance",

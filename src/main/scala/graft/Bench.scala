@@ -45,16 +45,18 @@ object Bench {
   def measure(
       queries: Seq[(String, () => Unit)],
       repeats: Int = Repeats): (Vector[(String, Double)], Map[String, String]) = {
-    val samples = collection.mutable.Map.empty[String, Vector[Double]]
+    // samples keyed by POSITION, not name: two input entries sharing a
+    // name stay independent timings instead of silently pooling samples
+    val samples = collection.mutable.Map.empty[Int, Vector[Double]]
     val errors = collection.mutable.Map.empty[String, String]
     val passes = if (repeats >= 2) Seq(repeats - 1, 1) else Seq(repeats)
     passes.foreach { n =>
-      queries.foreach { case (name, once) =>
+      queries.zipWithIndex.foreach { case ((name, once), idx) =>
         (1 to n).foreach { _ =>
           val t0 = System.nanoTime()
           try {
             once()
-            samples(name) = samples.getOrElse(name, Vector.empty) :+
+            samples(idx) = samples.getOrElse(idx, Vector.empty) :+
               (System.nanoTime() - t0) / 1e9
           } catch {
             case e: Throwable =>
@@ -63,8 +65,8 @@ object Bench {
         }
       }
     }
-    val timings = queries.flatMap { case (name, _) =>
-      samples.get(name).flatMap(_.minOption).map(name -> _)
+    val timings = queries.zipWithIndex.flatMap { case ((name, _), idx) =>
+      samples.get(idx).flatMap(_.minOption).map(name -> _)
     }.toVector
     (timings, errors.toMap)
   }

@@ -11,9 +11,14 @@ import org.apache.spark.sql.SparkSession
   * "df-cap bounds pairwork" claim predicts ~1.0 on a Heaps-law corpus.
   *
   * The FIRST dir is warmup-only (JIT + codegen) and is not reported:
-  * Staging keys on (session, dir), so every reported dir's cold run pays
-  * its own staging build with the JVM already warm. Pass a duplicate of
+  * Staging keys on (session, dir), so a reported dir's first-touch run
+  * pays the staging build with the JVM already warm. Pass a duplicate of
   * the baseline corpus (gen_scale_corpus.py writes x1warm) as dir1.
+  * NOTE on "cold": within one dir, queries run in the given order, so a
+  * query SHARING a staged frame with an earlier query (q36 after q35 →
+  * grams3; q119/q125 after q96 → grams10) measures the marginal cost on
+  * top of the already-staged frame — deliberate (the marginal is what a
+  * pipeline pays), but only the FIRST stager's cold includes the build.
   *
   * Usage: runMain graft.ScalingBench <warmupDir> <dir1> <dir2> [dirs...]
   *        [-q=q35_ngram_jaccard,q63_...]  (default: the dedup family)
@@ -34,6 +39,12 @@ object ScalingBench {
     if (dirs.length < 3) {
       System.err.println(
         "usage: runMain graft.ScalingBench <warmupDir> <dir1> <dir2> [dirs...] [-q=a,b,c]")
+      sys.exit(2)
+    }
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"no such quer${if (unknown.size == 1) "y" else "ies"}: " +
+        unknown.mkString(", "))
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -57,13 +68,14 @@ object ScalingBench {
     // are never reused because Staging keys on the dir string.
     names.foreach(n => try run(n, dirs.head) catch { case _: Throwable => () })
 
-    val results = for (dir <- dirs.tail; name <- names) yield {
+    // rows print as they complete, so a mid-run failure (or ctrl-C) keeps
+    // every timing already measured
+    println("query,dir,cold_sec,steady_sec")
+    for (dir <- dirs.tail; name <- names) {
       val cold = run(name, dir) // JVM warm; this dir's staging cold
       val steady = (1 to 3).map(_ => run(name, dir)).min
-      (name, dir, cold, steady)
+      println(f"$name,$dir,$cold%.3f,$steady%.3f")
     }
-    println("query,dir,cold_sec,steady_sec")
-    results.foreach { case (n, d, c, s) => println(f"$n,$d,$c%.3f,$s%.3f") }
     spark.stop()
   }
 }

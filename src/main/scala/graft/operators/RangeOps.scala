@@ -113,10 +113,14 @@ object RangeOps {
         val o = acc; acc += c; (g, rb, o, tot)
       }
     }
-    val offDf = broadcast(offRows.toDF(partCol, "__rb", "__off", "__tot"))
+    val offDf = broadcast(offRows.toDF("__g", "__rb2", "__off", "__tot"))
     val wRank = Window.partitionBy(col(partCol), col("__rb")).orderBy(col(valueCol))
     val wLe = wRank.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    b.join(offDf, Seq(partCol, "__rb"))
+    // null-SAFE group equality: a null partition key is its own group (the
+    // Window.partitionBy semantics this operator replaces — a plain
+    // column-equality join silently dropped null-group rows)
+    b.join(offDf, col(partCol) <=> col("__g") && col("__rb") === col("__rb2"))
+      .drop("__g", "__rb2")
       .withColumn("__grank", col("__off") + rank().over(wRank))
       .withColumn("__nle", col("__off") + count(lit(1)).over(wLe))
       .withColumn(pctCol,

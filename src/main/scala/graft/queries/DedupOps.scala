@@ -56,6 +56,53 @@ object DedupOps {
     g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS ng
           FROM tk, UNNEST(generate_series(1, len(t) - 2)) AS s(i))"""
 
+  /** df-capped blocked Jaccard pairs `(i, j, jaccard >= threshold)` —
+    * q35's pipeline, SHARED with q124's truth side so the recall audit can
+    * never drift to a different blocking scheme than the operator it
+    * audits. Shape notes:
+    * - 8-byte shingle hashes through the shuffle, not ~40-char strings —
+    *   set cardinalities (and so Jaccard) unchanged, ~5x less volume.
+    * - df-cap FIRST (windowed count, no collection), so a hot shingle can
+    *   never materialize an unbounded list or df² pairs.
+    * - Per-doc capped sizes as a SEPARATE aggregate joined onto the pair
+    *   set at the end. History: when the gram explode was recomputed per
+    *   reference, carrying sz through the pair path as a second window was
+    *   1.5x faster; with the gram frame session-staged the trade flipped
+    *   (round 6, min-of-5 at sf0.1: 1.49 -> 1.12 s) — the corpus-sized
+    *   path shuffles once (by ng; the window's exchange is REUSED by the
+    *   groupBy), the doc_id shuffle carries only (doc_id, sz), and the
+    *   pair set it joins is near-dup-sized.
+    * - In-group pair generation (bounded by the cap) as one expression —
+    *   measured ~25% faster than the equivalent self-join.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val g = ngramSet(s, dir)
+      .select(col("doc_id"), col("ng64").as("ng"))
+    val wN = Window.partitionBy(col("ng"))
+    val capped = g
+      .withColumn("df", count(lit(1)).over(wN))
+      .filter(col("df") <= 100)
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    capped
+      .groupBy("ng")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, ix) -> " +
+          "filter(transform(ids, (y, iy) -> " +
+          "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
+        .as("p"))
+      .select(col("p.i"), col("p.j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("si") + col("sj") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
   /** The (doc_id, band, bkey) LSH band assignments behind q36/q57: 8
     * permutation mins per doc folded into 4 bands of 2. Two equivalent
     * renditions exist (output proven identical by StreamingLshSpec):
@@ -252,51 +299,7 @@ object DedupOps {
     // ------------------------------------------------- n-gram Jaccard join
     Q(
       "q35_ngram_jaccard",
-      (s, dir) => {
-        // shuffle 8-byte shingle hashes, not ~40-char strings — set
-        // cardinalities (and so Jaccard) are unchanged; at corpus scale
-        // this divides the blocking join's shuffle volume ~5x
-        val g = ngramSet(s, dir)
-          .select(col("doc_id"), col("ng64").as("ng"))
-        // df-cap FIRST (windowed count, no collection), so a hot shingle
-        // can never materialize an unbounded list or df² pairs.
-        val wN = Window.partitionBy(col("ng"))
-        val capped = g
-          .withColumn("df", count(lit(1)).over(wN))
-          .filter(col("df") <= 100)
-        // Per-doc capped sizes as a SEPARATE aggregate joined onto the
-        // pair set at the end. History: when the gram explode was
-        // recomputed per reference, carrying sz through the pair path as
-        // a second window was 1.5x faster than this aggregate-and-rejoin
-        // form. With the gram frame now session-staged the trade flipped
-        // (round 6, min-of-5 at sf0.1: 1.49 -> 1.12 s): the window-by-
-        // doc_id form shuffled the full gram set twice more (by doc_id
-        // and back by ng), while here the corpus-sized path shuffles once
-        // (by ng — the window's exchange is REUSED by the groupBy below)
-        // and the doc_id shuffle only carries the tiny (doc_id, sz)
-        // aggregate; the pair set it joins is near-dup-sized.
-        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        // pair generation per shingle group (bounded by the cap): collect
-        // the <=100 doc ids and emit ordered pairs as one expression —
-        // measured ~25% faster than the equivalent self-join.
-        capped
-          .groupBy("ng")
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .select(explode(expr(
-            "flatten(transform(ids, (x, ix) -> " +
-              "filter(transform(ids, (y, iy) -> " +
-              "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
-            .as("p"))
-          .select(col("p.i"), col("p.j"))
-          .groupBy(col("i"), col("j"))
-          .agg(count(lit(1)).as("common"))
-          .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
-          .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
-          .withColumn("jaccard",
-            col("common").cast("double") / (col("si") + col("sj") - col("common")))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("i"), col("j"), col("jaccard"))
-      },
+      (s, dir) => jaccardPairs(s, dir, 0.8),
       Some(ngramCte + """,
         capped AS (
           SELECT g.doc_id, g.ng FROM g
@@ -885,34 +888,13 @@ object DedupOps {
       (s, dir) => {
         // Measure, don't guess: how much of the exact Jaccard>=0.5 truth
         // set does the 8-perm/4-band MinHash index actually recall? Truth
-        // comes from the q35 blocked join (the df cap doesn't bind on the
-        // fixtures — max df 25 — so blocking is complete here; at corpus
-        // scale this audit runs on a sample where the same holds);
-        // candidates are the staged q36 band pairs. One row out:
-        // the numbers that justify — or veto — the band/row choice.
-        val g = ngramSet(s, dir)
-          .select(col("doc_id"), col("ng64").as("ng"))
-        val wN = Window.partitionBy(col("ng"))
-        val capped = g
-          .withColumn("df", count(lit(1)).over(wN))
-          .filter(col("df") <= 100)
-        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val truth = capped
-          .groupBy("ng")
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .select(explode(expr(
-            "flatten(transform(ids, (x, ix) -> " +
-              "filter(transform(ids, (y, iy) -> " +
-              "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
-            .as("p"))
-          .select(col("p.i"), col("p.j"))
-          .groupBy(col("i"), col("j"))
-          .agg(count(lit(1)).as("common"))
-          .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
-          .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
-          .filter(col("common").cast("double") /
-            (col("si") + col("sj") - col("common")) >= 0.5)
-          .select(col("i"), col("j"))
+        // is [[jaccardPairs]] — the SAME pipeline as q35, threshold 0.5
+        // (the df cap doesn't bind on the fixtures — max df 25 — so
+        // blocking is complete here; at corpus scale this audit runs on a
+        // sample where the same holds); candidates are the staged q36
+        // band pairs. One row out: the numbers that justify — or veto —
+        // the band/row choice.
+        val truth = jaccardPairs(s, dir, 0.5).select(col("i"), col("j"))
         val cand = minhashPairs(s, dir)
         val marked = truth.join(cand.withColumn("is_cand", lit(1)),
           Seq("i", "j"), "left_outer")

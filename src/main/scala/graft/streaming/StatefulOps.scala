@@ -474,17 +474,34 @@ object StatefulOps {
     import ds.sparkSession.implicits._
     val slackUs = slackMs * 1000L
     ds.groupByKey(_.userId)
-      .flatMapGroupsWithState[Long, LateMark](
+      .flatMapGroupsWithState[(Long, Long), LateMark](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, events: Iterator[Stamped], state: GroupState[Long]) =>
-          var hwm = state.getOption
-          val out = events.toSeq.sortBy(_.eventId).map { e =>
+        (key: Long, events: Iterator[Stamped], state: GroupState[(Long, Long)]) =>
+          // state = (event-time high watermark µs, last processed eventId).
+          // Cross-batch eventId order is ENFORCED, not assumed (the same
+          // contract debounce/scd2 fail fast on): a later micro-batch
+          // delivering a lower eventId would replay a position the batch
+          // q113 accounting processed BEFORE the hwm advanced — the
+          // streamed flag would silently diverge from the batch replay.
+          var hwm = state.getOption.map(_._1)
+          var lastId = state.getOption.map(_._2)
+          val sorted = events.toSeq.sortBy(_.eventId)
+          sorted.headOption.foreach { e =>
+            lastId.filter(_ > e.eventId).foreach { l =>
+              throw new IllegalStateException(
+                s"lateDropFlags: out-of-order arrival for key $key — eventId " +
+                  s"${e.eventId} behind stored last eventId $l; upstream must " +
+                  "deliver same-key events in eventId order across micro-batches")
+            }
+          }
+          val out = sorted.map { e =>
             val us = micros(e.ts)
             val late = if (hwm.exists(h => us < h - slackUs)) 1 else 0
             hwm = Some(hwm.fold(us)(math.max(_, us)))
+            lastId = Some(e.eventId)
             LateMark(e.userId, e.eventId, e.ts, late)
           }
-          hwm.foreach(state.update)
+          for (h <- hwm; l <- lastId) state.update((h, l))
           out.iterator
       }
   }

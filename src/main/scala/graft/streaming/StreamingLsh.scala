@@ -22,9 +22,11 @@ final case class NearDupPair(i: Long, j: Long)
   * to documents whose signatures actually collide (the same set the batch
   * band join materializes) — capped at `maxBucket` members so a
   * degenerate bucket (a giant near-identical cluster that exact dedup
-  * should have collapsed upstream) cannot grow state or emit quadratic
-  * pairs. Pairs for an arriving doc emit against at most `maxBucket`
-  * stored members per band.
+  * should have collapsed upstream) cannot grow state without bound. An
+  * arrival at a FULL bucket still pairs against the stored members (it is
+  * the doc most likely to be a duplicate — detection never goes silent);
+  * it just isn't stored, so per-arrival emission is bounded by
+  * `maxBucket` per band and state by `maxBucket` members per bucket.
   *
   * Emitted pairs may repeat across bands (the batch pipeline `.distinct()`s
   * the same way); consumers dedup downstream — StreamingLshSpec proves the
@@ -61,12 +63,16 @@ object StreamingLsh {
           var members = state.getOption.getOrElse(Nil)
           val out = Seq.newBuilder[NearDupPair]
           hits.toSeq.sortBy(_.docId).foreach { h =>
-            if (!members.contains(h.docId) && members.size < maxBucket) {
+            if (!members.contains(h.docId)) {
+              // ALWAYS pair the arrival against the stored members (≤ cap
+              // of them) — an arrival at a full bucket is the doc MOST
+              // likely to be a duplicate, so the cap must bound state and
+              // per-arrival emission, never silence detection
               members.foreach { m =>
                 out += (if (m < h.docId) NearDupPair(m, h.docId)
                         else NearDupPair(h.docId, m))
               }
-              members = h.docId :: members
+              if (members.size < maxBucket) members = h.docId :: members
             }
           }
           state.update(members)

@@ -513,6 +513,18 @@ class StatefulOpsSpec extends SparkSpec {
     assert(causeMessages(e).exists(_.contains("out-of-order")))
   }
 
+  test("lateDropFlags fails fast when a later batch delivers a lower " +
+    "eventId (the q113-parity contract is enforced like debounce/scd2)") {
+    import spark.implicits._
+    val e = intercept[Throwable] {
+      runStream[Stamped, LateMark](Seq(
+        Seq(Stamped(1L, 5L, ts(100))),
+        Seq(Stamped(1L, 3L, ts(100)))))( // eventId behind stored state
+        ds => StatefulOps.lateDropFlags(ds, 3000L))
+    }
+    assert(causeMessages(e).exists(_.contains("out-of-order")))
+  }
+
   test("lateDropFlags streamed drop counts equal batch q113 on a shared " +
     "out-of-order fixture (3 s and 30 s slacks, per day)") {
     import spark.implicits._

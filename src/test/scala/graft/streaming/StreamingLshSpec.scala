@@ -41,6 +41,27 @@ class StreamingLshSpec extends SparkSpec {
     assert(inRow == batch)
   }
 
+  test("a full bucket still detects arrivals, bounded by the cap") {
+    import spark.implicits._
+    // four docs colliding in one band bucket, cap 2, arriving over two
+    // micro-batches: c and d arrive at a full bucket and must still pair
+    // against the 2 stored members; (c,d) is the accepted miss (neither
+    // was stored), and state never exceeds the cap
+    val hits = Seq(1L, 2L, 3L, 4L).map(id => BandHit(0, "k", id))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[BandHit]
+    val query = StreamingLsh.pairs(input.toDS(), maxBucket = 2)
+      .writeStream.format("memory").queryName("lsh_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(hits.take(2)); query.processAllAvailable()
+      input.addData(hits.drop(2)); query.processAllAvailable()
+    } finally query.stop()
+    val pairs = spark.table("lsh_cap").as[NearDupPair]
+      .collect().map(p => (p.i, p.j)).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+  }
+
   test("streamed pair set equals batch q36 across micro-batches") {
     import spark.implicits._
     val hits = StreamingLsh.bandAssignments(

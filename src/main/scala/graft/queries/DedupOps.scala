@@ -401,10 +401,6 @@ object DedupOps {
         // doc_id) + one sum by destination — linear in |E|, the plan a
         // Pregel round compiles to. Fixed 3 iterations keeps the plan
         // static; convergence-to-fixpoint would loop the same two ops.
-        val pairs = minhashPairs(s, dir)
-        val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-          .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         // Iterate over EDGE NODES only: contributions flow along edges, so
         // a node outside the pair graph holds the damped default
         // 150000 + 850*0 after every round and never influences anyone —
@@ -413,24 +409,44 @@ object DedupOps {
         // at 100 TB the three rounds shuffle the (small) rank frame, and
         // the corpus is scanned exactly once for the final attach instead
         // of once per round.
-        val nodesE = edges.select(col("src").as("doc_id")).distinct()
-        var r = nodesE.withColumn("pr", lit(1000000L))
+        //
+        // Degree is folded into the staged frames ONCE, not re-joined per
+        // round (the r06 regression: deg was a groupBy recomputed inside
+        // every unrolled iteration — 4 extra shuffles per run). pr_nodes
+        // (doc_id, deg) doubles as the node list — every edge endpoint has
+        // deg ≥ 1 — and pr_edges carries (src, dst, deg) so a round is
+        // exactly one join + one aggregate over persisted leaves, the
+        // Pregel-round plan. Both frames are near-dup-graph-sized.
+        val prNodes = graft.Staging.stage(s, dir, "pr_nodes") {
+          val pairs = minhashPairs(s, dir)
+          pairs.select(col("i").as("src"), col("j").as("dst"))
+            .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+            .groupBy(col("src").as("doc_id"))
+            .agg(count(lit(1)).as("deg"))
+        }
+        val prEdges = graft.Staging.stage(s, dir, "pr_edges") {
+          val pairs = minhashPairs(s, dir)
+          pairs.select(col("i").as("src"), col("j").as("dst"))
+            .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+            .join(prNodes.select(col("doc_id").as("src"), col("deg")), "src")
+        }
+        var r = prNodes.select(col("doc_id"), lit(1000000L).as("pr"))
         for (_ <- 1 to 3) {
-          val contrib = edges
+          val contrib = prEdges
             .join(r.withColumnRenamed("doc_id", "src"), "src")
-            .join(deg, "src")
             .select(col("dst"), expr("pr div deg").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-          r = nodesE
+          r = prNodes.select("doc_id")
             .join(contrib.withColumnRenamed("dst", "doc_id"),
               Seq("doc_id"), "left_outer")
             .select(col("doc_id"),
               expr("150000L + 850 * coalesce(in_sum, 0L) div 1000").as("pr"))
         }
+        // Fold the deg attach into the (small) rank frame before the single
+        // corpus-sized left join — one scan of documents, not two joins.
+        val rd = prNodes.join(r, "doc_id")
         docs(s, dir).select(col("doc_id"))
-          .join(r, Seq("doc_id"), "left_outer")
-          .join(deg.withColumnRenamed("src", "doc_id"),
-            Seq("doc_id"), "left_outer")
+          .join(rd, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
             coalesce(col("pr"), lit(150000L)).as("pr"),
             coalesce(col("deg"), lit(0L)).as("deg"))

@@ -131,6 +131,66 @@ object RangeOps {
       .drop("__rb", "__off", "__tot", "__grank", "__nle")
   }
 
+  /** Exact per-group `row_number()` + group total over numeric `valueCol`
+    * without a fact-sized single-task sort — the replacement for the
+    * few-groups `row_number() OVER (PARTITION BY g ORDER BY v)` shape,
+    * where each of a handful of partitions funnels a fact-sized sort
+    * through one task. Two-pass like [[relativeRanks]]: value-range
+    * buckets spread every group over all buckets, per-(group, bucket)
+    * counts (≤ |groups| × nBuckets rows) prefix-sum into offsets, and the
+    * (group, bucket)-partitioned local row number + offset is the exact
+    * in-group global row number. `tieCols` break ties within `valueCol`
+    * (pass the columns that make the order total — or none when
+    * downstream only reads `valueCol` at a picked rank, where any tie
+    * order yields the same value). Returns df + `rankCol` (1-based,
+    * long) + `totCol` (group size, long).
+    */
+  def groupedRowNumber(df: DataFrame, partCol: String, valueCol: String,
+      tieCols: Seq[String], rankCol: String, totCol: String,
+      nBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = withRangeBucket(df, valueCol, "__rb", cutpoints(df, valueCol, nBuckets))
+    val cnt = b.groupBy(col(partCol), col("__rb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offRows = cnt.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val tot = rows.map(_._3).sum
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, rb, c) =>
+        val o = acc; acc += c; (g, rb, o, tot)
+      }
+    }
+    val offDf = broadcast(offRows.toDF("__g", "__rb2", "__off", "__tot"))
+    val w = Window.partitionBy(col(partCol), col("__rb"))
+      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+    // null-SAFE group equality, as in relativeRanks
+    b.join(offDf, col(partCol) <=> col("__g") && col("__rb") === col("__rb2"))
+      .drop("__g", "__rb2")
+      .withColumn(rankCol, col("__off") + row_number().over(w))
+      .withColumn(totCol, col("__tot"))
+      .drop("__rb", "__off", "__tot")
+  }
+
+  /** Exact per-group rank arithmetic over a LOW-CARDINALITY value column
+    * without touching fact rows twice: one fact pass collapses to
+    * (group, value, cnt) — bounded by |groups| × |distinct values|, not
+    * by row count — then `cum` (rows with value ≤ this one) and `n`
+    * (group total) come from windows over that tiny rollup. The value at
+    * in-group rank k is the smallest value with cum ≥ k, so rank-picked
+    * medians/percentiles reduce to `min(when(cum >= target, value))`.
+    * Ties need no tiebreak: all rows of one value are one rollup row.
+    * Use [[groupedRowNumber]] when the value column is high-cardinality
+    * (a rollup would not shrink the data).
+    */
+  def groupedValueCounts(df: DataFrame, partCol: String, valueCol: String): DataFrame = {
+    val cnts = df.groupBy(col(partCol), col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(partCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(partCol))))
+  }
+
   /** Exact `ntile(n)` bucket from a global row number and total count —
     * the standard SQL arithmetic (first `total % n` tiles get the extra
     * row), applied to [[globalRowNumber]]'s output instead of a

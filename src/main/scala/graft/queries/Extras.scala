@@ -532,18 +532,21 @@ object Extras {
     Q(
       "q83_exact_percentiles",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         // Discrete (picked, never interpolated) percentiles: the element at
-        // rank ceil(p*n) under a per-group sort. Picking an actual data
+        // rank ceil(p*n) under a per-group order. Picking an actual data
         // value sidesteps interpolation-formula drift between engines —
-        // both sides run the identical rank arithmetic. One sort per group
-        // key; at 100 TB the same profile comes from approx_percentile
-        // (documented switch), this is its exactness baseline.
-        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-        Tables(s, dir, "events")
-          .select(col("event_type"), col("value"))
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        // both sides run the identical rank arithmetic. The rank comes
+        // from RangeOps.groupedRowNumber (two-pass value-range buckets),
+        // NOT a per-group window sort: with a handful of event types a
+        // `partition by event_type order by value` window funnels a
+        // fact-sized sort through one task per group — fine at sf0.01,
+        // fatal at corpus scale. No tiebreak needed: only `value` at the
+        // picked rank is read, and any order among equal values yields
+        // the same value. approx_percentile remains the documented 100 TB
+        // switch; this is its exactness baseline.
+        graft.operators.RangeOps.groupedRowNumber(
+            Tables(s, dir, "events").select(col("event_type"), col("value")),
+            "event_type", "value", Nil, "rk", "n")
           .groupBy("event_type")
           .agg(max(col("n")).as("n_events"),
             max(when(col("rk") === ceil(col("n") * 0.5), col("value"))).as("p50"),
@@ -1471,14 +1474,18 @@ object Extras {
     Q(
       "q116_ship_latency",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         // Order→ship latency distribution per order priority: rank-picked
-        // median (q83 discipline) + late rate as integer ppm. One
-        // fact-fact join on the order key, then priority-sized aggregates;
-        // the median window partitions by priority (bounded groups of the
-        // rollup, not the fact table — rank runs over per-priority day
-        // values which ARE fact-sized, so the shuffle is the same one the
-        // join already pays, keyed by priority).
+        // median (q83 discipline) + late rate as integer ppm. A
+        // `partition by priority` window would sort ~1/5 of ALL lineitems
+        // in one task per priority (the sort, not the shuffle, is the
+        // single-task killer). But `days` is a bounded small int
+        // (order→ship spans ≤ ~4 months), so the scale-right plan is
+        // RangeOps.groupedValueCounts: ONE fact pass collapses to a
+        // (priority, days) count rollup — ~600 rows at ANY corpus scale —
+        // and the median is the smallest day whose cumulative count
+        // reaches rank (n+1) div 2. The l_orderkey tiebreak of the
+        // row_number form is unnecessary: every row of one day is one
+        // rollup row, and the picked value is the day itself.
         val lat = Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
           .join(Tables(s, dir, "orders")
@@ -1486,22 +1493,16 @@ object Extras {
               to_date(col("o_orderdate")).as("od")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_orderpriority").as("priority"),
-            datediff(col("sd"), col("od")).as("days"),
-            col("l_orderkey"))
-        val w = Window.partitionBy(col("priority"))
-          .orderBy(col("days"), col("l_orderkey"))
-        lat
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy(col("priority"))))
+            datediff(col("sd"), col("od")).as("days"))
+        graft.operators.RangeOps.groupedValueCounts(lat, "priority", "days")
           .groupBy("priority")
           .agg(first(col("n")).as("n_lines"),
             min(col("days")).as("min_days"),
             max(col("days")).as("max_days"),
-            max(when(col("rn") === expr("(n + 1) div 2"), col("days")))
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("days")))
               .as("median_days"),
-            expr("sum(case when days > 90 then 1 else 0 end) " +
-              "* 1000000L div count(1)").as("late90_ppm"))
+            expr("sum(case when days > 90 then cnt else 0 end) " +
+              "* 1000000L div first(n)").as("late90_ppm"))
       },
       Some("""
         WITH lat AS (

@@ -95,6 +95,54 @@ class RangeOpsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("groupedRowNumber equals per-group row_number on a 90%-one-group " +
+    "skew fixture with a null group and heavy ties") {
+    import spark.implicits._
+    // same skew shape as the relativeRanks proof: one priority holds 90%
+    // of rows, a NULL group rides along, ties broken by id so both sides
+    // run the identical total order
+    val df = (1 to 2000).map { i =>
+      val g = if (i % 100 == 0) null
+        else if (i % 10 == 0) s"p${i % 4}" else "hot"
+      (i.toLong, g, (i % 37).toLong)
+    }.toDF("id", "g", "v")
+    val got = RangeOps.groupedRowNumber(df, "g", "v", Seq("id"), "rn", "n", 8)
+      .select("id", "rn", "n").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val exact = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select("id", "rn", "n").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exact)
+  }
+
+  test("groupedValueCounts rank-picked median equals the row_number " +
+    "median on a skewed low-cardinality fixture") {
+    import spark.implicits._
+    // one group holds 90% of rows; values are low-cardinality ints with
+    // heavy ties (the shape the rollup form is for); null group included
+    val df = (1 to 2000).map { i =>
+      val g = if (i % 100 == 0) null else if (i % 10 == 0) s"p${i % 4}" else "hot"
+      (i.toLong, g, i % 23)
+    }.toDF("id", "g", "v")
+    val got = RangeOps.groupedValueCounts(df, "g", "v")
+      .groupBy("g")
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("med"),
+        first(col("n")).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val exact = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy("g")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("med"),
+        first(col("n")).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == exact)
+  }
+
   test("relativeRanks single-row group yields pct_rank 0, cume 1") {
     import spark.implicits._
     val df = Seq((1L, "solo", 5L), (2L, "en", 1L), (3L, "en", 2L))

@@ -7,24 +7,43 @@ import org.apache.spark.sql.SparkSession
   * sequentially in ONE session, which reproduces Bench's shared-session
   * conditions: `BenchOne q100_semantic_dedup q101_grouping_sets` answers
   * "does q100 contaminate q101's samples?".
-  * Usage: runMain graft.BenchOne <queryName>... [sfDir] [repeats]
+  * Usage: runMain graft.BenchOne <queryName>... [-d sfDir] [-n repeats]
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    val usage = "usage: runMain graft.BenchOne <queryName>... [-d sfDir] [-n repeats]"
     if (args.isEmpty) {
-      System.err.println("usage: runMain graft.BenchOne <queryName>... [sfDir] [repeats]")
+      System.err.println(usage)
       sys.exit(2)
+    }
+    // explicit flags, not classify-by-shape: a misspelled query name must
+    // be an error, never silently consumed as a parameter
+    var sfDir = "/root/testdata/sf0.1"
+    var repeats = 3
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-d" if i + 1 < args.length => sfDir = args(i + 1); i += 2
+        case "-n" if i + 1 < args.length =>
+          repeats = args(i + 1).toIntOption.getOrElse {
+            System.err.println(s"-n needs an integer, got: ${args(i + 1)}\n$usage")
+            sys.exit(2)
+          }
+          i += 2
+        case "-d" | "-n" =>
+          System.err.println(s"${args(i)} needs a value\n$usage"); sys.exit(2)
+        case n => names += n; i += 1
+      }
     }
     val known = SparkEntry.queries.keySet
-    val names = args.filter(known).toSeq
-    val rest = args.filterNot(known)
-    val badNames = rest.filterNot(a => a.contains("/") || a.forall(_.isDigit))
-    if (names.isEmpty || badNames.nonEmpty) {
-      System.err.println(s"no such quer${if (names.isEmpty) "ies: " + args.mkString(", ") else "y: " + badNames.mkString(", ")}")
+    val bad = names.filterNot(known)
+    if (names.isEmpty || bad.nonEmpty) {
+      System.err.println(
+        if (names.isEmpty) usage
+        else s"no such quer${if (bad.size > 1) "ies" else "y"}: ${bad.mkString(", ")}")
       sys.exit(2)
     }
-    val sfDir = rest.find(_.contains("/")).getOrElse("/root/testdata/sf0.1")
-    val repeats = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -797,10 +797,16 @@ object CorpusOps {
           .groupBy("doc_id")
           .agg(sum(col("c") * col("p_ppm")).as("sp"),
             sum(col("c") * col("q_ppm")).as("sq"))
+          // sq = 0 is reachable at large-corpus scale (every bucket the
+          // doc touches holding a sub-ppm raw probability) and would be
+          // an ANSI divide-by-zero: such a doc is infinitely
+          // target-like — report null score, selected = 1
           .select(col("doc_id"),
-            expr("sp * 1000000L div sq").as("score_ppm"))
-          .withColumn("selected",
-            (col("score_ppm") >= 1000000L).cast("int"))
+            when(col("sq") === 0, lit(null).cast("long"))
+              .otherwise(expr("sp * 1000000L div sq")).as("score_ppm"),
+            when(col("sq") === 0, lit(1))
+              .otherwise((expr("sp * 1000000L div sq") >= 1000000L).cast("int"))
+              .as("selected"))
       },
       Some("""
         WITH w AS (
@@ -827,8 +833,11 @@ object CorpusOps {
                       CAST(SUM(c * p_ppm) AS BIGINT) AS sp,
                       CAST(SUM(c * q_ppm) AS BIGINT) AS sq
                FROM db JOIN m USING (b) GROUP BY doc_id)
-        SELECT doc_id, sp * 1000000 // sq AS score_ppm,
-               CAST(sp * 1000000 // sq >= 1000000 AS INT) AS selected
+        SELECT doc_id,
+               CASE WHEN sq = 0 THEN NULL
+                    ELSE sp * 1000000 // sq END AS score_ppm,
+               CASE WHEN sq = 0 THEN 1
+                    ELSE CAST(sp * 1000000 // sq >= 1000000 AS INT) END AS selected
         FROM sc"""),
       "DSIR-style importance resampling (Xie et al. 2023): hashed-unigram " +
         "bucket models for target vs raw pool, integer ppm probability-" +

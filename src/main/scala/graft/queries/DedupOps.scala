@@ -918,8 +918,13 @@ object DedupOps {
           .agg(count(lit(1)).as("n_truth"),
             sum(coalesce(col("is_cand"), lit(0))).cast("long").as("n_hit"))
           .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          // an empty truth set (clean corpus, nothing at threshold 0.5)
+          // must report recall 1000000 — vacuously perfect — not crash
+          // the audit with an ANSI divide-by-zero
           .select(col("n_truth"), col("n_cand"), col("n_hit"),
-            expr("n_hit * 1000000L div n_truth").as("recall_ppm"))
+            when(col("n_truth") === 0, lit(1000000L))
+              .otherwise(expr("n_hit * 1000000L div n_truth"))
+              .as("recall_ppm"))
       },
       Some(minhashPairsCte + """,
         cappedr AS (
@@ -942,7 +947,8 @@ object DedupOps {
                 ON truth.i = mh.i AND truth.j = mh.j),
         c AS (SELECT COUNT(*) AS n_cand FROM mh_pairs)
         SELECT t.n_truth, c.n_cand, t.n_hit,
-               t.n_hit * 1000000 // t.n_truth AS recall_ppm
+               CASE WHEN t.n_truth = 0 THEN 1000000
+                    ELSE t.n_hit * 1000000 // t.n_truth END AS recall_ppm
         FROM t, c"""),
       "LSH index quality audit: recall of the MinHash band candidates " +
         "against the exact Jaccard>=0.5 truth set — the measurement that " +

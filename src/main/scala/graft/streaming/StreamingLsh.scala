@@ -24,9 +24,14 @@ final case class NearDupPair(i: Long, j: Long)
   * degenerate bucket (a giant near-identical cluster that exact dedup
   * should have collapsed upstream) cannot grow state without bound. An
   * arrival at a FULL bucket still pairs against the stored members (it is
-  * the doc most likely to be a duplicate — detection never goes silent);
-  * it just isn't stored, so per-arrival emission is bounded by
-  * `maxBucket` per band and state by `maxBucket` members per bucket.
+  * the doc most likely to be a duplicate) but is NOT stored — so the
+  * miss class under the cap is exactly pairs among post-cap arrivals:
+  * two docs that both land at an already-full bucket never pair with
+  * each other (unless another band catches them). Streamed ≡ batch-q36
+  * equivalence therefore holds only while no bucket exceeds `maxBucket`;
+  * operators sizing the cap for a real ingest trade that recall loss for
+  * the state bound. Per-arrival emission stays bounded by `maxBucket`
+  * per band and state by `maxBucket` members per bucket.
   *
   * Emitted pairs may repeat across bands (the batch pipeline `.distinct()`s
   * the same way); consumers dedup downstream — StreamingLshSpec proves the

@@ -83,7 +83,8 @@ object Bench {
   private[graft] def render(
       ts: Vector[(String, Double)],
       errMap: Map[String, String],
-      sfDir: String): (String, String) = {
+      sfDir: String,
+      staging: Vector[(String, Double)] = Vector.empty): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     val errs = errMap.toVector.sortBy(_._1)
@@ -100,7 +101,12 @@ object Bench {
     def line(key: String => String, fmt: Double => Any) = {
       val qs = ts.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
       val es = errs.map { case (k, v) => s"\"${esc(key(k))}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"repeats":$Repeats,"sf":"$sfDir"}"""
+      // staged-frame builds are their own line items (full names — the
+      // namespace is small), so per-query numbers are marginal cost and
+      // the one-time build cost is visible instead of riding inside
+      // whichever consumer ran first
+      val st = staging.map { case (k, v) => s"\"${esc(k)}\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging":$st,"errors":$es,"repeats":$Repeats,"sf":"$sfDir"}"""
     }
     (line(shortKey, ms), line(identity, v => v))
   }
@@ -130,8 +136,10 @@ object Bench {
       "q26_log_split", "q57_neardup_cluster", "q36_minhash_band_dedup",
       "q80_format_interop",
       // gram staging tables: q63 builds grams5, q96 grams10 (grams3 is
-      // staged by the q36/q57 warmups above)
-      "q63_decontamination", "q96_repeated_ngram_dedup")
+      // staged by the q36/q57 warmups above); q95 builds the PageRank
+      // pr_nodes/pr_edges frames
+      "q63_decontamination", "q96_repeated_ngram_dedup",
+      "q95_pagerank_neardup")
     queries.filter(q => warmupNames(q._1)).foreach { case (_, fn) =>
       try once(fn) catch { case _: Throwable => () }
     }
@@ -139,7 +147,14 @@ object Bench {
     val (ts, errMap) = measure(
       queries.map { case (name, fn) => name -> (() => once(fn)) })
 
-    val (stdoutLine, fileLine) = render(ts, errMap, sfDir)
+    // every staged frame built anywhere in this run (warmup or a first
+    // consumer), as its own line item; Staging.stage times the build
+    // eagerly so the number is the build itself, not consumer-attributed
+    val staging = Staging.buildTimes.toVector
+      .collect { case ((d, name), secs) if d == sfDir => name -> secs }
+      .sortBy(_._1)
+
+    val (stdoutLine, fileLine) = render(ts, errMap, sfDir, staging)
     println(stdoutLine)
     Files.writeString(Paths.get("BENCH_RESULT.json"), fileLine + "\n")
     spark.stop()

@@ -15,11 +15,28 @@ import org.apache.spark.storage.StorageLevel
   * At cluster scale the same role is played by a written staging table
   * (parquet/Delta); MEMORY_AND_DISK keeps the local harness faithful to
   * that without spilling past executor memory.
+  *
+  * The build is EAGER (persist + count) and timed: staging cost is a
+  * real, attributable line item — [[buildTimes]] reports seconds per
+  * staged frame so the bench can surface it as its own entry instead of
+  * letting it ride inside whichever consumer query happens to run first
+  * (which made that query's cold number order-dependent).
   */
 object Staging {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val times = TrieMap.empty[(String, String), Double]
 
   def stage(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((s, dir, name),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    cache.getOrElseUpdate((s, dir, name), {
+      val t0 = System.nanoTime()
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize the whole cache now, on the builder's clock
+      times((dir, name)) = (System.nanoTime() - t0) / 1e9
+      df
+    })
+
+  /** Seconds spent building each staged frame, keyed by (sfDir, name).
+    * One entry per build — a frame is built at most once per session+dir.
+    */
+  def buildTimes: Map[(String, String), Double] = times.toMap
 }

@@ -137,14 +137,39 @@ object StreamDemo {
     corpusQ.processAllAvailable()
     corpusQ.stop()
 
+    // Fifth vertical: the DWS province window WITH its lateness metric
+    // (DwsTradeStream) — the drop-rate leg the reference's silent 3 s
+    // slack never exposes, emitted as a pipeline output alongside the
+    // windowed aggregate (two sinks, one source).
+    val provOrders = raw.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value".as("amount"))
+    val (provAgg, lateMarks) = DwsTradeStream.provinceOrderWindow(provOrders)
+    val provQ = provAgg.writeStream
+      .format("memory").queryName("dws_province_window")
+      .outputMode("append").start()
+    val lateQ = lateMarks.toDF().writeStream
+      .format("memory").queryName("dws_province_late")
+      .outputMode("append").start()
+    provQ.processAllAvailable(); lateQ.processAllAvailable()
+    provQ.stop(); lateQ.stop()
+    val provRows = spark.table("dws_province_window").count()
+    val (lateSeen, lateDropped) = DwsTradeStream
+      .dropRate(spark.table("dws_province_late"))
+      .agg(sum("n_events"), sum("n_late")).head() match {
+        case r if r.isNullAt(0) => (0L, 0L)
+        case r => (r.getLong(0), r.getLong(1))
+      }
+
     val splitStr = Seq("err", "start", "page", "display", "action")
       .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(",")
     println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
       s"dim_order_rows=$dimRows dim_user_rows=$dimUsers " +
       s"log_split{$splitStr} kw_rows=$kwRows " +
-      s"corpus_rows=$corpusRows corpus_tokens=$corpusTokens")
+      s"corpus_rows=$corpusRows corpus_tokens=$corpusTokens " +
+      s"province_rows=$provRows late_seen=$lateSeen late_dropped=$lateDropped")
     spark.stop()
     if (rows == 0 || dimRows == 0 || kwRows == 0 || corpusRows == 0 ||
-      splitCounts.getOrElse("page", 0L) == 0L) sys.exit(1)
+      splitCounts.getOrElse("page", 0L) == 0L ||
+      provRows == 0 || lateSeen == 0) sys.exit(1)
   }
 }

@@ -28,6 +28,169 @@ object SimilarityOps {
 
   import graft.functions.VectorFns.{dot, norm, bucketArray}
 
+  // ---- IVF-PQ model (q128/q129): 8 subspaces x 8 dims, 16 codewords each.
+  // "Training" is deterministic and oracle-replayable like q46's coarse
+  // centroids: codeword k of subspace m is the m-th 8-dim slice of corpus
+  // vector k — a real build would k-means per subspace; the encode/ADC
+  // mechanics under test are identical either way. The codebook is a
+  // driver-side model (8*16*8 doubles — the broadcast-model shape a FAISS
+  // build ships to scoring nodes), collected once per (session, dir).
+  private val PqM = 8; private val PqDim = 8; private val PqK = 16
+
+  /** (codebook(m)(k) = 8-dim codeword, norms(m)(k) = left-fold <cw,cw>).
+    * Trains on the first 16 WELL-FORMED vectors (null / wrong-dimension
+    * vectors are no training data — DirtyEmbeddingsSpec); on a clean
+    * corpus that is exactly vec_id < 16, the oracle's `cent`. A dirty
+    * corpus with fewer than 16 valid vectors cycles them (never crashes);
+    * an all-dirty corpus degrades to a zero codebook.
+    */
+  private def pqModel(s: SparkSession, dir: String)
+      : (IndexedSeq[IndexedSeq[Seq[Double]]], IndexedSeq[IndexedSeq[Double]]) = {
+    val valid = vecs(s, dir)
+      .filter(col("v").isNotNull &&
+        size(col("v")) === graft.functions.VectorFns.Dims)
+      .orderBy("vec_id").limit(PqK).collect().map(_.getSeq[Double](1))
+    def cw(k: Int): Seq[Double] =
+      if (valid.isEmpty) Seq.fill(graft.functions.VectorFns.Dims)(0.0)
+      else valid(k % valid.length).toSeq
+    val cb = (0 until PqM).map(m =>
+      (0 until PqK).map(k => cw(k).slice(m * PqDim, (m + 1) * PqDim)))
+    // same left-fold order as VecDot / DuckDB list_dot_product(cs, cs)
+    val norms = cb.map(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x)))
+    (cb, norms)
+  }
+
+  /** Adds `code_0..code_7` PQ codes to a frame with vector column `vCol`:
+    * per subspace, argmin_k L2²(slice, codeword) with ties to the smallest
+    * k (array_position returns the FIRST index at the min — the oracle's
+    * ORDER BY dist, k). Pure projection: the encode pass is map-side at
+    * any corpus scale.
+    */
+  private def pqEncode(df: DataFrame, vCol: String,
+      cb: IndexedSeq[IndexedSeq[Seq[Double]]],
+      norms: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    (0 until PqM).foldLeft(df) { (d, m) =>
+      val sub = slice(col(vCol), m * PqDim + 1, PqDim)
+      val dists = array((0 until PqK).map { k =>
+        // l2² = <s,s> - 2<s,cw> + <cw,cw>, every dot a shared left fold —
+        // bit-identical on both engines, so the argmin agrees exactly
+        dot(sub, sub) - lit(2.0) * dot(sub, typedLit(cb(m)(k))) +
+          lit(norms(m)(k))
+      }: _*)
+      d.withColumn(s"__pd$m", dists)
+        .withColumn(s"code_$m",
+          (array_position(col(s"__pd$m"), array_min(col(s"__pd$m"))) - 1)
+            .cast("int"))
+        .drop(s"__pd$m")
+    }
+
+  /** Integer-scaled asymmetric PQ distance of query vector `qCol` against
+    * the `code_*` columns: Σ_m floor(l2²(q_m, codeword) * 1e9). Each term
+    * floors a bit-identical double, so the BIGINT sum is order-free and
+    * hash-exact — no float summation order anywhere.
+    */
+  private def adcDistance(qCol: String,
+      cb: IndexedSeq[IndexedSeq[Seq[Double]]],
+      norms: IndexedSeq[IndexedSeq[Double]]): Column =
+    (0 until PqM).map { m =>
+      val qs = slice(col(qCol), m * PqDim + 1, PqDim)
+      val cw = element_at(typedLit(cb(m)), col(s"code_$m") + 1)
+      val cc = element_at(typedLit(norms(m)), col(s"code_$m") + 1)
+      floor((dot(qs, qs) - lit(2.0) * dot(qs, cw) + cc) * lit(1e9))
+    }.reduce(_ + _)
+
+  /** The IVF-PQ top-5 frame shared by q128 (the ANN itself) and q129 (its
+    * recall audit) — one pipeline, two consumers, the q35/q124 discipline.
+    */
+  private def ivfpqTop5(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns.cosine
+    val (cb, norms) = pqModel(s, dir)
+    val base = vecs(s, dir)
+    val centroids = broadcast(base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cdist").desc, col("cid"))
+      df.crossJoin(centroids)
+        .withColumn("cdist", cosine(col(vCol), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idCol), col(vCol), col("cid"))
+    }
+    // corpus: nearest coarse list + PQ codes (both pure projections after
+    // the broadcast centroid assignment); queries: probe 2 nearest lists
+    val lists = pqEncode(
+      assign(base.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id", "nv", 1),
+      "nv", cb, norms).drop("nv")
+    val probes = assign(base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      "query_id", "qv", 2)
+    // nulls LAST explicitly: a malformed vector's null ADC must sort
+    // behind every scored candidate (Spark asc default is nulls first;
+    // DuckDB's is NULLS LAST — clean data has no nulls either way)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc_nulls_last, col("neighbor_id"))
+    probes.join(lists, "cid")
+      .withColumn("adc", adcDistance("qv", cb, norms))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+
+  /** Oracle CTEs reproducing [[ivfpqTop5]] (DuckDB replays the codebook
+    * from the same first-16 vectors, encodes via the windowed argmin, and
+    * sums the same floored per-subspace terms as exact BIGINTs).
+    */
+  private val ivfpqCte = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        corp AS (SELECT vec_id AS neighbor_id, v AS nv FROM e WHERE vec_id >= 5),
+        qry  AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        la AS (SELECT neighbor_id, nv, cid,
+                      row_number() OVER (PARTITION BY neighbor_id ORDER BY
+                        list_dot_product(nv, cv) /
+                          (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cid) AS rn
+               FROM corp, cent),
+        lists AS (SELECT neighbor_id, nv, cid FROM la WHERE rn <= 1),
+        pa AS (SELECT query_id, qv, cid,
+                      row_number() OVER (PARTITION BY query_id ORDER BY
+                        list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cid) AS rn
+               FROM qry, cent),
+        probes AS (SELECT query_id, qv, cid FROM pa WHERE rn <= 2),
+        cbk AS (SELECT s.m, c.cid AS k,
+                       list_slice(c.cv, s.m * 8 + 1, s.m * 8 + 8) AS cs
+                FROM cent c, UNNEST(generate_series(0, 7)) AS s(m)),
+        enc AS (SELECT neighbor_id, m, k,
+                       row_number() OVER (PARTITION BY neighbor_id, m ORDER BY
+                         list_dot_product(sub, sub) - 2 * list_dot_product(sub, cs)
+                           + list_dot_product(cs, cs) ASC,
+                         k ASC) AS rn
+                FROM (SELECT l.neighbor_id, cbk.m, cbk.k, cbk.cs,
+                             list_slice(l.nv, cbk.m * 8 + 1, cbk.m * 8 + 8) AS sub
+                      FROM lists l, cbk)),
+        codes AS (SELECT neighbor_id, m, k FROM enc WHERE rn = 1),
+        cand AS (SELECT p.query_id, p.qv, l.neighbor_id
+                 FROM probes p JOIN lists l USING (cid)),
+        adc AS (SELECT query_id, neighbor_id,
+                       CAST(SUM(CAST(FLOOR((list_dot_product(qs, qs)
+                             - 2 * list_dot_product(qs, cbk.cs)
+                             + list_dot_product(cbk.cs, cbk.cs)) * 1000000000.0)
+                           AS BIGINT)) AS BIGINT) AS adc
+                FROM (SELECT c.query_id, c.neighbor_id, cd.m, cd.k,
+                             list_slice(c.qv, cd.m * 8 + 1, cd.m * 8 + 8) AS qs
+                      FROM cand c JOIN codes cd USING (neighbor_id)) x
+                JOIN cbk ON cbk.m = x.m AND cbk.k = x.k
+                GROUP BY 1, 2),
+        ranked AS (SELECT query_id, neighbor_id, adc,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id) AS rn
+                   FROM adc)"""
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------ brute-force cosine kNN
     Q(
@@ -524,5 +687,79 @@ object SimilarityOps {
       "SemDeDup-style semantic dedup (Abbas et al. 2023): centroid " +
         "assignment as the blocking key, within-cluster pairwise cosine, " +
         "deterministic drop rule — sub-quadratic semantic dedup " +
-        "(pipeline ops brief)."))
+        "(pipeline ops brief)."),
+
+    // --------------------------------------------------- IVF-PQ ANN
+    Q(
+      "q128_ivfpq_ann",
+      (s, dir) => ivfpqTop5(s, dir),
+      Some(ivfpqCte + """
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adc
+        FROM ranked WHERE rn <= 5"""),
+      "IVF-PQ ANN: coarse inverted lists (q46's IVF) + 8x16 per-subspace " +
+        "product-quantization codebook; candidates scored by integer-" +
+        "scaled asymmetric distance (floored per-subspace L2² terms sum " +
+        "as exact BIGINTs) — the memory-bound rung between q46 IVF and " +
+        "q77 int8: codes are 8 bytes/vector instead of 512 " +
+        "(pipeline ops brief: the billion-vector serving format)."),
+
+    // ------------------------------------------- IVF-PQ recall audit
+    Q(
+      "q129_ivfpq_recall",
+      (s, dir) => {
+        // Measure the index, don't guess (the q124 discipline): recall@5
+        // of the IVF-PQ top-5 against the exact L2 top-5 over the full
+        // corpus. Truth is brute-force — the exactness baseline ANN is
+        // graded against, apples-to-apples with ADC's L2 objective.
+        val base = vecs(s, dir)
+        val qry = broadcast(base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("l2i").asc_nulls_last, col("neighbor_id"))
+        val truth = base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+          .crossJoin(qry)
+          // same integer scaling as ADC so ties break identically
+          .withColumn("l2i", floor((dot(col("qv"), col("qv"))
+            - lit(2.0) * dot(col("qv"), col("nv"))
+            + dot(col("nv"), col("nv"))) * lit(1e9)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val got = ivfpqTop5(s, dir).select(col("query_id"),
+          col("neighbor_id"), lit(1).as("is_hit"))
+        truth.join(got, Seq("query_id", "neighbor_id"), "left_outer")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("is_hit"), lit(0))).cast("long").as("n_hit"))
+          .select(col("n_truth"), col("n_hit"),
+            when(col("n_truth") === 0, lit(1000000L))
+              .otherwise(expr("n_hit * 1000000L div n_truth"))
+              .as("recall_ppm"))
+      },
+      Some(ivfpqCte + """,
+        t AS (SELECT co.neighbor_id, q.query_id,
+                     CAST(FLOOR((list_dot_product(q.qv, q.qv)
+                           - 2 * list_dot_product(q.qv, co.nv)
+                           + list_dot_product(co.nv, co.nv)) * 1000000000.0)
+                         AS BIGINT) AS l2i
+              FROM corp co, qry q),
+        tr AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY l2i ASC, neighbor_id) AS rn
+               FROM t),
+        truth AS (SELECT query_id, neighbor_id FROM tr WHERE rn <= 5),
+        hits AS (SELECT COUNT(*) AS n_truth,
+                        CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM truth LEFT JOIN (SELECT query_id, neighbor_id
+                                       FROM ranked WHERE rn <= 5) r
+                   USING (query_id, neighbor_id))
+        SELECT n_truth, n_hit,
+               CASE WHEN n_truth = 0 THEN 1000000
+                    ELSE n_hit * 1000000 // n_truth END AS recall_ppm
+        FROM hits"""),
+      "IVF-PQ recall audit: recall@5 of the PQ-scored index against the " +
+        "exact L2 top-5 truth set — the measurement that sizes subspaces/" +
+        "codewords/probes before the index ships " +
+        "(pipeline ops brief: measure the index, don't guess)."))
 }

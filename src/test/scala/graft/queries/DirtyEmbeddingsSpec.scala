@@ -63,4 +63,36 @@ class DirtyEmbeddingsSpec extends SparkSpec {
       .collect()
     assert(out.map(_.getLong(0)).toSet.intersect(Set(0L, 1L, 2L, 8L, 9L)).size == 5)
   }
+
+  test("IVF-PQ trains on well-formed vectors only, finds the planted dup " +
+    "at ADC 0, and never crashes on the dirty index") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q128_ivfpq_ann")(spark, dirtyDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .as[(Long, Int, Long, Option[Long])].collect()
+    // vector 5 duplicates query 1 AND is in the (valid-only) codebook, so
+    // its codes reproduce query 1's slices exactly: ADC = 0, rank 1
+    val q1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(q1.nonEmpty && q1.head._3 == 5L, q1.mkString("\n"))
+    assert(q1.head._4.contains(0L), q1.mkString("\n"))
+    // malformed candidates may appear (their ADC goes null) but never
+    // ahead of a well-formed scored candidate
+    for (q <- Seq(0L, 1L, 2L)) {
+      val perQ = rows.filter(_._1 == q).sortBy(_._2)
+      val firstNull = perQ.indexWhere(_._4.isEmpty)
+      val lastReal = perQ.lastIndexWhere(_._4.isDefined)
+      assert(firstNull == -1 || firstNull > lastReal,
+        s"malformed vector outranked a scored one for query $q:\n" +
+          perQ.mkString("\n"))
+    }
+  }
+
+  test("IVF-PQ recall audit runs on the dirty index and reports a ppm " +
+    "in range") {
+    val r = graft.SparkEntry.queries("q129_ivfpq_recall")(spark, dirtyDir)
+      .head()
+    assert(r.getLong(0) > 0) // truth rows exist
+    val ppm = r.getLong(2)
+    assert(ppm >= 0L && ppm <= 1000000L, s"recall_ppm out of range: $ppm")
+  }
 }

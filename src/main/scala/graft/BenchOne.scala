@@ -26,8 +26,8 @@ object BenchOne {
       args(i) match {
         case "-d" if i + 1 < args.length => sfDir = args(i + 1); i += 2
         case "-n" if i + 1 < args.length =>
-          repeats = args(i + 1).toIntOption.getOrElse {
-            System.err.println(s"-n needs an integer, got: ${args(i + 1)}\n$usage")
+          repeats = args(i + 1).toIntOption.filter(_ >= 1).getOrElse {
+            System.err.println(s"-n needs a positive integer, got: ${args(i + 1)}\n$usage")
             sys.exit(2)
           }
           i += 2

@@ -26,14 +26,22 @@ object Staging {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private val times = TrieMap.empty[(String, String), Double]
 
+  // builds are serialized: TrieMap.getOrElseUpdate evaluates the thunk in
+  // every racing caller, and with the build now EAGER a lost race would
+  // fully materialize a second persisted copy with no handle left to
+  // unpersist it (sbt runs test suites in parallel against the shared
+  // session). synchronized is reentrant, so nested stage calls inside a
+  // build (pr_edges → mh_pairs → grams3) still work.
   def stage(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((s, dir, name), {
-      val t0 = System.nanoTime()
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize the whole cache now, on the builder's clock
-      times((dir, name)) = (System.nanoTime() - t0) / 1e9
-      df
-    })
+    synchronized {
+      cache.getOrElseUpdate((s, dir, name), {
+        val t0 = System.nanoTime()
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize the whole cache now, on the builder's clock
+        times((dir, name)) = (System.nanoTime() - t0) / 1e9
+        df
+      })
+    }
 
   /** Seconds spent building each staged frame, keyed by (sfDir, name).
     * One entry per build — a frame is built at most once per session+dir.

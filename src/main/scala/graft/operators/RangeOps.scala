@@ -93,17 +93,16 @@ object RangeOps {
       .drop("__rb")
   }
 
-  /** Exact `percent_rank` / `cume_dist` per `partCol` group (a STRING
-    * column) over numeric `valueCol`, safe under group skew (a group
-    * holding half the corpus still spreads over all value-range buckets).
-    * Offsets live in a broadcast (group, bucket) frame of
-    * |groups| * nBuckets rows.
+  /** Shared first pass of the per-group operators: per-(group, bucket)
+    * exact counts (≤ |groups| × nBuckets rows collected) prefix-summed
+    * into a broadcast offsets frame (__g, __rb2, __off, __tot). `partCol`
+    * must be a STRING column (the driver-side collect reads it with
+    * getString; a numeric group key throws ClassCastException — cast it
+    * first).
     */
-  def relativeRanks(df: DataFrame, partCol: String, valueCol: String,
-      pctCol: String, cumeCol: String, nBuckets: Int = 32): DataFrame = {
-    val spark = df.sparkSession
+  private def groupBucketOffsets(b: DataFrame, partCol: String): DataFrame = {
+    val spark = b.sparkSession
     import spark.implicits._
-    val b = withRangeBucket(df, valueCol, "__rb", cutpoints(df, valueCol, nBuckets))
     val cnt = b.groupBy(col(partCol), col("__rb")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val offRows = cnt.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
@@ -113,7 +112,19 @@ object RangeOps {
         val o = acc; acc += c; (g, rb, o, tot)
       }
     }
-    val offDf = broadcast(offRows.toDF("__g", "__rb2", "__off", "__tot"))
+    broadcast(offRows.toDF("__g", "__rb2", "__off", "__tot"))
+  }
+
+  /** Exact `percent_rank` / `cume_dist` per `partCol` group (a STRING
+    * column) over numeric `valueCol`, safe under group skew (a group
+    * holding half the corpus still spreads over all value-range buckets).
+    * Offsets live in a broadcast (group, bucket) frame of
+    * |groups| * nBuckets rows.
+    */
+  def relativeRanks(df: DataFrame, partCol: String, valueCol: String,
+      pctCol: String, cumeCol: String, nBuckets: Int = 32): DataFrame = {
+    val b = withRangeBucket(df, valueCol, "__rb", cutpoints(df, valueCol, nBuckets))
+    val offDf = groupBucketOffsets(b, partCol)
     val wRank = Window.partitionBy(col(partCol), col("__rb")).orderBy(col(valueCol))
     val wLe = wRank.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     // null-SAFE group equality: a null partition key is its own group (the
@@ -142,25 +153,15 @@ object RangeOps {
     * in-group global row number. `tieCols` break ties within `valueCol`
     * (pass the columns that make the order total — or none when
     * downstream only reads `valueCol` at a picked rank, where any tie
-    * order yields the same value). Returns df + `rankCol` (1-based,
+    * order yields the same value). `partCol` must be a STRING column
+    * (see [[groupBucketOffsets]]). Returns df + `rankCol` (1-based,
     * long) + `totCol` (group size, long).
     */
   def groupedRowNumber(df: DataFrame, partCol: String, valueCol: String,
       tieCols: Seq[String], rankCol: String, totCol: String,
       nBuckets: Int = 32): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val b = withRangeBucket(df, valueCol, "__rb", cutpoints(df, valueCol, nBuckets))
-    val cnt = b.groupBy(col(partCol), col("__rb")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val offRows = cnt.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-      val tot = rows.map(_._3).sum
-      var acc = 0L
-      rows.sortBy(_._2).map { case (_, rb, c) =>
-        val o = acc; acc += c; (g, rb, o, tot)
-      }
-    }
-    val offDf = broadcast(offRows.toDF("__g", "__rb2", "__off", "__tot"))
+    val offDf = groupBucketOffsets(b, partCol)
     val w = Window.partitionBy(col(partCol), col("__rb"))
       .orderBy((col(valueCol) +: tieCols.map(col)): _*)
     // null-SAFE group equality, as in relativeRanks

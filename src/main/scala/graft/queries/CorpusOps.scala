@@ -803,10 +803,10 @@ object CorpusOps {
           // target-like — report null score, selected = 1
           .select(col("doc_id"),
             when(col("sq") === 0, lit(null).cast("long"))
-              .otherwise(expr("sp * 1000000L div sq")).as("score_ppm"),
-            when(col("sq") === 0, lit(1))
-              .otherwise((expr("sp * 1000000L div sq") >= 1000000L).cast("int"))
-              .as("selected"))
+              .otherwise(expr("sp * 1000000L div sq")).as("score_ppm"))
+          .withColumn("selected",
+            when(col("score_ppm").isNull, lit(1))
+              .otherwise((col("score_ppm") >= 1000000L).cast("int")))
       },
       Some("""
         WITH w AS (

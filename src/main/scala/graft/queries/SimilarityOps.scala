@@ -44,21 +44,26 @@ object SimilarityOps {
     * corpus with fewer than 16 valid vectors cycles them (never crashes);
     * an all-dirty corpus degrades to a zero codebook.
     */
+  private val pqModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (IndexedSeq[IndexedSeq[Seq[Double]]], IndexedSeq[IndexedSeq[Double]])]
+
   private def pqModel(s: SparkSession, dir: String)
-      : (IndexedSeq[IndexedSeq[Seq[Double]]], IndexedSeq[IndexedSeq[Double]]) = {
-    val valid = vecs(s, dir)
-      .filter(col("v").isNotNull &&
-        size(col("v")) === graft.functions.VectorFns.Dims)
-      .orderBy("vec_id").limit(PqK).collect().map(_.getSeq[Double](1))
-    def cw(k: Int): Seq[Double] =
-      if (valid.isEmpty) Seq.fill(graft.functions.VectorFns.Dims)(0.0)
-      else valid(k % valid.length).toSeq
-    val cb = (0 until PqM).map(m =>
-      (0 until PqK).map(k => cw(k).slice(m * PqDim, (m + 1) * PqDim)))
-    // same left-fold order as VecDot / DuckDB list_dot_product(cs, cs)
-    val norms = cb.map(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x)))
-    (cb, norms)
-  }
+      : (IndexedSeq[IndexedSeq[Seq[Double]]], IndexedSeq[IndexedSeq[Double]]) =
+    pqModels.getOrElseUpdate((s, dir), {
+      val valid = vecs(s, dir)
+        .filter(col("v").isNotNull &&
+          size(col("v")) === graft.functions.VectorFns.Dims)
+        .orderBy("vec_id").limit(PqK).collect().map(_.getSeq[Double](1))
+      def cw(k: Int): Seq[Double] =
+        if (valid.isEmpty) Seq.fill(graft.functions.VectorFns.Dims)(0.0)
+        else valid(k % valid.length).toSeq
+      val cb = (0 until PqM).map(m =>
+        (0 until PqK).map(k => cw(k).slice(m * PqDim, (m + 1) * PqDim)))
+      // same left-fold order as VecDot / DuckDB list_dot_product(cs, cs)
+      val norms = cb.map(_.map(_.foldLeft(0.0)((acc, x) => acc + x * x)))
+      (cb, norms)
+    })
 
   /** Adds `code_0..code_7` PQ codes to a frame with vector column `vCol`:
     * per subspace, argmin_k L2²(slice, codeword) with ties to the smallest

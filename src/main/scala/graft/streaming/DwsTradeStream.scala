@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * input stream, the [[StatefulOps.tumblingAggWithLateMetric]] shape:
   *
   *   - agg leg: 3 s OOO watermark → 10 s tumbling windows per province
-  *     (order_id mod 25, the q54 province derivation) → amount sum +
-  *     order count;
+  *     (user_id mod 25 — identical to q54's `pmod(order_id, 25)` because
+  *     the batch detail aliases `user_id AS order_id`,
+  *     Pipelines.scala:99) → amount sum + order count;
   *   - metric leg: per-event [[LateMark]]s under the SAME 3 s slack —
   *     exactly batch q113's accounting, so DwsTradeStreamSpec asserts the
   *     streamed drop counts equal the registered q113 on a shared fixture.

@@ -140,8 +140,16 @@ object StreamDemo {
     // Fifth vertical: the DWS province window WITH its lateness metric
     // (DwsTradeStream) — the drop-rate leg the reference's silent 3 s
     // slack never exposes, emitted as a pipeline output alongside the
-    // windowed aggregate (two sinks, one source).
-    val provOrders = raw.filter($"event_type" === "purchase")
+    // windowed aggregate (two sinks, one source). The metric leg ENFORCES
+    // per-key arrival order across micro-batches (lateDropFlags fails
+    // fast on a regression), so this vertical reads all part files in
+    // ONE batch — a multi-part events table whose files interleave
+    // per-user event ids must not crash the demo; a real Kafka ingest
+    // delivers per-key in order and would stream batch-by-batch.
+    val rawOneBatch = graft.sources.Sources
+      .fileStream(spark, sfDir, "events", maxFilesPerTrigger = Int.MaxValue)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val provOrders = rawOneBatch.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts", $"value".as("amount"))
     val (provAgg, lateMarks) = DwsTradeStream.provinceOrderWindow(provOrders)
     val provQ = provAgg.writeStream

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFns.hash32
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,6 +199,100 @@ object CorpusOps {
       "Benchmark decontamination: 5-gram overlap against a broadcast " +
         "held-out set; corpus flagged in one scan " +
         "(pipeline ops brief: eval-set leakage removal)."),
+
+    // ------------------------------------- bloom-filter decontamination
+    Q(
+      "q130_bloom_decontamination",
+      (s, dir) => {
+        // q63's decontamination re-armed for the regime where even the
+        // held-out gram SET is too big to broadcast: a 4096-bit Bloom
+        // filter (128 × 32-bit words, 3 probes/gram) replaces the exact
+        // set — kilobytes shipped to every executor regardless of bench
+        // size, probe is a pure map-side expression against a literal
+        // array, zero joins on the corpus path. Bits derive from hash32
+        // (md5-prefix — both engines compute the identical value), three
+        // positions from disjoint 12-bit windows of the 32-bit hash.
+        // False negatives are impossible; the false-POSITIVE rate is
+        // measured in the same row against the exact join (the q124/q129
+        // measure-don't-guess discipline — this is the number that sizes
+        // the filter before a 100 TB run).
+        import graft.functions.TextFns.{tokens, wordNgrams}
+        val Bits = 4096; val WordBits = 32
+        val g = docs(s, dir).select(col("doc_id"),
+            explode(array_distinct(wordNgrams(tokens(col("text")), 5)))
+              .as("gram"))
+          .select(col("doc_id"), hash32(col("gram")).as("h"))
+        // bench gram hashes are small BY DEFINITION (q63's premise) — the
+        // driver-side bloom build is the model-training step, like q128's
+        // codebook; the oracle rebuilds the identical words relationally
+        val benchH = g.filter(col("doc_id") < 10).select("h").distinct()
+        val words = new Array[Long](Bits / WordBits)
+        benchH.collect().map(_.getLong(0)).foreach { h =>
+          Seq(h & 4095L, (h >> 12) & 4095L, (h >> 20) & 4095L).foreach { b =>
+            words(b.toInt / WordBits) |= 1L << (b.toInt % WordBits)
+          }
+        }
+        val bloom = typedLit(words.toSeq)
+        def probe(b: String): Column =
+          (element_at(bloom, expr(s"cast($b div $WordBits as int) + 1"))
+            .bitwiseAND(expr(s"shiftleft(1L, cast($b % $WordBits as int))"))
+            =!= 0L).cast("int")
+        g.filter(col("doc_id") >= 10)
+          .join(broadcast(benchH.withColumn("exact", lit(1))),
+            Seq("h"), "left_outer")
+          .withColumn("b0", col("h").bitwiseAND(lit(4095L)))
+          .withColumn("b1", shiftright(col("h"), 12).bitwiseAND(lit(4095L)))
+          .withColumn("b2", shiftright(col("h"), 20).bitwiseAND(lit(4095L)))
+          .withColumn("bloom_hit", least(probe("b0"), probe("b1"), probe("b2")))
+          .agg(count(lit(1)).as("n_probed"),
+            sum(col("bloom_hit")).cast("long").as("n_bloom_pos"),
+            sum(coalesce(col("exact"), lit(0))).cast("long").as("n_exact_pos"))
+          .select(col("n_probed"), col("n_bloom_pos"), col("n_exact_pos"),
+            when(col("n_probed") === col("n_exact_pos"), lit(0L))
+              .otherwise(expr(
+                "(n_bloom_pos - n_exact_pos) * 1000000L div (n_probed - n_exact_pos)"))
+              .as("fp_ppm"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT) AS h
+              FROM g5),
+        bench AS (SELECT DISTINCT h FROM h WHERE doc_id < 10),
+        bbits AS (SELECT DISTINCT b FROM (
+            SELECT h & 4095 AS b FROM bench
+            UNION ALL SELECT (h >> 12) & 4095 FROM bench
+            UNION ALL SELECT (h >> 20) & 4095 FROM bench)),
+        bloom AS (SELECT b // 32 AS w,
+                         CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(b % 32 AS INT))
+                              AS BIGINT) AS bm
+                  FROM bbits GROUP BY 1),
+        corp AS (SELECT c.doc_id, c.h,
+                        CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END AS exact
+                 FROM (SELECT doc_id, h FROM h WHERE doc_id >= 10) c
+                 LEFT JOIN bench ON c.h = bench.h),
+        pr AS (SELECT c.doc_id, c.h, c.exact,
+                      MIN(CASE WHEN bl.bm IS NOT NULL AND
+                            (bl.bm & (CAST(1 AS BIGINT) << CAST(x.b % 32 AS INT))) <> 0
+                          THEN 1 ELSE 0 END) AS bloom_hit
+               FROM corp c,
+                    UNNEST([c.h & 4095, (c.h >> 12) & 4095, (c.h >> 20) & 4095]) AS x(b)
+               LEFT JOIN bloom bl ON bl.w = x.b // 32
+               GROUP BY 1, 2, 3)
+        SELECT COUNT(*) AS n_probed,
+               CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_pos,
+               CAST(SUM(exact) AS BIGINT) AS n_exact_pos,
+               CAST(CASE WHEN COUNT(*) = SUM(exact) THEN 0
+                         ELSE (SUM(bloom_hit) - SUM(exact)) * 1000000
+                              // (COUNT(*) - SUM(exact)) END AS BIGINT) AS fp_ppm
+        FROM pr"""),
+      "Bloom-filter decontamination: 4096-bit / 3-probe filter over the " +
+        "held-out gram set, probed map-side as a literal-array expression " +
+        "(kilobytes broadcast at any bench size, no corpus-path join), " +
+        "with the false-positive rate measured against the exact join " +
+        "(pipeline ops brief: eval-set leakage removal at index scale)."),
 
     // ---------------------------------------------- rare-token scoring
     Q(

@@ -138,6 +138,28 @@ class RocksDbSoakSpec extends SparkSpec {
     assert(rocks.length == 7000)
   }
 
+  test("lateDropFlags (DWS lateness metric leg): RocksDB provider matches " +
+    "default on a disordered 1k-key soak") {
+    import spark.implicits._
+    // per-key mostly-increasing event times with periodic 5 s / 60 s
+    // regressions — the DwsTradeStream metric leg's real input shape
+    val events = (for {
+      u <- 1L to 1000L
+      i <- 0L until 6L
+    } yield {
+      val base = 100L + i * 10
+      val sec =
+        if (i == 2) base - 15 else if (i == 4) base - 70 else base
+      Stamped(u, u * 10 + i, ts(sec))
+    }).sortBy(_.eventId)
+    val batches = events.grouped((events.length + 3) / 4).map(_.toSeq).toSeq
+    val (rocks, default) = bothProviders(batches)(
+      (ds: Dataset[Stamped]) => StatefulOps.lateDropFlags(ds, 3000L))
+    assert(rocks.map(m => (m.eventId, m.late)).sorted ==
+      default.map(m => (m.eventId, m.late)).sorted)
+    assert(rocks.map(_.late).sum > 0)
+  }
+
   test("StreamingLsh pair emitter: RocksDB provider matches default on the corpus") {
     import spark.implicits._
     val hits = StreamingLsh.bandAssignments(

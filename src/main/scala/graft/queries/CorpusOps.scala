@@ -217,7 +217,7 @@ object CorpusOps {
         // measure-don't-guess discipline — this is the number that sizes
         // the filter before a 100 TB run).
         import graft.functions.TextFns.{tokens, wordNgrams}
-        val Bits = 4096; val WordBits = 32
+        import graft.functions.BloomFns
         val g = docs(s, dir).select(col("doc_id"),
             explode(array_distinct(wordNgrams(tokens(col("text")), 5)))
               .as("gram"))
@@ -226,24 +226,11 @@ object CorpusOps {
         // driver-side bloom build is the model-training step, like q128's
         // codebook; the oracle rebuilds the identical words relationally
         val benchH = g.filter(col("doc_id") < 10).select("h").distinct()
-        val words = new Array[Long](Bits / WordBits)
-        benchH.collect().map(_.getLong(0)).foreach { h =>
-          Seq(h & 4095L, (h >> 12) & 4095L, (h >> 20) & 4095L).foreach { b =>
-            words(b.toInt / WordBits) |= 1L << (b.toInt % WordBits)
-          }
-        }
-        val bloom = typedLit(words.toSeq)
-        def probe(b: String): Column =
-          (element_at(bloom, expr(s"cast($b div $WordBits as int) + 1"))
-            .bitwiseAND(expr(s"shiftleft(1L, cast($b % $WordBits as int))"))
-            =!= 0L).cast("int")
+        val words = BloomFns.build(benchH.collect().map(_.getLong(0)))
         g.filter(col("doc_id") >= 10)
           .join(broadcast(benchH.withColumn("exact", lit(1))),
             Seq("h"), "left_outer")
-          .withColumn("b0", col("h").bitwiseAND(lit(4095L)))
-          .withColumn("b1", shiftright(col("h"), 12).bitwiseAND(lit(4095L)))
-          .withColumn("b2", shiftright(col("h"), 20).bitwiseAND(lit(4095L)))
-          .withColumn("bloom_hit", least(probe("b0"), probe("b1"), probe("b2")))
+          .withColumn("bloom_hit", BloomFns.mightContain(words, col("h")))
           .agg(count(lit(1)).as("n_probed"),
             sum(col("bloom_hit")).cast("long").as("n_bloom_pos"),
             sum(coalesce(col("exact"), lit(0))).cast("long").as("n_exact_pos"))

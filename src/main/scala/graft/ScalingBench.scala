@@ -29,7 +29,8 @@ object ScalingBench {
     "q63_decontamination", "q96_repeated_ngram_dedup",
     "q119_containment_dedup",
     "q121_dsir_importance", "q122_unigram_surprisal",
-    "q125_incremental_dedup", "q126_simhash_neardup")
+    "q125_incremental_dedup", "q126_simhash_neardup",
+    "q130_bloom_decontamination")
 
   def main(args: Array[String]): Unit = {
     val (flagArgs, dirs) = args.partition(_.startsWith("-q"))

@@ -72,6 +72,26 @@ def write(path, rows):
     print(f"wrote {path}: {t.num_rows} rows")
 
 
+def write_embeddings(path, n, seed=7):
+    """Seeded 64-dim float32 embeddings with ~2% planted near-dups
+    (source vector + small perturbation) so the ANN/near-dup queries have
+    real positives at every scale. vec_id 0..n-1 — the queries' own
+    query/corpus split (vec_id < 5 / >= 5) applies unchanged.
+    """
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, 64)).astype(np.float32)
+    dup_src = rng.integers(0, n, max(1, n // 50))
+    for k, s in enumerate(dup_src):
+        d = (s + 1 + k) % n
+        v[d] = v[s] + 0.01 * rng.standard_normal(64).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(v), pa.list_(pa.float32())),
+    })
+    pq.write_table(t, path)
+    print(f"wrote {path}: {t.num_rows} rows")
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_docs"
     per_shard = 5000
@@ -80,10 +100,12 @@ def main():
     x1 = gen_shard(rng, 0, per_shard, 0, "")
     os.makedirs(f"{out}/x1", exist_ok=True)
     write(f"{out}/x1/documents.parquet", x1)
+    write_embeddings(f"{out}/x1/embeddings.parquet", per_shard)
     # identical copy under a distinct dir: ScalingBench's sacrificial
     # JIT-warmup target (Staging keys on the dir string)
     os.makedirs(f"{out}/x1warm", exist_ok=True)
     write(f"{out}/x1warm/documents.parquet", x1)
+    write_embeddings(f"{out}/x1warm/embeddings.parquet", per_shard)
 
     rng = np.random.default_rng(42)
     rows = []
@@ -92,6 +114,7 @@ def main():
         rows += gen_shard(rng, shard, per_shard, shard * per_shard, suffix)
     os.makedirs(f"{out}/x10", exist_ok=True)
     write(f"{out}/x10/documents.parquet", rows)
+    write_embeddings(f"{out}/x10/embeddings.parquet", per_shard * 10)
 
     rng = np.random.default_rng(42)
     rows = []

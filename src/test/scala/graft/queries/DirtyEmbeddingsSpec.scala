@@ -87,6 +87,16 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup family (fixed-K and two-level scaled-K) runs on " +
+    "the dirty index without crashing") {
+    for (q <- Seq("q100_semantic_dedup", "q131_semantic_dedup_scaledk")) {
+      val out = graft.SparkEntry.queries(q)(spark, dirtyDir).collect()
+      assert(out.nonEmpty, q)
+      // every doc lands in exactly one cluster — nothing lost or doubled
+      assert(out.map(_.getLong(1)).sum == 10L, q)
+    }
+  }
+
   test("IVF-PQ recall audit runs on the dirty index and reports a ppm " +
     "in range") {
     val r = graft.SparkEntry.queries("q129_ivfpq_recall")(spark, dirtyDir)

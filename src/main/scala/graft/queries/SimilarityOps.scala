@@ -207,15 +207,13 @@ object SimilarityOps {
       "query_id", "qv", 2)
     // nulls LAST explicitly: a malformed vector's null ADC must sort
     // behind every scored candidate (Spark asc default is nulls first;
-    // DuckDB's is NULLS LAST — clean data has no nulls either way).
-    // Top-5 via the two-stage TopK operator: with 5 query groups, a
-    // plain per-query window would sort the whole candidate list in one
-    // task per query — the few-groups shape q83/q116 were ordered off.
-    graft.operators.TopK.perGroup(
-        probes.join(lists, "cid")
-          .withColumn("adc", adcDistance("qv", cb, norms)),
-        Seq("query_id"),
-        Seq(col("adc").asc_nulls_last, col("neighbor_id")), 5, "rank")
+    // DuckDB's is NULLS LAST — clean data has no nulls either way)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc_nulls_last, col("neighbor_id"))
+    probes.join(lists, "cid")
+      .withColumn("adc", adcDistance("qv", cb, norms))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
@@ -284,11 +282,10 @@ object SimilarityOps {
         val scored = c.crossJoin(broadcast(q))
           .withColumn("sim",
             graft.functions.VectorFns.cosine(col("qv"), col("cv")))
-        // two-stage TopK: per-partition top-5 then global — with 5 query
-        // groups a plain window sorts the whole corpus in one task per
-        // query; results (and ranks) are identical by construction
-        graft.operators.TopK.perGroup(scored, Seq("query_id"),
-            Seq(col("sim").desc, col("neighbor_id")), 5, "rank")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       },
       Some("""
@@ -329,17 +326,17 @@ object SimilarityOps {
             Seq("t", "bk"))
           .select(col("query_id"), col("neighbor_id"))
           .distinct()
-        // two-stage TopK over the rescored candidates (see q38 note)
-        graft.operators.TopK.perGroup(
-            cands
-              .join(base.select(col("vec_id").as("query_id"), col("v").as("qv")),
-                "query_id")
-              .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
-                "neighbor_id")
-              .withColumn("sim",
-                graft.functions.VectorFns.cosine(col("qv"), col("cv"))),
-            Seq("query_id"),
-            Seq(col("sim").desc, col("neighbor_id")), 5, "rank")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        cands
+          .join(base.select(col("vec_id").as("query_id"), col("v").as("qv")),
+            "query_id")
+          .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+            "neighbor_id")
+          .withColumn("sim",
+            graft.functions.VectorFns.cosine(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       },
       // Deterministic hash-parity hyperplanes (VectorFns.planeSigns) make
@@ -394,17 +391,17 @@ object SimilarityOps {
             Seq("t", "bk"))
           .select(col("query_id"), col("neighbor_id"))
           .distinct()
-        // two-stage TopK over the rescored candidates (see q38 note)
-        graft.operators.TopK.perGroup(
-            cands
-              .join(base.select(col("vec_id").as("query_id"), col("v").as("qv")),
-                "query_id")
-              .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
-                "neighbor_id")
-              .withColumn("sim",
-                graft.functions.VectorFns.cosine(col("qv"), col("cv"))),
-            Seq("query_id"),
-            Seq(col("sim").desc, col("neighbor_id")), 5, "rank")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        cands
+          .join(base.select(col("vec_id").as("query_id"), col("v").as("qv")),
+            "query_id")
+          .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+            "neighbor_id")
+          .withColumn("sim",
+            graft.functions.VectorFns.cosine(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       },
       Some(s"""
@@ -464,12 +461,12 @@ object SimilarityOps {
         val probes = assign(base.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("v").as("qv")),
           "query_id", "qv", nProbe)
-        // two-stage TopK over the probed lists (see q38 note)
-        graft.operators.TopK.perGroup(
-            probes.join(lists, "cid")
-              .withColumn("sim", cosine(col("qv"), col("nv"))),
-            Seq("query_id"),
-            Seq(col("sim").desc, col("neighbor_id")), 5, "rank")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        probes.join(lists, "cid")
+          .withColumn("sim", cosine(col("qv"), col("nv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       },
       // Every step (centroid assignment, probing, rescoring) is exact
@@ -571,27 +568,27 @@ object SimilarityOps {
         val capped = words.join(
           words.groupBy("wtok").agg(count(lit(1)).as("df"))
             .filter(col("df") <= 100).select("wtok"), "wtok")
-        val lexScored = capped.filter(col("doc_id") < 5)
+        val lex = capped.filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"), col("wtok"))
           .join(capped.filter(col("doc_id") >= 5)
             .select(col("doc_id").as("doc_id"), col("wtok")), "wtok")
           .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
-        val lexTop = graft.operators.TopK.perGroup(lexScored, Seq("query_id"),
-            Seq(col("shared").desc, col("doc_id").asc), 20, "rank_lex")
+          .withColumn("rank_lex", row_number().over(
+            w.orderBy(col("shared").desc, col("doc_id").asc)))
+          .filter(col("rank_lex") <= 20)
           .select("query_id", "doc_id", "rank_lex")
         val base = vecs(s, dir)
-        val vecScored = base.filter(col("vec_id") >= 5)
+        val vec = base.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("doc_id"), col("v").as("cv"))
           .crossJoin(broadcast(base.filter(col("vec_id") < 5)
             .select(col("vec_id").as("query_id"), col("v").as("qv"))))
           .withColumn("sim",
             graft.functions.VectorFns.cosine(col("qv"), col("cv")))
-        val vecTop = graft.operators.TopK.perGroup(vecScored, Seq("query_id"),
-            Seq(col("sim").desc, col("doc_id").asc), 20, "rank_vec")
+          .withColumn("rank_vec", row_number().over(
+            w.orderBy(col("sim").desc, col("doc_id").asc)))
+          .filter(col("rank_vec") <= 20)
           .select("query_id", "doc_id", "rank_vec")
-        // both arms' top-20 via two-stage TopK (see q38 note); the fused
-        // window rides <=40 rows per query — bounded, fine as a window
-        val fused = lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+        val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
           .withColumn("rrf",
             when(col("rank_lex").isNotNull, lit(1.0) / (lit(60) + col("rank_lex")))
               .otherwise(lit(0.0)) +
@@ -831,18 +828,17 @@ object SimilarityOps {
         val base = vecs(s, dir)
         val qry = broadcast(base.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("v").as("qv")))
-        // exact top-5 via two-stage TopK (balanced per-partition sorts,
-        // not one corpus-sized sort per query)
-        val truth = graft.operators.TopK.perGroup(
-            base.filter(col("vec_id") >= 5)
-              .select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
-              .crossJoin(qry)
-              // same integer scaling as ADC so ties break identically
-              .withColumn("l2i", floor((dot(col("qv"), col("qv"))
-                - lit(2.0) * dot(col("qv"), col("nv"))
-                + dot(col("nv"), col("nv"))) * lit(1e9))),
-            Seq("query_id"),
-            Seq(col("l2i").asc_nulls_last, col("neighbor_id")), 5, "rn")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("l2i").asc_nulls_last, col("neighbor_id"))
+        val truth = base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+          .crossJoin(qry)
+          // same integer scaling as ADC so ties break identically
+          .withColumn("l2i", floor((dot(col("qv"), col("qv"))
+            - lit(2.0) * dot(col("qv"), col("nv"))
+            + dot(col("nv"), col("nv"))) * lit(1e9)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
           .select(col("query_id"), col("neighbor_id"))
         val got = ivfpqTop5(s, dir).select(col("query_id"),
           col("neighbor_id"), lit(1).as("is_hit"))

@@ -18,6 +18,13 @@ import org.apache.spark.sql.expressions.Window
   * (window over qid). The LSH variant hashes each vector to L=4 bucket ids
   * (6 hyperplanes each) and joins queries to candidates on bucket equality,
   * turning a 100 TB scan-per-query into a handful of bucket lookups.
+  *
+  * The per-query `row_number() <= k` windows are NOT single-task sorts
+  * despite the 5 query groups: InferWindowGroupLimit inserts a partial
+  * window-group-limit below the exchange, so each map partition forwards
+  * at most k rows per query (WindowGroupLimitSpec pins the rewrite —
+  * a manual two-stage top-k was measured and reverted: it duplicates
+  * the rewrite and adds an exchange).
   */
 object SimilarityOps {
 

@@ -39,14 +39,20 @@ object CorpusOps {
       (s, dir) => {
         // Deterministic hash sampling to ~TargetPerLang docs per language:
         // rate = target/|stratum|, keep iff hash32(doc_id) % 10000 falls
-        // under rate*10000. At 100 TB the per-stratum counts come from a
-        // pre-aggregated broadcast instead of a window, but the predicate —
-        // and therefore the sample — is identical.
-        val cnt = count(lit(1)).over(Window.partitionBy(col("lang")))
+        // under rate*10000. Stratum sizes come from a pre-aggregated
+        // BROADCAST (one tiny agg + map-side join), not a window — a
+        // `count() over (partition by lang)` would shuffle the whole
+        // corpus into a handful of language partitions (no
+        // WindowGroupLimit rewrite exists for plain aggregates). The
+        // null-safe join keeps a null lang as its own stratum, the
+        // Window.partitionBy semantics this replaces.
+        val sizes = broadcast(docs(s, dir)
+          .groupBy(col("lang").as("lg"))
+          .agg(count(lit(1)).as("stratum_sz")))
         docs(s, dir)
           .select(col("doc_id"), col("lang"),
-            cnt.as("stratum_sz"),
             pmod(hash32(col("doc_id").cast("string")), lit(10000)).as("h"))
+          .join(sizes, col("lang") <=> col("lg"))
           .filter(col("h") < least(lit(10000L),
             floor(lit(TargetPerLang * 10000L) / col("stratum_sz"))))
           .select(col("doc_id"), col("lang"), col("stratum_sz"))

@@ -20,7 +20,7 @@ class WindowGroupLimitSpec extends SparkSpec {
 
   private val annQueries = Seq(
     "q38_knn_bruteforce", "q39_ann_lsh", "q46_ann_ivf",
-    "q72_ann_multiprobe", "q128_ivfpq_ann")
+    "q72_ann_multiprobe", "q128_ivfpq_ann", "q108_bottomk_sketch")
 
   test("every ANN top-k plan carries a Partial WindowGroupLimit below " +
     "the exchange") {

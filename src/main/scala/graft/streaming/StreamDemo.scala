@@ -168,16 +168,39 @@ object StreamDemo {
         case r => (r.getLong(0), r.getLong(1))
       }
 
+    // Sixth vertical: ingest-time Bloom decontamination (StreamingDecon)
+    // — every arriving document probed in-row against the held-out gram
+    // filter, a stateless projection with kilobytes of broadcast state.
+    val benchBloom = StreamingDecon.buildBloom(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter($"doc_id" < 10).select($"doc_id", $"text"))
+    var deconRows = 0L
+    var deconFlagged = 0L
+    val deconQ = StreamingDecon.flag(
+        graft.sources.Sources.fileStream(spark, sfDir, "documents")
+          .select($"doc_id", $"text"), benchBloom)
+      .writeStream
+      .option("checkpointLocation", s"$logCkpt/decon")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        deconRows += b.count()
+        deconFlagged += b.filter(col("contaminated") === 1).count()
+        ()
+      }.start()
+    deconQ.processAllAvailable()
+    deconQ.stop()
+
     val splitStr = Seq("err", "start", "page", "display", "action")
       .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(",")
     println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
       s"dim_order_rows=$dimRows dim_user_rows=$dimUsers " +
       s"log_split{$splitStr} kw_rows=$kwRows " +
       s"corpus_rows=$corpusRows corpus_tokens=$corpusTokens " +
-      s"province_rows=$provRows late_seen=$lateSeen late_dropped=$lateDropped")
+      s"province_rows=$provRows late_seen=$lateSeen late_dropped=$lateDropped " +
+      s"decon_rows=$deconRows decon_flagged=$deconFlagged")
     spark.stop()
     if (rows == 0 || dimRows == 0 || kwRows == 0 || corpusRows == 0 ||
       splitCounts.getOrElse("page", 0L) == 0L ||
-      provRows == 0 || lateSeen == 0) sys.exit(1)
+      provRows == 0 || lateSeen == 0 || deconRows == 0 ||
+      deconFlagged == 0) sys.exit(1)
   }
 }

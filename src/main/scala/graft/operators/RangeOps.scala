@@ -30,9 +30,13 @@ object RangeOps {
 
   /** Approx-quantile cutpoints on a numeric column (distinct, sorted).
     * Relative error 1%: cutpoints only steer balance, never results.
+    * nBuckets <= 1 yields no cutpoints (one bucket — the degenerate but
+    * still-correct single-range form; approxQuantile NPEs on an empty
+    * probability array otherwise).
     */
   def cutpoints(df: DataFrame, colName: String, nBuckets: Int): Array[Double] =
-    df.stat
+    if (nBuckets <= 1) Array.empty
+    else df.stat
       .approxQuantile(colName,
         (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
       .distinct.sorted

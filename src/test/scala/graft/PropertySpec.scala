@@ -63,4 +63,60 @@ class PropertySpec extends SparkSpec {
       if (c.length >= 2) assert(cjkToks.size >= c.length - 1, s"c=$c toks=$toks")
     }
   }
+
+  test("RangeOps.groupedRowNumber equals the window form on seeded-random " +
+    "skewed instances (all ties, all bucket counts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.RangeOps
+    for (seed <- 20L to 24L) {
+      val rng = new scala.util.Random(seed)
+      // skew knob varies per seed: 50-95% of rows in one group; values
+      // drawn from a small domain so ties are everywhere
+      val hot = 50 + rng.nextInt(46)
+      val rows = (1 to 800).map { i =>
+        val g = if (rng.nextInt(100) < hot) "hot" else s"g${rng.nextInt(4)}"
+        (i.toLong, g, rng.nextInt(17).toLong)
+      }
+      val df = rows.toDF("id", "g", "v")
+      val nb = 1 + rng.nextInt(12) // bucket count must never change results
+      val got = RangeOps.groupedRowNumber(df, "g", "v", Seq("id"), "rn", "n", nb)
+        .select("id", "rn", "n").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      val exact = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .select("id", "rn", "n").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == exact, s"seed=$seed nBuckets=$nb")
+    }
+  }
+
+  test("RangeOps.groupedValueCounts cum/n satisfy the rank identities on " +
+    "seeded-random instances") {
+    import spark.implicits._
+    import graft.operators.RangeOps
+    for (seed <- 30L to 33L) {
+      val rng = new scala.util.Random(seed)
+      val rows = (1 to 500).map { i =>
+        (i.toLong, s"g${rng.nextInt(3)}", rng.nextInt(9))
+      }
+      val df = rows.toDF("id", "g", "v")
+      val roll = RangeOps.groupedValueCounts(df, "g", "v")
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+      val byGroup = rows.groupBy(_._2)
+      roll.groupBy(_._1).foreach { case (g, rs) =>
+        val vs = byGroup(g).map(_._3)
+        // n is the group size on every rollup row; cnt sums to n;
+        // cum(v) counts rows with value <= v — the exact rank base
+        assert(rs.forall(_._5 == vs.size), s"seed=$seed g=$g")
+        assert(rs.map(_._3).sum == vs.size)
+        rs.foreach { case (_, v, _, cum, _) =>
+          assert(cum == vs.count(_ <= v), s"seed=$seed g=$g v=$v")
+        }
+      }
+    }
+  }
 }

@@ -96,7 +96,10 @@ object Bench {
       val unique = prefixes.distinct.size == prefixes.size
       name => if (unique) name.takeWhile(_ != '_') else name
     }
-    def ms(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // stdout uses 2-decimal precision: at 131+ queries the 3-decimal line
+    // brushed the driver's ~1900-char tail budget (measured 1871 chars);
+    // the full-precision numbers live in the BENCH_RESULT.json line
+    def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val total = ts.map(_._2).sum
     def line(key: String => String, fmt: Double => Any) = {
       val qs = ts.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -108,7 +111,16 @@ object Bench {
       val st = staging.map { case (k, v) => s"\"${esc(k)}\":" + fmt(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging":$st,"errors":$es,"repeats":$Repeats,"sf":"$sfDir"}"""
     }
-    (line(shortKey, ms), line(identity, v => v))
+    // adaptive second compression stage: if the qNN line would overflow
+    // the driver's tail window, drop the 'q' prefix ("q95" -> "95") —
+    // digits stay unique iff the qNN keys were. Only fires when needed,
+    // so the format is stable until the registry actually outgrows it.
+    val first = line(shortKey, ms)
+    val stdoutLine =
+      if (first.length <= 1880) first
+      else line(shortKey.andThen(k =>
+        if (k.startsWith("q")) k.drop(1) else k), ms)
+    (stdoutLine, line(identity, v => v))
   }
 
   def main(args: Array[String]): Unit = {

@@ -38,12 +38,22 @@ class BenchSpec extends AnyFunSuite {
     // Full-length names like the real registry; the driver keeps only the
     // last ~2000 chars of stdout and there is a trailing sbt [success] line,
     // so the budget is ~1900 chars.
-    val ts = (1 to 90).map(i => (f"q$i%02d_some_representative_query_name", 12.345678901)).toVector
-    val (stdout, file) = Bench.render(ts, Map.empty, "/root/testdata/sf0.1")
+    // 140 queries + 10 staging entries: one round of growth beyond the
+    // current 131 registered queries / 9 staged frames. If this fails,
+    // the next lever is dropping the 'q' from stdout keys.
+    // realistic value mix: mean ~0.4 s with every tenth query slow —
+    // matches the live distribution (131 queries, mean 0.44 s)
+    val ts = (1 to 140).map(i => (f"q$i%02d_some_representative_query_name",
+      if (i % 10 == 0) 12.345678901 else 0.423456789)).toVector
+    val st = (1 to 10).map(i => (s"staged_frame_$i", 3.21098765)).toVector
+    val (stdout, file) = Bench.render(ts, Map.empty, "/root/testdata/sf0.1", st)
     assert(stdout.length < 1900, s"stdout line too long: ${stdout.length}")
-    assert(stdout.contains("\"q01\":12.346"))
+    // at 140 queries the adaptive stage has dropped the 'q' prefix
+    assert(stdout.contains("\"01\":0.42"))
+    assert(stdout.contains("\"staged_frame_1\":3.21"))
     assert(!stdout.contains("some_representative"))
-    assert(file.contains("\"q01_some_representative_query_name\":12.345678901"))
+    assert(file.contains("\"q01_some_representative_query_name\":0.423456789"))
+    assert(file.contains("\"staged_frame_1\":3.21098765"))
   }
 
   test("short keys fall back to full names on prefix clash") {

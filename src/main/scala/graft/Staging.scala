@@ -33,7 +33,10 @@ object Staging {
   // session). synchronized is reentrant, so nested stage calls inside a
   // build (pr_edges → mh_pairs → grams3) still work.
   def stage(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
-    synchronized {
+    // lock-free fast path for hits (TrieMap reads are safe) — a reader of
+    // an already-built frame must not block behind another frame's
+    // minutes-long build holding the lock
+    cache.get((s, dir, name)).getOrElse(synchronized {
       cache.getOrElseUpdate((s, dir, name), {
         val t0 = System.nanoTime()
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
@@ -41,7 +44,7 @@ object Staging {
         times((dir, name)) = (System.nanoTime() - t0) / 1e9
         df
       })
-    }
+    })
 
   /** Seconds spent building each staged frame, keyed by (sfDir, name).
     * One entry per build — a frame is built at most once per session+dir.

@@ -5,10 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic Bloom-filter expressions shared by batch q130 and the
   * streaming ingest-decontamination twin: 4096 bits as 128 × 32-bit words
-  * (sign-safe BIGINT masks), 3 probes per key from disjoint 12-bit
-  * windows of the 32-bit [[TextFns.hash32]] value — every bit position is
-  * replayable by the DuckDB oracle, so the filter built here and the one
-  * the SQL rebuilds relationally are bit-identical.
+  * (sign-safe BIGINT masks), 3 probes per key from 12-bit windows of the
+  * 32-bit [[TextFns.hash32]] value at offsets 0/12/20 — NOTE the third
+  * window overlaps the second by 4 bits (32 bits cannot hold three
+  * disjoint 12-bit windows), so the probes are correlated and the
+  * filter's real false-positive rate is higher than k=3
+  * independent-probe math predicts. That is exactly why q130 MEASURES
+  * fp_ppm against the exact join instead of quoting the formula — size
+  * the filter from the measured number. Every bit position is replayable
+  * by the DuckDB oracle, so the filter built here and the one the SQL
+  * rebuilds relationally are bit-identical.
   *
   * The probe is a pure projection against a LITERAL word array: kilobytes
   * on every executor regardless of the indexed set's size, zero joins on

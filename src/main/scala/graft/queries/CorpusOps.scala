@@ -224,10 +224,16 @@ object CorpusOps {
         // the filter before a 100 TB run).
         import graft.functions.TextFns.{tokens, wordNgrams}
         import graft.functions.BloomFns
+        // per-doc distinct HASHES, in-row (hash inside transform, then
+        // array_distinct, then explode — no shuffle): the oracle's pr CTE
+        // groups by (doc_id, h), so an intra-document hash32 collision of
+        // two distinct grams must collapse to one row on THIS side too or
+        // the counts diverge (latent at bench scale, expected at corpus
+        // scale: ~n_grams²/2³³)
         val g = docs(s, dir).select(col("doc_id"),
-            explode(array_distinct(wordNgrams(tokens(col("text")), 5)))
-              .as("gram"))
-          .select(col("doc_id"), hash32(col("gram")).as("h"))
+            explode(array_distinct(transform(
+              array_distinct(wordNgrams(tokens(col("text")), 5)),
+              gr => hash32(gr)))).as("h"))
         // bench gram hashes are small BY DEFINITION (q63's premise) — the
         // driver-side bloom build is the model-training step, like q128's
         // codebook; the oracle rebuilds the identical words relationally

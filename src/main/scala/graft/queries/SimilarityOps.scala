@@ -76,7 +76,13 @@ object SimilarityOps {
     * per subspace, argmin_k L2²(slice, codeword) with ties to the smallest
     * k (array_position returns the FIRST index at the min — the oracle's
     * ORDER BY dist, k). Pure projection: the encode pass is map-side at
-    * any corpus scale.
+    * any corpus scale. Codes are NULL for any vector whose length is not
+    * exactly [[graft.functions.VectorFns.Dims]] — an over-long vector
+    * still slices to 8 real elements per subspace, so without the guard
+    * it would earn a plausible ADC from its first 64 dims and could
+    * outrank genuine neighbors (the wrong-but-plausible failure
+    * VectorFns.planeDot hard-errors on); null codes null the ADC, which
+    * sorts last.
     */
   private def pqEncode(df: DataFrame, vCol: String,
       cb: IndexedSeq[IndexedSeq[Seq[Double]]],
@@ -91,8 +97,9 @@ object SimilarityOps {
       }: _*)
       d.withColumn(s"__pd$m", dists)
         .withColumn(s"code_$m",
-          (array_position(col(s"__pd$m"), array_min(col(s"__pd$m"))) - 1)
-            .cast("int"))
+          when(size(col(vCol)) === graft.functions.VectorFns.Dims,
+            (array_position(col(s"__pd$m"), array_min(col(s"__pd$m"))) - 1)
+              .cast("int")))
         .drop(s"__pd$m")
     }
 

@@ -32,7 +32,7 @@ object DwsTradeStream {
   def provinceOrderWindow(orders: DataFrame): (DataFrame, Dataset[LateMark]) = {
     import orders.sparkSession.implicits._
     val agg = StatefulOps.tumblingAgg(
-      orders.toDF(), "ts", "3 seconds", "10 seconds",
+      orders.toDF(), "ts", s"$SlackMs milliseconds", "10 seconds",
       keys = Seq(pmod(col("user_id"), lit(25)).as("province_id")),
       aggs = Seq(
         sum(col("amount").cast("decimal(18,2)")).cast("double").as("order_amount"),

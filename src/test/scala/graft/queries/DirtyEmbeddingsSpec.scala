@@ -29,7 +29,8 @@ class DirtyEmbeddingsSpec extends SparkSpec {
       (5L, vec(2)),                                           // dup of q1
       (6L, Array.tabulate(16)(_.toFloat)),                    // wrong dim
       (7L, Array.empty[Float]),                               // empty cand
-      (8L, vec(8)), (9L, vec(9)))                             // well-formed
+      (8L, vec(8)), (9L, vec(9)),                             // well-formed
+      (10L, Array.tabulate(72)(_.toFloat)))                   // OVER-long
     rows.toDF("vec_id", "embedding")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     dir
@@ -93,7 +94,7 @@ class DirtyEmbeddingsSpec extends SparkSpec {
       val out = graft.SparkEntry.queries(q)(spark, dirtyDir).collect()
       assert(out.nonEmpty, q)
       // every doc lands in exactly one cluster — nothing lost or doubled
-      assert(out.map(_.getLong(1)).sum == 10L, q)
+      assert(out.map(_.getLong(1)).sum == 11L, q)
     }
   }
 

@@ -27,7 +27,11 @@ class WindowGroupLimitSpec extends SparkSpec {
     for (name <- annQueries) {
       val plan = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
-      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      // the two substrings must be on ONE plan line (the node's own
+      // rendering) — a Final-only WindowGroupLimit plus an unrelated
+      // "Partial" elsewhere (e.g. AQE partition specs) must not pass
+      assert(plan.linesIterator.exists(l =>
+          l.contains("WindowGroupLimit") && l.contains("Partial")),
         s"$name lost the partial window-group-limit rewrite:\n" +
           plan.linesIterator.take(30).mkString("\n"))
     }

@@ -122,6 +122,9 @@ def main():
         rows += gen_shard(rng, shard, per_shard, shard * per_shard, "")
     os.makedirs(f"{out}/x10sat", exist_ok=True)
     write(f"{out}/x10sat/documents.parquet", rows)
+    # same embeddings as x10: the documents saturate, the vectors don't —
+    # this keeps every embeddings-family query runnable on the x10sat dir
+    write_embeddings(f"{out}/x10sat/embeddings.parquet", per_shard * 10)
 
 
 if __name__ == "__main__":

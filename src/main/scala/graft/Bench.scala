@@ -71,6 +71,19 @@ object Bench {
     (timings, errors.toMap)
   }
 
+  /** Ambient-load evidence recorded in the bench artifact (round-7 VERDICT
+    * directive #7): /proc/loadavg at start and end of the run, plus a fixed
+    * trivial sentinel query (registry-independent `spark.range` sum) timed
+    * min-of-3 before and after the measured passes. Three rounds of movers
+    * were explained by "ambient smear" confirmed only via manual worktree
+    * re-benching; these fields make the smear attributable from the
+    * artifact alone — an inflated end-sentinel or elevated loadavg says
+    * "co-tenant load", matching sentinels say the movers are real.
+    */
+  final case class Ambient(
+      loadavgStart: Seq[Double], loadavgEnd: Seq[Double],
+      sentinelStart: Double, sentinelEnd: Double)
+
   /** Renders the two result lines: (stdout line, BENCH_RESULT.json line).
     *
     * The round driver parses stdout through a bounded tail window (~2000
@@ -84,7 +97,8 @@ object Bench {
       ts: Vector[(String, Double)],
       errMap: Map[String, String],
       sfDir: String,
-      staging: Vector[(String, Double)] = Vector.empty): (String, String) = {
+      staging: Vector[(String, Double)] = Vector.empty,
+      ambient: Option[Ambient] = None): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     val errs = errMap.toVector.sortBy(_._1)
@@ -101,25 +115,43 @@ object Bench {
     // the full-precision numbers live in the BENCH_RESULT.json line
     def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val total = ts.map(_._2).sum
-    def line(key: String => String, fmt: Double => Any) = {
+    def line(key: String => String, fmt: Double => Any,
+        withStaging: Boolean = true) = {
       val qs = ts.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
       val es = errs.map { case (k, v) => s"\"${esc(key(k))}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
       // staged-frame builds are their own line items (full names — the
       // namespace is small), so per-query numbers are marginal cost and
       // the one-time build cost is visible instead of riding inside
-      // whichever consumer ran first
-      val st = staging.map { case (k, v) => s"\"${esc(k)}\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging":$st,"errors":$es,"repeats":$Repeats,"sf":"$sfDir"}"""
+      // whichever consumer ran first. Entries are marginal-additive
+      // (graft.Staging): their sum is real staging wall time.
+      val st = (if (withStaging) staging else Vector.empty)
+        .map { case (k, v) => s"\"${esc(k)}\":" + fmt(v) }.mkString("{", ",", "}")
+      val amb = ambient.map { a =>
+        def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+        s""","loadavg_start":${arr(a.loadavgStart)},"loadavg_end":${arr(a.loadavgEnd)}""" +
+          s""","sentinel_start":${fmt(a.sentinelStart)},"sentinel_end":${fmt(a.sentinelEnd)}"""
+      }.getOrElse("")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging":$st,"errors":$es,"repeats":$Repeats$amb,"sf":"$sfDir"}"""
     }
-    // adaptive second compression stage: if the qNN line would overflow
-    // the driver's tail window, drop the 'q' prefix ("q95" -> "95") —
-    // digits stay unique iff the qNN keys were. Only fires when needed,
-    // so the format is stable until the registry actually outgrows it.
-    val first = line(shortKey, ms)
-    val stdoutLine =
-      if (first.length <= 1880) first
-      else line(shortKey.andThen(k =>
-        if (k.startsWith("q")) k.drop(1) else k), ms)
+    // adaptive compression stages for the driver's bounded tail window:
+    // (1) qNN keys + 2-decimal values; (2) drop the 'q' prefix ("q95" ->
+    // "95") — digits stay unique iff the qNN keys were; (3) drop the
+    // staging object from stdout (it survives in the file line). Each
+    // stage fires only when needed; overflow past stage 3 is LOUD
+    // (stderr) instead of the driver silently truncating the tail.
+    val stages = Seq(
+      () => line(shortKey, ms),
+      () => line(shortKey.andThen(k => if (k.startsWith("q")) k.drop(1) else k), ms),
+      () => line(shortKey.andThen(k => if (k.startsWith("q")) k.drop(1) else k),
+        ms, withStaging = false))
+    val stdoutLine = stages.iterator.map(_())
+      .find(_.length <= 1880)
+      .getOrElse {
+        val last = stages.last()
+        System.err.println(s"[Bench] stdout line still ${last.length} chars " +
+          "after all compression stages — driver tail window may truncate it")
+        last
+      }
     (stdoutLine, line(identity, v => v))
   }
 
@@ -156,17 +188,35 @@ object Bench {
       try once(fn) catch { case _: Throwable => () }
     }
 
+    // ambient-load evidence: loadavg + a registry-independent sentinel
+    // (fixed range-sum, min-of-3) bracketing the measured passes — see
+    // [[Ambient]]. Runs after warmup so the sentinel is steady-state too.
+    def loadavg(): Seq[Double] =
+      scala.util.Try(Files.readString(Paths.get("/proc/loadavg")).trim
+        .split("\\s+").take(3).toSeq.map(_.toDouble)).getOrElse(Seq.empty)
+    def sentinel(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 4000000L, 1, 32).selectExpr("sum(id) AS s", "count(1) AS c")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val (load0, sent0) = (loadavg(), sentinel())
+
     val (ts, errMap) = measure(
       queries.map { case (name, fn) => name -> (() => once(fn)) })
 
+    val ambient = Ambient(load0, loadavg(), sent0, sentinel())
+
     // every staged frame built anywhere in this run (warmup or a first
     // consumer), as its own line item; Staging.stage times the build
-    // eagerly so the number is the build itself, not consumer-attributed
-    val staging = Staging.buildTimes.toVector
+    // eagerly so the number is the build itself, not consumer-attributed.
+    // Entries are marginal (nested builds subtracted) and additive —
+    // their sum is the real staging wall time; session-filtered.
+    val staging = Staging.buildTimes(spark).toVector
       .collect { case ((d, name), secs) if d == sfDir => name -> secs }
       .sortBy(_._1)
 
-    val (stdoutLine, fileLine) = render(ts, errMap, sfDir, staging)
+    val (stdoutLine, fileLine) = render(ts, errMap, sfDir, staging, Some(ambient))
     println(stdoutLine)
     Files.writeString(Paths.get("BENCH_RESULT.json"), fileLine + "\n")
     spark.stop()

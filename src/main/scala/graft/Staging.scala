@@ -21,10 +21,22 @@ import org.apache.spark.storage.StorageLevel
   * staged frame so the bench can surface it as its own entry instead of
   * letting it ride inside whichever consumer query happens to run first
   * (which made that query's cold number order-dependent).
+  *
+  * Attribution is MARGINAL: a build that stages other frames inside its
+  * thunk (pr_edges → mh_pairs → grams3) records only its own cost — the
+  * nested builds' full elapsed time is subtracted, because they record
+  * it themselves. The recorded entries are therefore ADDITIVE: their sum
+  * is the real wall time spent building, and each frame answers "what
+  * would this run save if the frame were free". (Round-7's version
+  * billed children to every ancestor, so the entries summed to ~2.6x
+  * wall time — the BENCH_r07 68.9 s vs ~26 s discrepancy.)
   */
 object Staging {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private val times = TrieMap.empty[(String, String), Double]
+  private val times = TrieMap.empty[(SparkSession, String, String), Double]
+  // seconds of nested staged builds launched by each in-flight build,
+  // innermost first; guarded by `synchronized` (builds are serialized)
+  private var nestedCharge: List[Double] = Nil
 
   // builds are serialized: TrieMap.getOrElseUpdate evaluates the thunk in
   // every racing caller, and with the build now EAGER a lost race would
@@ -35,19 +47,39 @@ object Staging {
   def stage(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
     // lock-free fast path for hits (TrieMap reads are safe) — a reader of
     // an already-built frame must not block behind another frame's
-    // minutes-long build holding the lock
+    // minutes-long build holding the lock. A nested HIT charges nothing
+    // to the enclosing build, which is exactly marginal cost.
     cache.get((s, dir, name)).getOrElse(synchronized {
       cache.getOrElseUpdate((s, dir, name), {
+        nestedCharge ::= 0.0
         val t0 = System.nanoTime()
-        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize the whole cache now, on the builder's clock
-        times((dir, name)) = (System.nanoTime() - t0) / 1e9
-        df
+        try {
+          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          df.count() // materialize the whole cache now, on the builder's clock
+          val total = (System.nanoTime() - t0) / 1e9
+          times((s, dir, name)) = total - nestedCharge.head
+          nestedCharge = nestedCharge.tail match {
+            // bill this build's FULL elapsed (self + descendants) to the
+            // enclosing build, which subtracts it — so a grandparent never
+            // double-subtracts what the parent already covered
+            case parent :: rest => (parent + total) :: rest
+            case Nil => Nil
+          }
+          df
+        } catch {
+          case e: Throwable =>
+            nestedCharge = nestedCharge.tail // failed build records nothing
+            throw e
+        }
       })
     })
 
-  /** Seconds spent building each staged frame, keyed by (sfDir, name).
-    * One entry per build — a frame is built at most once per session+dir.
+  /** Marginal seconds spent building each of `s`'s staged frames, keyed by
+    * (sfDir, name). One entry per build — a frame is built at most once per
+    * session+dir — and entries are additive (nested builds subtracted).
+    * Keyed by session like the cache: two sessions in one JVM (sbt tests)
+    * never overwrite or leak timings into each other's reports.
     */
-  def buildTimes: Map[(String, String), Double] = times.toMap
+  def buildTimes(s: SparkSession): Map[(String, String), Double] =
+    times.toMap.collect { case ((sess, d, n), v) if sess eq s => (d, n) -> v }
 }

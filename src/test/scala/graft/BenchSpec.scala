@@ -56,6 +56,36 @@ class BenchSpec extends AnyFunSuite {
     assert(file.contains("\"staged_frame_1\":3.21098765"))
   }
 
+  test("ambient fields (loadavg + sentinel) land in both result lines") {
+    val amb = Bench.Ambient(Seq(1.52, 0.98, 0.75), Seq(2.01, 1.2, 0.8),
+      0.123456789, 0.234567891)
+    val (stdout, file) = Bench.render(
+      Vector(("q01_a", 1.0)), Map.empty, "sf", Vector.empty, Some(amb))
+    assert(stdout.contains("\"loadavg_start\":[1.52,0.98,0.75]"))
+    assert(stdout.contains("\"loadavg_end\":[2.01,1.2,0.8]"))
+    // stdout carries 2-decimal sentinels; the file line full precision
+    assert(stdout.contains("\"sentinel_start\":0.12") &&
+      stdout.contains("\"sentinel_end\":0.23"), stdout)
+    assert(file.contains("\"sentinel_start\":0.123456789") &&
+      file.contains("\"sentinel_end\":0.234567891"), file)
+    // both lines stay single-line valid JSON endings
+    assert(stdout.endsWith("\"sf\":\"sf\"}") && file.endsWith("\"sf\":\"sf\"}"))
+  }
+
+  test("final compression stage drops staging from stdout rather than " +
+    "silently overflowing the driver's tail window") {
+    // sized so the digit-key stage still overflows WITH the bulky staging
+    // map but fits once stage 3 drops it: 150 queries + 40 staging entries
+    val ts = (1 to 150).map(i => (f"q$i%03d_some_representative_query_name",
+      if (i % 10 == 0) 12.345678901 else 0.423456789)).toVector
+    val st = (1 to 40).map(i => (s"staged_frame_with_a_long_name_$i", 3.21098765)).toVector
+    val (stdout, file) = Bench.render(ts, Map.empty, "/root/testdata/sf0.1", st)
+    assert(stdout.length <= 1880, s"stdout line too long: ${stdout.length}")
+    assert(stdout.contains("\"staging\":{}"), "stage 3 must empty the staging object")
+    assert(file.contains("\"staged_frame_with_a_long_name_1\":3.21098765"),
+      "file line must keep the full staging map")
+  }
+
   test("short keys fall back to full names on prefix clash") {
     val ts = Vector(("q01_a", 1.0), ("q01_b", 2.0))
     val (stdout, _) = Bench.render(ts, Map.empty, "sf")

@@ -26,13 +26,50 @@ class BenchStagingSpec extends SparkSpec {
       "second_consumer" -> (() => consumer())), repeats = 3)
     assert(errs.isEmpty)
     assert(builds == 1, "staged frame must build exactly once")
-    val built = Staging.buildTimes.get(("/tmp/bench-staging-spec", "slow_frame"))
+    val built = Staging.buildTimes(spark).get(("/tmp/bench-staging-spec", "slow_frame"))
     assert(built.exists(_ >= 0.2), s"build time entry missing or short: $built")
     // the min of EVERY consumer — including the one that triggered the
     // build — excludes the build (it rode one discarded sample only)
     ts.toMap.foreach { case (name, min) =>
       assert(min < 0.2, s"$name's min ($min s) absorbed the staging build")
     }
+  }
+
+  test("nested staged builds are billed marginally: a parent frame's " +
+    "recorded time excludes its children's, so entries are additive") {
+    import spark.implicits._
+    val dir = "/tmp/bench-staging-additive"
+    // child: ~300 ms sleep; grandchild: ~200 ms; parent's own: ~100 ms.
+    // (Each build also pays real persist+count overhead, so the spec
+    // asserts RELATIVE properties — additivity vs measured wall time —
+    // not absolute bounds.) Round-7's accounting billed child+grandchild
+    // to every ancestor, so the entries summed to ~2x wall time.
+    def grandchild() = Staging.stage(spark, dir, "grandchild") {
+      Thread.sleep(200); Seq(1).toDF("x")
+    }
+    def child() = Staging.stage(spark, dir, "child") {
+      grandchild(); Thread.sleep(300); Seq(2).toDF("x")
+    }
+    val t0 = System.nanoTime()
+    Staging.stage(spark, dir, "parent") {
+      child()
+      grandchild() // nested HIT: charges nothing
+      Thread.sleep(100); Seq(3).toDF("x")
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val t = Staging.buildTimes(spark).collect { case ((d, n), v) if d == dir => n -> v }
+    // each entry covers at least its own sleep, and no entry absorbed a
+    // descendant's sleep on top of its own
+    assert(t("grandchild") >= 0.2, t.toString)
+    assert(t("child") >= 0.3, t.toString)
+    assert(t("parent") >= 0.1, t.toString)
+    // the additivity contract: the three marginal entries sum to the
+    // wall time of the one outer call that built them all (±50 ms of
+    // bookkeeping outside the inner clocks). Ancestor double-billing
+    // would make the sum ~2x wall.
+    val sum = t.values.sum
+    assert(math.abs(sum - wall) < 0.05,
+      s"entries must be additive: sum=$sum wall=$wall $t")
   }
 
   test("render emits staging entries as a first-class JSON object") {

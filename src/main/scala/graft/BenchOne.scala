@@ -62,6 +62,12 @@ object BenchOne {
       }
       println(f"BENCHONE $name min=${samples.min}%.3f samples=${samples.map(s => f"$s%.3f").mkString(",")}")
     }
+    // staged frames this run built (marginal seconds, same accounting as
+    // Bench) — so isolating a consumer query also isolates its builds
+    Staging.buildTimes(spark).toVector
+      .collect { case ((d, n), v) if d == sfDir => n -> v }
+      .sortBy(_._1)
+      .foreach { case (n, v) => println(f"BENCHONE staging:$n $v%.3f") }
     spark.stop()
   }
 }

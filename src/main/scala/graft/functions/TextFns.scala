@@ -33,6 +33,18 @@ object TextFns {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Deterministic 60-bit string hash: first 15 hex digits of md5, so the
+    * value fits a signed BIGINT in BOTH engines (16 digits could exceed
+    * Long.MaxValue, which Spark's string→long cast nulls and DuckDB
+    * errors on). 60 bits hold up to five disjoint 12-bit — or three
+    * disjoint 20-bit — probe windows, which is what makes sized Bloom
+    * filters with INDEPENDENT probes possible (hash32's 32 bits cannot
+    * hold three disjoint 12-bit windows; see [[BloomFns]]).
+    * DuckDB replay: CAST(('0x' || substr(md5(s),1,15)) AS BIGINT).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Tokens of `c` that appear in `words`. */
   def tokensIn(toks: Column, words: Seq[String]): Column =
     filter(toks, t => array_contains(array(words.map(lit): _*), t))

@@ -217,7 +217,11 @@ object CorpusOps {
         // size, probe is a pure map-side expression against a literal
         // array, zero joins on the corpus path. Bits derive from hash32
         // (md5-prefix — both engines compute the identical value), three
-        // positions from disjoint 12-bit windows of the 32-bit hash.
+        // positions from 12-bit windows of the 32-bit hash at offsets
+        // 0/12/20 — the last two OVERLAP by 4 bits (32 bits cannot hold
+        // three disjoint 12-bit windows), so the probes are correlated
+        // and k=3 formula math under-predicts fp (see BloomFns; q132 is
+        // the disjoint-window sized geometry over hash60).
         // False negatives are impossible; the false-POSITIVE rate is
         // measured in the same row against the exact join (the q124/q129
         // measure-don't-guess discipline — this is the number that sizes
@@ -292,6 +296,88 @@ object CorpusOps {
         "(kilobytes broadcast at any bench size, no corpus-path join), " +
         "with the false-positive rate measured against the exact join " +
         "(pipeline ops brief: eval-set leakage removal at index scale)."),
+
+    // ------------------------------- sized bloom decontamination (q132)
+    Q(
+      "q132_bloom_decon_sized",
+      (s, dir) => {
+        // q130's filter re-sized for a 10× held-out set (doc_id < 100,
+        // ~5k grams vs q130's ~500): BloomSizing makes bits/probes
+        // PARAMETERS over the 60-bit hash60, whose width admits three
+        // DISJOINT 17-bit windows (offsets 0/17/34) — so the probes are
+        // independent and (1-e^(-kn/m))^k actually bounds fp. 131072
+        // bits = 4096 words: at n≈5k, k=3 the formula predicts ~1.1e-3;
+        // the row still MEASURES fp_ppm against the exact join (the
+        // filter-sizing number for a real 100k+-gram held-out set, where
+        // q130's fixed 4096 bits saturate to fp≈1). The probe side stays
+        // a pure projection: one corpus scan, no join on the probed path
+        // (the exact-join leg exists only to measure fp, as in q130).
+        import graft.functions.TextFns.{hash60, tokens, wordNgrams}
+        import graft.functions.{BloomFns, BloomSizing}
+        val sz = BloomSizing(bits = 131072, probes = 3)
+        // per-doc distinct HASHES in-row, like q130: the oracle's pr CTE
+        // groups by (doc_id, h), so an intra-document hash60 collision
+        // must collapse on this side too (vanishing at 60 bits, but the
+        // parity rule is the same)
+        val g = docs(s, dir).select(col("doc_id"),
+            explode(array_distinct(transform(
+              array_distinct(wordNgrams(tokens(col("text")), 5)),
+              gr => hash60(gr)))).as("h"))
+        val benchH = g.filter(col("doc_id") < 100).select("h").distinct()
+        val words = BloomFns.buildSized(benchH.collect().map(_.getLong(0)), sz)
+        g.filter(col("doc_id") >= 100)
+          .join(broadcast(benchH.withColumn("exact", lit(1))),
+            Seq("h"), "left_outer")
+          .withColumn("bloom_hit", BloomFns.mightContainSized(words, col("h"), sz))
+          .agg(count(lit(1)).as("n_probed"),
+            sum(col("bloom_hit")).cast("long").as("n_bloom_pos"),
+            sum(coalesce(col("exact"), lit(0))).cast("long").as("n_exact_pos"))
+          .select(col("n_probed"), col("n_bloom_pos"), col("n_exact_pos"),
+            when(col("n_probed") === col("n_exact_pos"), lit(0L))
+              .otherwise(expr(
+                "(n_bloom_pos - n_exact_pos) * 1000000L div (n_probed - n_exact_pos)"))
+              .as("fp_ppm"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(ng), 1, 15)) AS BIGINT) AS h
+              FROM g5),
+        bench AS (SELECT DISTINCT h FROM h WHERE doc_id < 100),
+        bbits AS (SELECT DISTINCT b FROM (
+            SELECT h & 131071 AS b FROM bench
+            UNION ALL SELECT (h >> 17) & 131071 FROM bench
+            UNION ALL SELECT (h >> 34) & 131071 FROM bench)),
+        bloom AS (SELECT b // 32 AS w,
+                         CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(b % 32 AS INT))
+                              AS BIGINT) AS bm
+                  FROM bbits GROUP BY 1),
+        corp AS (SELECT c.doc_id, c.h,
+                        CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END AS exact
+                 FROM (SELECT doc_id, h FROM h WHERE doc_id >= 100) c
+                 LEFT JOIN bench ON c.h = bench.h),
+        pr AS (SELECT c.doc_id, c.h, c.exact,
+                      MIN(CASE WHEN bl.bm IS NOT NULL AND
+                            (bl.bm & (CAST(1 AS BIGINT) << CAST(x.b % 32 AS INT))) <> 0
+                          THEN 1 ELSE 0 END) AS bloom_hit
+               FROM corp c,
+                    UNNEST([c.h & 131071, (c.h >> 17) & 131071, (c.h >> 34) & 131071]) AS x(b)
+               LEFT JOIN bloom bl ON bl.w = x.b // 32
+               GROUP BY 1, 2, 3)
+        SELECT COUNT(*) AS n_probed,
+               CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_pos,
+               CAST(SUM(exact) AS BIGINT) AS n_exact_pos,
+               CAST(CASE WHEN COUNT(*) = SUM(exact) THEN 0
+                         ELSE (SUM(bloom_hit) - SUM(exact)) * 1000000
+                              // (COUNT(*) - SUM(exact)) END AS BIGINT) AS fp_ppm
+        FROM pr"""),
+      "Sized bloom decontamination: bits/probes as BloomSizing parameters " +
+        "over the 60-bit hash (three DISJOINT 17-bit probe windows — " +
+        "independent-probe fp math holds), measured-fp discipline kept at " +
+        "a 10x held-out set (131072 bits / 3 probes; the geometry a " +
+        "100k+-gram eval set needs where q130's 4096 bits saturate)."),
 
     // ---------------------------------------------- rare-token scoring
     Q(

@@ -52,7 +52,8 @@ class DirtyCorpusSpec extends SparkSpec {
     "q118_chunk_index", "q119_containment_dedup", "q120_recipe_funnel",
     "q121_dsir_importance", "q122_unigram_surprisal", "q123_padding_waste",
     "q124_lsh_recall_audit", "q125_incremental_dedup", "q126_simhash_neardup",
-    "q127_cms_heavy_hitters", "q130_bloom_decontamination")
+    "q127_cms_heavy_hitters", "q130_bloom_decontamination",
+    "q132_bloom_decon_sized")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

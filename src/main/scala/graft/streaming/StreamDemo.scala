@@ -86,38 +86,44 @@ object StreamDemo {
     val logCkpt = java.nio.file.Files.createTempDirectory("logck").toString
     val logParsed = graft.model.Envelopes.parseLog(
       graft.model.Envelopes.logFromEvents(raw))
-    val splitCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+    // foreachBatch accumulators are keyed by batchId and OVERWRITTEN, not
+    // incremented: a retried micro-batch (at-least-once semantics) replays
+    // its batchId, so assignment is idempotent where += double-counts.
+    // TrieMap because foreachBatch runs on the stream-execution thread and
+    // the totals are read on the main thread after stop().
+    val splitCounts = scala.collection.concurrent.TrieMap.empty[(Long, String), Long]
     val splitQ = DwdLogStream.split(logParsed).writeStream
       .option("checkpointLocation", s"$logCkpt/split")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         b.groupBy("stream").count().collect().foreach { r =>
-          splitCounts.updateWith(r.getString(0))(v =>
-            Some(v.getOrElse(0L) + r.getLong(1)))
+          splitCounts((id, r.getString(0))) = r.getLong(1)
         }
         ()
       }.start()
     splitQ.processAllAvailable()
     splitQ.stop()
+    def splitTotal(stream: String): Long =
+      splitCounts.collect { case ((_, s), n) if s == stream => n }.sum
 
-    var kwRows = 0L
+    val kwBatches = scala.collection.concurrent.TrieMap.empty[Long, Long]
     val kwQ = DwdLogStream.keywordWindow(
         StatefulOps.newVisitorRepair(DwdLogStream.pageViews(logParsed)))
       .writeStream
       .option("checkpointLocation", s"$logCkpt/kw")
       .outputMode("update")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        kwRows += b.count()
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        kwBatches(id) = b.count()
         ()
       }.start()
     kwQ.processAllAvailable()
     kwQ.stop()
+    val kwRows = kwBatches.values.sum
 
     // Fourth vertical: streaming corpus ingest — the documents table
     // replayed as an unbounded feed, deduped by content fingerprint across
     // micro-batches (bounded state via the watermark horizon), then
     // token-counted: the training-data pipeline's ingest front door.
-    var corpusRows = 0L
-    var corpusTokens = 0L
+    val corpusBatches = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
     val corpusQ = StatefulOps.streamingExactDedup(
         graft.sources.Sources.fileStream(spark, sfDir, "documents")
           .withColumn("ts", timestamp_seconds(col("doc_id")))
@@ -128,14 +134,16 @@ object StreamDemo {
           .as("n_tokens"))
       .writeStream
       .option("checkpointLocation", s"$logCkpt/corpus")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        corpusRows += b.count()
-        corpusTokens += Option(b.agg(sum("n_tokens")).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        corpusBatches(id) = (b.count(),
+          Option(b.agg(sum("n_tokens")).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L))
         ()
       }.start()
     corpusQ.processAllAvailable()
     corpusQ.stop()
+    val corpusRows = corpusBatches.values.map(_._1).sum
+    val corpusTokens = corpusBatches.values.map(_._2).sum
 
     // Fifth vertical: the DWS province window WITH its lateness metric
     // (DwsTradeStream) — the drop-rate leg the reference's silent 3 s
@@ -174,23 +182,23 @@ object StreamDemo {
     val benchBloom = StreamingDecon.buildBloom(
       spark.read.parquet(s"$sfDir/documents.parquet")
         .filter($"doc_id" < 10).select($"doc_id", $"text"))
-    var deconRows = 0L
-    var deconFlagged = 0L
+    val deconBatches = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
     val deconQ = StreamingDecon.flag(
         graft.sources.Sources.fileStream(spark, sfDir, "documents")
           .select($"doc_id", $"text"), benchBloom)
       .writeStream
       .option("checkpointLocation", s"$logCkpt/decon")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        deconRows += b.count()
-        deconFlagged += b.filter(col("contaminated") === 1).count()
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        deconBatches(id) = (b.count(), b.filter(col("contaminated") === 1).count())
         ()
       }.start()
     deconQ.processAllAvailable()
     deconQ.stop()
+    val deconRows = deconBatches.values.map(_._1).sum
+    val deconFlagged = deconBatches.values.map(_._2).sum
 
     val splitStr = Seq("err", "start", "page", "display", "action")
-      .map(k => s"$k=${splitCounts.getOrElse(k, 0L)}").mkString(",")
+      .map(k => s"$k=${splitTotal(k)}").mkString(",")
     println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
       s"dim_order_rows=$dimRows dim_user_rows=$dimUsers " +
       s"log_split{$splitStr} kw_rows=$kwRows " +
@@ -199,7 +207,7 @@ object StreamDemo {
       s"decon_rows=$deconRows decon_flagged=$deconFlagged")
     spark.stop()
     if (rows == 0 || dimRows == 0 || kwRows == 0 || corpusRows == 0 ||
-      splitCounts.getOrElse("page", 0L) == 0L ||
+      splitTotal("page") == 0L ||
       provRows == 0 || lateSeen == 0 || deconRows == 0 ||
       deconFlagged == 0) sys.exit(1)
   }

@@ -742,6 +742,23 @@ object SimilarityOps {
         // model-sizing step); the oracle derives the identical K
         // relationally and replays both argmax levels with the same tie
         // rules (rank over cosine DESC, id ASC).
+        //
+        // JOIN CHOICE for level 2 (the `join(centSup, "sid")` below):
+        // centSup is BROADCAST, deliberately. Its size is K rows ×
+        // (64 dims × 8 B + ids) ≈ 550 B/row — 134 KB at the measured x10
+        // corpus (K=250), ~0.5 GB at K=10⁶, i.e. bounded until N ≈ 2×10⁸
+        // docs at K=N/200. Past that the hierarchy gains a THIRD level
+        // (the same invariant that bounds per-vector assignment work —
+        // each level's fanout stays ~bounded — is what keeps the shipped
+        // centroid table bounded: a deeper tree ships each super's ~K/16
+        // slice only where it is needed). The alternative the broadcast
+        // replaces — a shuffle join keyed on `sid` — is plan-neutral at
+        // small K but wrong at scale: sid has exactly 16 values, so the
+        // exchange hashes the ENTIRE corpus into ≤16 partitions and caps
+        // the stage's parallelism at 16 regardless of cluster size. A
+        // 16-key shuffle is the skew we tell other operators to salt
+        // away; keeping the corpus side exchange-free is the point of
+        // broadcasting the (bounded) model.
         val k = math.max(16L, vecs(s, dir).count() / 200L)
         val base = vecs(s, dir)
         val sup = broadcast(base.filter(col("vec_id") < 16)

@@ -72,11 +72,17 @@ def write(path, rows):
     print(f"wrote {path}: {t.num_rows} rows")
 
 
-def write_embeddings(path, n, seed=7):
+def write_embeddings(path, n, seed=7, skew=0.0):
     """Seeded 64-dim float32 embeddings with ~2% planted near-dups
     (source vector + small perturbation) so the ANN/near-dup queries have
     real positives at every scale. vec_id 0..n-1 — the queries' own
     query/corpus split (vec_id < 5 / >= 5) applies unchanged.
+
+    skew > 0 is the SATURATED regime for the vector family: that fraction
+    of vectors is drawn as tight near-dups of just 8 anchors, so a few
+    semantic clusters absorb a large share of the corpus — the adversarial
+    case for any per-cluster pairwise step (q100/q131's within-cluster
+    O(n_c^2)), the same role the pinned vocab plays for the gram family.
     """
     rng = np.random.default_rng(seed)
     v = rng.standard_normal((n, 64)).astype(np.float32)
@@ -84,6 +90,13 @@ def write_embeddings(path, n, seed=7):
     for k, s in enumerate(dup_src):
         d = (s + 1 + k) % n
         v[d] = v[s] + 0.01 * rng.standard_normal(64).astype(np.float32)
+    if skew > 0:
+        anchors = rng.standard_normal((8, 64)).astype(np.float32)
+        picks = rng.random(n) < skew
+        # anchored vectors keep ids spread across the whole range so every
+        # centroid window (vec_id < K) contains both regimes
+        v[picks] = (anchors[rng.integers(0, 8, picks.sum())]
+                    + 0.01 * rng.standard_normal((picks.sum(), 64)).astype(np.float32))
     t = pa.table({
         "vec_id": pa.array(np.arange(n), pa.int64()),
         "embedding": pa.array(list(v), pa.list_(pa.float32())),
@@ -122,9 +135,12 @@ def main():
         rows += gen_shard(rng, shard, per_shard, shard * per_shard, "")
     os.makedirs(f"{out}/x10sat", exist_ok=True)
     write(f"{out}/x10sat/documents.parquet", rows)
-    # same embeddings as x10: the documents saturate, the vectors don't —
-    # this keeps every embeddings-family query runnable on the x10sat dir
-    write_embeddings(f"{out}/x10sat/embeddings.parquet", per_shard * 10)
+    # saturated embeddings to match the saturated documents: 40% of the
+    # vectors collapse onto 8 anchors (see write_embeddings skew) — the
+    # cluster-skew adversary for the semantic-dedup family. Rounds <= 7
+    # wrote a byte-copy of x10 here, so no embeddings query had a real
+    # saturated-regime measurement.
+    write_embeddings(f"{out}/x10sat/embeddings.parquet", per_shard * 10, skew=0.4)
 
 
 if __name__ == "__main__":

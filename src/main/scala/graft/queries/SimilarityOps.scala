@@ -42,7 +42,7 @@ object SimilarityOps {
   // mechanics under test are identical either way. The codebook is a
   // driver-side model (8*16*8 doubles — the broadcast-model shape a FAISS
   // build ships to scoring nodes), collected once per (session, dir).
-  private val PqM = 8; private val PqDim = 8; private val PqK = 16
+  private[graft] val PqM = 8; private val PqDim = 8; private val PqK = 16
 
   /** (codebook(m)(k) = 8-dim codeword, norms(m)(k) = left-fold <cw,cw>).
     * Trains on the first 16 WELL-FORMED vectors (null / wrong-dimension
@@ -84,7 +84,7 @@ object SimilarityOps {
     * VectorFns.planeDot hard-errors on); null codes null the ADC, which
     * sorts last.
     */
-  private def pqEncode(df: DataFrame, vCol: String,
+  private[graft] def pqEncode(df: DataFrame, vCol: String,
       cb: IndexedSeq[IndexedSeq[Seq[Double]]],
       norms: IndexedSeq[IndexedSeq[Double]]): DataFrame =
     (0 until PqM).foldLeft(df) { (d, m) =>
@@ -108,7 +108,7 @@ object SimilarityOps {
     * floors a bit-identical double, so the BIGINT sum is order-free and
     * hash-exact — no float summation order anywhere.
     */
-  private def adcDistance(qCol: String,
+  private[graft] def adcDistance(qCol: String,
       cb: IndexedSeq[IndexedSeq[Seq[Double]]],
       norms: IndexedSeq[IndexedSeq[Double]]): Column =
     (0 until PqM).map { m =>
@@ -117,6 +117,24 @@ object SimilarityOps {
       val cc = element_at(typedLit(norms(m)), col(s"code_$m") + 1)
       floor((dot(qs, qs) - lit(2.0) * dot(qs, cw) + cc) * lit(1e9))
     }.reduce(_ + _)
+
+  /** The IVF-PQ model bundle for the streaming ingest twin
+    * (graft.streaming.StreamingAnn): the same first-16 coarse centroids
+    * the batch `assign` broadcasts (collected — 16 rows, the model-build
+    * shape), plus the shared PQ codebook/norms. Built from the SAME
+    * memoized pqModel, so streamed codes and ADC are bit-identical to
+    * q128's by construction.
+    */
+  private[graft] def annModel(s: SparkSession, dir: String)
+      : (Seq[(Long, Seq[Double])],
+         IndexedSeq[IndexedSeq[Seq[Double]]],
+         IndexedSeq[IndexedSeq[Double]]) = {
+    val (cb, norms) = pqModel(s, dir)
+    val cents = vecs(s, dir).filter(col("vec_id") < 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .toSeq.sortBy(_._1)
+    (cents, cb, norms)
+  }
 
   /** SemDeDup pipeline shared by q100 (fixed K=16) and q131 (corpus-
     * scaled K): cluster embeddings on the nearest of the first `centK`

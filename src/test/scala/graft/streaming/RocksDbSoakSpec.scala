@@ -160,6 +160,40 @@ class RocksDbSoakSpec extends SparkSpec {
     assert(rocks.map(_.late).sum > 0)
   }
 
+  test("StreamingAnn ingest behind the exact-dedup front: RocksDB provider " +
+    "matches default on a 1.2k-vector soak with re-sends") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val m = StreamingAnn.model(spark, "/root/testdata/sf0.001")
+    def vec(i: Long): VecRow =
+      VecRow(i, Seq.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat))
+    val base = (0L until 1200L).map(vec).grouped(300).map(_.toSeq).toSeq
+    // at-least-once crawl: each later batch re-sends 50 vectors from the
+    // previous one; the stateful exact-dedup front must keep exactly one
+    // index row per vec_id (all ts within the 1 h horizon — no state GC)
+    val batches = base.zipWithIndex.map { case (b, i) =>
+      if (i == 0) b else base(i - 1).take(50) ++ b
+    }
+    // ts offset past epoch 0: the initial watermark IS 0, and an event
+    // sitting exactly on the watermark is dropped as late — vec_id 0 at
+    // timestamp_seconds(0) vanished before this offset
+    def op(ds: Dataset[VecRow]) =
+      StreamingAnn.ingest(
+        StatefulOps.streamingExactDedup(
+          ds.toDF().withColumn("ts", timestamp_seconds(col("vec_id") + 3600L)),
+          "vec_id", "ts", "1 hour"),
+        "vec_id", m)
+        .select((col("vec_id") +: col("cid") +:
+          (0 until 8).map(i => col(s"code_$i"))): _*)
+        .as[(Long, Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+    val (rocks, default) = bothProviders(batches)(op)
+    // vec_id is unique per row, so sorting on it is a total order
+    assert(rocks.sortBy(_._1) == default.sortBy(_._1))
+    val missing = (0L until 1200L).toSet -- rocks.map(_._1)
+    assert(rocks.length == 1200 && rocks.map(_._1).distinct.length == 1200,
+      s"missing ids: $missing; dupes: ${rocks.groupBy(_._1).filter(_._2.size > 1).keys}")
+  }
+
   test("StreamingLsh pair emitter: RocksDB provider matches default on the corpus") {
     import spark.implicits._
     val hits = StreamingLsh.bandAssignments(

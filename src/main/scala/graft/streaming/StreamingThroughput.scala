@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Ingest-rate measurement for the streaming twins under the RocksDB state
+  * store — the provider a 1000-executor deployment runs. The batch family
+  * has measured 10× scaling exponents (ScalingBench/PERF.md); this is the
+  * same discipline for the ingest operators: rows/s at a 1× and a 10×
+  * corpus, fixed micro-batch size (a constant trigger volume — 10× data
+  * means 10× triggers, the production shape), wall-clocked from first
+  * addData to the last processAllAvailable return.
+  *
+  * Twins measured: StreamingLsh (stateful bucket members), StreamingDecon
+  * (stateless in-row bloom probe), StreamingAnn ingest behind the
+  * stateful exact-dedup front, and DwsTradeStream (both legs of the
+  * province window + lateness metric, fed in event-time order as a real
+  * per-key-ordered ingest would arrive).
+  *
+  * Usage: runMain graft.streaming.StreamingThroughput
+  *          [scaleRoot] [eventsDirX1] [eventsDirX10]
+  * defaults: /tmp/scale_docs (gen_scale_corpus.py output) and
+  * /root/testdata/sf0.01 / sf0.1 for the events-fed twin. Emits CSV
+  * `twin,dir,rows,secs,rows_per_sec` rows as they complete.
+  */
+object StreamingThroughput {
+
+  final case class DocIn(doc_id: Long, text: String)
+  final case class VecIn(vec_id: Long, embedding: Seq[Float])
+  final case class OrderIn(event_id: Long, user_id: Long, ts: Timestamp, amount: Double)
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def main(args: Array[String]): Unit = {
+    val scaleRoot = args.lift(0).getOrElse("/tmp/scale_docs")
+    val evX1 = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val evX10 = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    // trigger volume: at small triggers the per-micro-batch fixed cost
+    // (planning + state-store commit) floors the rate, so measured rows/s
+    // is a LOWER bound that rises with trigger size — measure both 1000
+    // and a larger setting to see the two regimes
+    val BatchRows = args.lift(3).map(_.toInt).getOrElse(1000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+    import spark.implicits._
+
+    /** Feed `rows` in BatchRows-sized micro-batches to every query built
+      * over the shared input; returns wall seconds for the full drain.
+      */
+    def feed[I: Encoder](rows: Seq[I])(
+        start: Dataset[I] => Seq[StreamingQuery]): Double = {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[I]
+      val queries = start(input.toDS())
+      val t0 = System.nanoTime()
+      try {
+        rows.grouped(BatchRows).foreach { b =>
+          input.addData(b)
+          queries.foreach(_.processAllAvailable())
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally queries.foreach(_.stop())
+    }
+
+    def noop(df: DataFrame): StreamingQuery =
+      df.writeStream.format("noop").start()
+
+    def emit(twin: String, dir: String, rows: Int, secs: Double): Unit =
+      println(f"$twin,$dir,$rows,$secs%.3f,${rows / secs}%.0f")
+
+    def docs(dir: String): Seq[DocIn] =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[DocIn]
+        .collect().sortBy(_.doc_id).toSeq
+
+    def vecsIn(dir: String): Seq[VecIn] =
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).as[VecIn]
+        .collect().sortBy(_.vec_id).toSeq
+
+    // event-time order: per-key order follows, which the metric leg's
+    // fail-fast cross-batch contract requires
+    def orders(dir: String): Seq[OrderIn] =
+      graft.Tables(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          col("ts"), col("value").cast("double").as("amount"))
+        .as[OrderIn].collect().sortBy(o => (o.ts.getTime, o.event_id)).toSeq
+
+    def lsh(ds: Dataset[DocIn]) =
+      Seq(noop(StreamingLsh.pairs(StreamingLsh.bandAssignments(ds.toDF())).toDF()))
+    def decon(bloom: Array[Long])(ds: Dataset[DocIn]) =
+      Seq(noop(StreamingDecon.flag(ds.toDF(), bloom)))
+    def ann(m: StreamingAnn.Model)(ds: Dataset[VecIn]) =
+      Seq(noop(StreamingAnn.ingest(
+        StatefulOps.streamingExactDedup(
+          ds.toDF().withColumn("ts", timestamp_seconds(col("vec_id") + 3600L)),
+          "vec_id", "ts", "1 hour"),
+        "vec_id", m)))
+    def dws(ds: Dataset[OrderIn]) = {
+      val (agg, late) = DwsTradeStream.provinceOrderWindow(ds.toDF())
+      Seq(noop(agg), noop(late.toDF()))
+    }
+
+    val x1Docs = docs(s"$scaleRoot/x1")
+    val x10Docs = docs(s"$scaleRoot/x10")
+    val bloom = StreamingDecon.buildBloom(
+      spark.read.parquet(s"$scaleRoot/x1/documents.parquet")
+        .filter(col("doc_id") < 10).select(col("doc_id"), col("text")))
+    val x1Vecs = vecsIn(s"$scaleRoot/x1")
+    val x10Vecs = vecsIn(s"$scaleRoot/x10")
+    val annModel = StreamingAnn.model(spark, s"$scaleRoot/x1")
+    val x1Orders = orders(evX1)
+    val x10Orders = orders(evX10)
+
+    // JIT/codegen warmup: every twin once on a small slice, untimed
+    feed(x1Docs.take(BatchRows))(lsh)
+    feed(x1Docs.take(BatchRows))(decon(bloom))
+    feed(x1Vecs.take(BatchRows))(ann(annModel))
+    feed(x1Orders.take(BatchRows))(dws)
+
+    println("twin,dir,rows,secs,rows_per_sec")
+    emit("lsh", "x1", x1Docs.size, feed(x1Docs)(lsh))
+    emit("lsh", "x10", x10Docs.size, feed(x10Docs)(lsh))
+    emit("decon", "x1", x1Docs.size, feed(x1Docs)(decon(bloom)))
+    emit("decon", "x10", x10Docs.size, feed(x10Docs)(decon(bloom)))
+    emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))
+    emit("ann_ingest", "x10", x10Vecs.size, feed(x10Vecs)(ann(annModel)))
+    emit("dws_trade", evX1, x1Orders.size, feed(x1Orders)(dws))
+    emit("dws_trade", evX10, x10Orders.size, feed(x10Orders)(dws))
+    spark.stop()
+  }
+}

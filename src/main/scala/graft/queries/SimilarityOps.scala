@@ -136,6 +136,95 @@ object SimilarityOps {
     (cents, cb, norms)
   }
 
+  /** Two-level corpus-scaled centroid assignment shared by q131 and q133:
+    * K = max(16, N/200) centroids, every vector routed through the 16
+    * super-centroids then argmaxed over that super's ~K/16 centroids —
+    * per-vector work bounded by 16 + K/16 instead of K (the flat argmax
+    * measured exponent 1.26; this form 0.38). Deeper corpora add levels,
+    * same pattern. The count is one driver-side action (the model-sizing
+    * step); the oracle derives the identical K relationally and replays
+    * both argmax levels with the same tie rules (rank over cosine DESC,
+    * id ASC).
+    *
+    * JOIN CHOICE for level 2 (the `join(centSup, "sid")` below): centSup
+    * is BROADCAST, deliberately. Its size is K rows × (64 dims × 8 B +
+    * ids) ≈ 550 B/row — 134 KB at the measured x10 corpus (K=250),
+    * ~0.5 GB at K=10⁶, i.e. bounded until N ≈ 2×10⁸ docs at K=N/200.
+    * Past that the hierarchy gains a THIRD level (the same invariant
+    * that bounds per-vector assignment work — each level's fanout stays
+    * ~bounded — is what keeps the shipped centroid table bounded: a
+    * deeper tree ships each super's ~K/16 slice only where it is
+    * needed). The alternative the broadcast replaces — a shuffle join
+    * keyed on `sid` — is plan-neutral at small K but wrong at scale:
+    * sid has exactly 16 values, so the exchange hashes the ENTIRE
+    * corpus into ≤16 partitions and caps the stage's parallelism at 16
+    * regardless of cluster size. A 16-key shuffle is the skew we tell
+    * other operators to salt away; keeping the corpus side
+    * exchange-free is the point of broadcasting the (bounded) model.
+    */
+  private def twoLevelAssign(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns.cosine
+    val k = math.max(16L, vecs(s, dir).count() / 200L)
+    val base = vecs(s, dir)
+    val sup = broadcast(base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("sid"), col("v").as("sv")))
+    def toSuper(df: DataFrame, idCol: String, vCol: String) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("sdist").desc, col("sid"))
+      df.crossJoin(sup)
+        .withColumn("sdist", cosine(col(vCol), col("sv")))
+        .withColumn("srank", row_number().over(w))
+        .filter(col("srank") === 1)
+        .select(col(idCol), col(vCol), col("sid"))
+    }
+    val centSup = broadcast(toSuper(
+      base.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("cv")),
+      "cid", "cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").desc, col("cid"))
+    toSuper(base, "vec_id", "v")
+      .join(centSup, "sid")
+      .withColumn("cdist", cosine(col("v"), col("cv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** The [[twoLevelAssign]] oracle CTEs, ending at `a` = (vec_id, v, cid)
+    * — shared verbatim by q131's and q133's SQL so both replay the
+    * identical assignment.
+    */
+  private val twoLevelAssignCte = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sup AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
+        centk AS (SELECT vec_id AS cid, v AS cv FROM e
+                  WHERE vec_id < (SELECT GREATEST(16, COUNT(*) // 200) FROM e)),
+        csr AS (SELECT cid, cv, sid,
+                       row_number() OVER (PARTITION BY cid ORDER BY
+                         list_dot_product(cv, sv) /
+                           (sqrt(list_dot_product(cv, cv))
+                            * sqrt(list_dot_product(sv, sv))) DESC,
+                         sid) AS rn
+                FROM centk, sup),
+        cs AS (SELECT cid, cv, sid FROM csr WHERE rn = 1),
+        vsr AS (SELECT vec_id, v, sid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY
+                         list_dot_product(v, sv) /
+                           (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(sv, sv))) DESC,
+                         sid) AS rn
+                FROM e, sup),
+        vs AS (SELECT vec_id, v, sid FROM vsr WHERE rn = 1),
+        aa AS (SELECT vs.vec_id, vs.v, cs.cid,
+                      row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+                        list_dot_product(vs.v, cs.cv) /
+                          (sqrt(list_dot_product(vs.v, vs.v))
+                           * sqrt(list_dot_product(cs.cv, cs.cv))) DESC,
+                        cs.cid) AS rn
+               FROM vs JOIN cs USING (sid)),
+        a AS (SELECT vec_id, v, cid FROM aa WHERE rn = 1)"""
+
   /** SemDeDup pipeline shared by q100 (fixed K=16) and q131 (corpus-
     * scaled K): cluster embeddings on the nearest of the first `centK`
     * corpus vectors, pairwise cosine ONLY within a cluster (the blocking
@@ -744,95 +833,14 @@ object SimilarityOps {
     // --------------------------------- SemDeDup with corpus-scaled K
     Q(
       "q131_semantic_dedup_scaledk",
-      (s, dir) => {
-        import graft.functions.VectorFns.cosine
-        // q100's documented 100 TB path made real — and then CORRECTED by
-        // measurement: K grows with the corpus (max(16, N/200)) so each
-        // cluster's quadratic pairwork stays bounded, but a flat argmax
-        // assignment over K centroids is N·K work — measured exponent
-        // 1.26 at x1→x10, WORSE than q100's fixed-K 1.07 (the quadratic
-        // just moved from the pair join to the assignment). So assignment
-        // here is TWO-LEVEL, the shape production vector systems use:
-        // every vector routes through the 16 super-centroids, then
-        // argmaxes only over that super's ~K/16 centroids — per-vector
-        // work bounded by 16 + K/16 instead of K. Deeper corpora add
-        // levels, same pattern. The count is one driver-side action (the
-        // model-sizing step); the oracle derives the identical K
-        // relationally and replays both argmax levels with the same tie
-        // rules (rank over cosine DESC, id ASC).
-        //
-        // JOIN CHOICE for level 2 (the `join(centSup, "sid")` below):
-        // centSup is BROADCAST, deliberately. Its size is K rows ×
-        // (64 dims × 8 B + ids) ≈ 550 B/row — 134 KB at the measured x10
-        // corpus (K=250), ~0.5 GB at K=10⁶, i.e. bounded until N ≈ 2×10⁸
-        // docs at K=N/200. Past that the hierarchy gains a THIRD level
-        // (the same invariant that bounds per-vector assignment work —
-        // each level's fanout stays ~bounded — is what keeps the shipped
-        // centroid table bounded: a deeper tree ships each super's ~K/16
-        // slice only where it is needed). The alternative the broadcast
-        // replaces — a shuffle join keyed on `sid` — is plan-neutral at
-        // small K but wrong at scale: sid has exactly 16 values, so the
-        // exchange hashes the ENTIRE corpus into ≤16 partitions and caps
-        // the stage's parallelism at 16 regardless of cluster size. A
-        // 16-key shuffle is the skew we tell other operators to salt
-        // away; keeping the corpus side exchange-free is the point of
-        // broadcasting the (bounded) model.
-        val k = math.max(16L, vecs(s, dir).count() / 200L)
-        val base = vecs(s, dir)
-        val sup = broadcast(base.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("sid"), col("v").as("sv")))
-        def toSuper(df: DataFrame, idCol: String, vCol: String) = {
-          val w = Window.partitionBy(col(idCol))
-            .orderBy(col("sdist").desc, col("sid"))
-          df.crossJoin(sup)
-            .withColumn("sdist", cosine(col(vCol), col("sv")))
-            .withColumn("srank", row_number().over(w))
-            .filter(col("srank") === 1)
-            .select(col(idCol), col(vCol), col("sid"))
-        }
-        val centSup = broadcast(toSuper(
-          base.filter(col("vec_id") < k)
-            .select(col("vec_id").as("cid"), col("v").as("cv")),
-          "cid", "cv"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cdist").desc, col("cid"))
-        val assigned = toSuper(base, "vec_id", "v")
-          .join(centSup, "sid")
-          .withColumn("cdist", cosine(col("v"), col("cv")))
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") === 1)
-          .select(col("vec_id"), col("v"), col("cid"))
-        semanticDedupRollup(assigned)
-      },
-      Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        sup AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 16),
-        centk AS (SELECT vec_id AS cid, v AS cv FROM e
-                  WHERE vec_id < (SELECT GREATEST(16, COUNT(*) // 200) FROM e)),
-        csr AS (SELECT cid, cv, sid,
-                       row_number() OVER (PARTITION BY cid ORDER BY
-                         list_dot_product(cv, sv) /
-                           (sqrt(list_dot_product(cv, cv))
-                            * sqrt(list_dot_product(sv, sv))) DESC,
-                         sid) AS rn
-                FROM centk, sup),
-        cs AS (SELECT cid, cv, sid FROM csr WHERE rn = 1),
-        vsr AS (SELECT vec_id, v, sid,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY
-                         list_dot_product(v, sv) /
-                           (sqrt(list_dot_product(v, v))
-                            * sqrt(list_dot_product(sv, sv))) DESC,
-                         sid) AS rn
-                FROM e, sup),
-        vs AS (SELECT vec_id, v, sid FROM vsr WHERE rn = 1),
-        aa AS (SELECT vs.vec_id, vs.v, cs.cid,
-                      row_number() OVER (PARTITION BY vs.vec_id ORDER BY
-                        list_dot_product(vs.v, cs.cv) /
-                          (sqrt(list_dot_product(vs.v, vs.v))
-                           * sqrt(list_dot_product(cs.cv, cs.cv))) DESC,
-                        cs.cid) AS rn
-               FROM vs JOIN cs USING (sid)),
-        a AS (SELECT vec_id, v, cid FROM aa WHERE rn = 1),
+      // q100's documented 100 TB path made real — and then CORRECTED by
+      // measurement, twice: the flat scaled-K argmax measured WORSE
+      // (exponent 1.26) than fixed-K before the two-level form, and the
+      // round-8 cluster-skew adversary (x10sat) showed the scaled-K form
+      // absorbing skew that detonates q100 (see PERF.md). Assignment +
+      // join rationale live on [[twoLevelAssign]].
+      (s, dir) => semanticDedupRollup(twoLevelAssign(s, dir)),
+      Some(twoLevelAssignCte + """,
         dr AS (
           SELECT DISTINCT a1.cid, a2.vec_id AS j
           FROM a a1 JOIN a a2
@@ -851,6 +859,60 @@ object SimilarityOps {
         "bounded cluster pairwork AND bounded per-vector assignment work " +
         "— q100's scale path as a registered, measured query " +
         "(pipeline ops brief)."),
+
+    // -------------------------------- star-shaped (skew-proof) SemDeDup
+    Q(
+      "q133_semantic_dedup_star",
+      (s, dir) => {
+        import graft.functions.VectorFns.cosine
+        // The round-8 skew measurement's conclusion, registered: even
+        // with scaled K, within-cluster ALL-PAIRS work is O(n_c²) — a
+        // degenerate cluster (every crawl has one: boilerplate, blank
+        // pages, one viral meme) pays it. The star form compares each
+        // member only to the cluster REPRESENTATIVE (min vec_id — the
+        // paper's medoid is one ORDER BY away): O(n_c) per cluster, so
+        // NO cluster shape can detonate it — measured flat on the
+        // x10sat cluster-skew adversary that takes q100 to 31.9 s
+        // (PERF.md). The trade, stated honestly: it only drops members
+        // ε-close to the representative, not to each other — a dup pair
+        // both ~0.35 from the rep survives (transitive closure at radius
+        // ε needs the pair pass; run star FIRST to shrink clusters, then
+        // all-pairs inside what remains). One window (min struct over
+        // cid) + one projection — no self-join at all.
+        val w = Window.partitionBy(col("cid"))
+        twoLevelAssign(s, dir)
+          .withColumn("rep", min(struct(col("vec_id"), col("v"))).over(w))
+          .withColumn("is_drop",
+            (col("vec_id") =!= col("rep.vec_id") &&
+              cosine(col("v"), col("rep.v")) >= 0.35).cast("long"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("is_drop")).as("n_dropped"),
+            (count(lit(1)) - sum(col("is_drop"))).as("n_kept"))
+      },
+      Some(twoLevelAssignCte + """,
+        reps AS (SELECT cid, vec_id AS rep_id, v AS rv FROM (
+                   SELECT cid, vec_id, v,
+                          row_number() OVER (PARTITION BY cid
+                            ORDER BY vec_id) AS rn
+                   FROM a) WHERE rn = 1),
+        f AS (SELECT a.cid,
+                     CASE WHEN a.vec_id <> reps.rep_id AND
+                            list_dot_product(a.v, reps.rv) /
+                              (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(reps.rv, reps.rv)))
+                            >= 0.35
+                          THEN 1 ELSE 0 END AS is_drop
+              FROM a JOIN reps ON a.cid = reps.cid)
+        SELECT cid, COUNT(*) AS n_members,
+               CAST(SUM(is_drop) AS BIGINT) AS n_dropped,
+               COUNT(*) - CAST(SUM(is_drop) AS BIGINT) AS n_kept
+        FROM f GROUP BY cid"""),
+      "Star-shaped SemDeDup over the two-level scaled-K assignment: each " +
+        "member compared only to its cluster representative — O(n) per " +
+        "cluster, immune to cluster skew by construction (the bounded " +
+        "first pass a degenerate-cluster corpus needs before any " +
+        "all-pairs step; measured flat on the x10sat skew adversary)."),
 
     // --------------------------------------------------- IVF-PQ ANN
     Q(

@@ -88,9 +88,10 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     }
   }
 
-  test("semantic dedup family (fixed-K and two-level scaled-K) runs on " +
+  test("semantic dedup family (fixed-K, two-level scaled-K, star) runs on " +
     "the dirty index without crashing") {
-    for (q <- Seq("q100_semantic_dedup", "q131_semantic_dedup_scaledk")) {
+    for (q <- Seq("q100_semantic_dedup", "q131_semantic_dedup_scaledk",
+      "q133_semantic_dedup_star")) {
       val out = graft.SparkEntry.queries(q)(spark, dirtyDir).collect()
       assert(out.nonEmpty, q)
       // every doc lands in exactly one cluster — nothing lost or doubled

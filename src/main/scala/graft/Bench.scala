@@ -139,15 +139,16 @@ object Bench {
     // staging object from stdout (it survives in the file line). Each
     // stage fires only when needed; overflow past stage 3 is LOUD
     // (stderr) instead of the driver silently truncating the tail.
-    val stages = Seq(
+    // LazyList memoizes: the overflow fallback reuses the stage-3 string
+    // the find already rendered instead of rendering it twice
+    val stages = LazyList(
       () => line(shortKey, ms),
       () => line(shortKey.andThen(k => if (k.startsWith("q")) k.drop(1) else k), ms),
       () => line(shortKey.andThen(k => if (k.startsWith("q")) k.drop(1) else k),
-        ms, withStaging = false))
-    val stdoutLine = stages.iterator.map(_())
-      .find(_.length <= 1880)
+        ms, withStaging = false)).map(_())
+    val stdoutLine = stages.find(_.length <= 1880)
       .getOrElse {
-        val last = stages.last()
+        val last = stages.last
         System.err.println(s"[Bench] stdout line still ${last.length} chars " +
           "after all compression stages — driver tail window may truncate it")
         last

@@ -68,7 +68,15 @@ object Staging {
           df
         } catch {
           case e: Throwable =>
-            nestedCharge = nestedCharge.tail // failed build records nothing
+            // the failed build records no entry for itself, but any nested
+            // builds that SUCCEEDED inside it did record theirs — their
+            // elapsed must still propagate to the enclosing build's charge
+            // (merge head into parent), or an ancestor that survives the
+            // failure would double-count them and break additivity
+            nestedCharge = nestedCharge.tail match {
+              case parent :: rest => (parent + nestedCharge.head) :: rest
+              case Nil => Nil
+            }
             throw e
         }
       })

@@ -18,8 +18,10 @@ final case class BloomSizing(bits: Int, probes: Int) {
   require(bits >= BloomFns.WordBits && Integer.bitCount(bits) == 1,
     s"bits must be a power of two >= ${BloomFns.WordBits}, got $bits")
   val window: Int = Integer.numberOfTrailingZeros(bits)
-  require(probes >= 1 && probes * window <= 60,
-    s"$probes disjoint $window-bit windows need ${probes * window} bits; hash60 has 60")
+  // long multiply: an absurd probe count must hit this require, not
+  // overflow Int and slip past it into a giant offsets Seq
+  require(probes >= 1 && probes.toLong * window <= 60L,
+    s"$probes disjoint $window-bit windows need ${probes.toLong * window} bits; hash60 has 60")
   val offsets: Seq[Int] = (0 until probes).map(_ * window)
 }
 

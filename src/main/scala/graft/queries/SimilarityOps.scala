@@ -130,7 +130,14 @@ object SimilarityOps {
          IndexedSeq[IndexedSeq[Seq[Double]]],
          IndexedSeq[IndexedSeq[Double]]) = {
     val (cb, norms) = pqModel(s, dir)
-    val cents = vecs(s, dir).filter(col("vec_id") < 16)
+    // malformed centroids are dropped (pqModel's well-formed rule): the
+    // batch window keeps them but their null cosine can never win the
+    // argmax, so routing agrees wherever at least one centroid is real —
+    // and a dirty corpus must not NPE the model build (getSeq is null
+    // for a null embedding)
+    val cents = vecs(s, dir)
+      .filter(col("vec_id") < 16 && col("v").isNotNull &&
+        size(col("v")) === graft.functions.VectorFns.Dims)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
       .toSeq.sortBy(_._1)
     (cents, cb, norms)

@@ -53,16 +53,29 @@ object StreamingAnn {
   /** Top-`keep` coarse list ids for vector column `vCol`, IN-ROW: sort a
     * literal (−cosine, cid) struct array — ascending on the negated
     * cosine then cid reproduces the batch window's ORDER BY cdist DESC,
-    * cid ASC exactly. A malformed vector's null cosine is floored below
-    * every real score so it routes deterministically (and its PQ codes
-    * are null anyway — pqEncode guards — so its ADC sorts last).
+    * cid ASC exactly, including the degenerate orders: the batch desc
+    * window ranks NaN above every real double (Spark's total order), and
+    * −NaN is still NaN (which would sort LAST ascending), so NaN maps to
+    * −MaxValue to keep it winning; a null cosine (malformed vector —
+    * cosine's zero-norm guard) maps to +MaxValue, after every real
+    * score, matching desc's nulls-last. Either way the malformed
+    * arrival routes deterministically and its PQ codes are null
+    * (pqEncode guards), so its ADC can never outrank a real candidate.
     */
   def routeIds(vCol: Column, m: Model, keep: Int): Column = {
-    val arr = array(m.centroids.map { case (cid, cv) =>
-      struct(coalesce(-cosine(vCol, typedLit(cv)), lit(Double.MaxValue)).as("nd"),
-        lit(cid).as("cid"))
-    }: _*)
-    transform(slice(array_sort(arr), 1, keep), x => x.getField("cid"))
+    if (m.centroids.isEmpty)
+      // an all-malformed model (annModel drops malformed centroids) has
+      // nowhere to route — empty assignment, not an analysis error
+      typedLit(Seq.empty[Long])
+    else {
+      val arr = array(m.centroids.map { case (cid, cv) =>
+        val d = cosine(vCol, typedLit(cv))
+        val nd = when(isnan(d), lit(-Double.MaxValue))
+          .otherwise(coalesce(-d, lit(Double.MaxValue)))
+        struct(nd.as("nd"), lit(cid).as("cid"))
+      }: _*)
+      transform(slice(array_sort(arr), 1, keep), x => x.getField("cid"))
+    }
   }
 
   /** Ingest projection: a (streaming or batch) frame with `idCol` and a

@@ -63,13 +63,20 @@ class BenchStagingSpec extends SparkSpec {
     assert(t("grandchild") >= 0.2, t.toString)
     assert(t("child") >= 0.3, t.toString)
     assert(t("parent") >= 0.1, t.toString)
-    // the additivity contract: the three marginal entries sum to the
-    // wall time of the one outer call that built them all (±50 ms of
-    // bookkeeping outside the inner clocks). Ancestor double-billing
-    // would make the sum ~2x wall.
+    // the additivity contract, asserted one-sidedly: the sum of marginal
+    // entries can never EXCEED the outer wall time (+20 ms clock skew) —
+    // ancestor double-billing would make it ~2x wall. The other side
+    // (wall − sum) is un-clocked bookkeeping between builds, which a
+    // loaded box can stretch arbitrarily (GC pause, co-tenant stall), so
+    // a tight lower bound would flake; double-billing is the failure
+    // this spec exists to catch.
     val sum = t.values.sum
-    assert(math.abs(sum - wall) < 0.05,
-      s"entries must be additive: sum=$sum wall=$wall $t")
+    assert(sum <= wall + 0.02,
+      s"entries double-billed: sum=$sum > wall=$wall $t")
+    // and each entry is bounded by its own sleep + the whole overhead
+    // budget, so no entry silently absorbed a descendant's sleep
+    assert(t("parent") < 0.1 + (wall - 0.6),
+      s"parent absorbed a descendant's build: $t wall=$wall")
   }
 
   test("render emits staging entries as a first-class JSON object") {

@@ -99,6 +99,29 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("StreamingAnn model + in-row ingest survive the dirty index " +
+    "(malformed centroids dropped, malformed arrivals carry null codes)") {
+    import graft.streaming.StreamingAnn
+    // the model build must not NPE on null/short/over-long vectors in
+    // the centroid window (vec_id < 16 here includes all the dirt)
+    val m = StreamingAnn.model(spark, dirtyDir)
+    assert(m.centroids.nonEmpty &&
+      m.centroids.forall(_._2.length == dim))
+    val out = StreamingAnn.ingest(
+      spark.read.parquet(s"$dirtyDir/embeddings.parquet"), "vec_id", m)
+      .collect().map(r => r.getLong(0) ->
+        ((0 until graft.queries.SimilarityOps.PqM)
+          .forall(i => !r.isNullAt(r.fieldIndex(s"code_$i"))),
+          !r.isNullAt(r.fieldIndex("cid")))).toMap
+    assert(out.size == 11)
+    // malformed vectors (3,4,6,7,10) never earn codes; well-formed do
+    val malformed = Set(3L, 4L, 6L, 7L, 10L)
+    out.foreach { case (id, (coded, routed)) =>
+      assert(coded == !malformed(id), s"vec $id coded=$coded")
+      assert(routed, s"vec $id must still route deterministically")
+    }
+  }
+
   test("IVF-PQ recall audit runs on the dirty index and reports a ppm " +
     "in range") {
     val r = graft.SparkEntry.queries("q129_ivfpq_recall")(spark, dirtyDir)

@@ -197,6 +197,28 @@ object StreamDemo {
     val deconRows = deconBatches.values.map(_._1).sum
     val deconFlagged = deconBatches.values.map(_._2).sum
 
+    // Seventh vertical: streaming ANN ingest + serving (StreamingAnn) —
+    // arriving vectors PQ-encoded and routed to IVF lists in-row (the
+    // index grows as a stateless projection), then the query vectors
+    // served per-micro-batch against the ingested index with q128's ADC.
+    val annM = StreamingAnn.model(spark, sfDir)
+    val annQ = StreamingAnn.ingest(
+        graft.sources.Sources.fileStream(spark, sfDir, "embeddings")
+          .filter($"vec_id" >= 5)
+          .withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id", annM)
+      .writeStream.format("memory").queryName("ann_lists")
+      .outputMode("append").start()
+    annQ.processAllAvailable()
+    annQ.stop()
+    val annLists = spark.table("ann_lists")
+    val annIndexRows = annLists.count()
+    val annServed = StreamingAnn.serveTopK(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter($"vec_id" < 5).select($"vec_id", $"embedding"),
+        "vec_id", annLists, annM)
+      .count()
+
     val splitStr = Seq("err", "start", "page", "display", "action")
       .map(k => s"$k=${splitTotal(k)}").mkString(",")
     println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
@@ -204,11 +226,12 @@ object StreamDemo {
       s"log_split{$splitStr} kw_rows=$kwRows " +
       s"corpus_rows=$corpusRows corpus_tokens=$corpusTokens " +
       s"province_rows=$provRows late_seen=$lateSeen late_dropped=$lateDropped " +
-      s"decon_rows=$deconRows decon_flagged=$deconFlagged")
+      s"decon_rows=$deconRows decon_flagged=$deconFlagged " +
+      s"ann_index_rows=$annIndexRows ann_served=$annServed")
     spark.stop()
     if (rows == 0 || dimRows == 0 || kwRows == 0 || corpusRows == 0 ||
       splitTotal("page") == 0L ||
       provRows == 0 || lateSeen == 0 || deconRows == 0 ||
-      deconFlagged == 0) sys.exit(1)
+      deconFlagged == 0 || annIndexRows == 0 || annServed == 0) sys.exit(1)
   }
 }

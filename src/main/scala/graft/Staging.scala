@@ -34,8 +34,10 @@ import org.apache.spark.storage.StorageLevel
 object Staging {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private val times = TrieMap.empty[(SparkSession, String, String), Double]
-  // seconds of nested staged builds launched by each in-flight build,
-  // innermost first; guarded by `synchronized` (builds are serialized)
+  // seconds each in-flight build must NOT be billed for — nested staged
+  // builds it launched plus time its nested calls spent blocked on the
+  // monitor behind another thread's build — innermost first; guarded by
+  // `synchronized` (builds are serialized)
   private var nestedCharge: List[Double] = Nil
 
   // builds are serialized: TrieMap.getOrElseUpdate evaluates the thunk in
@@ -44,43 +46,58 @@ object Staging {
   // unpersist it (sbt runs test suites in parallel against the shared
   // session). synchronized is reentrant, so nested stage calls inside a
   // build (pr_edges → mh_pairs → grams3) still work.
-  def stage(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
+  def stage(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame = {
     // lock-free fast path for hits (TrieMap reads are safe) — a reader of
     // an already-built frame must not block behind another frame's
     // minutes-long build holding the lock. A nested HIT charges nothing
     // to the enclosing build, which is exactly marginal cost.
-    cache.get((s, dir, name)).getOrElse(synchronized {
-      cache.getOrElseUpdate((s, dir, name), {
-        nestedCharge ::= 0.0
-        val t0 = System.nanoTime()
-        try {
-          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-          df.count() // materialize the whole cache now, on the builder's clock
-          val total = (System.nanoTime() - t0) / 1e9
-          times((s, dir, name)) = total - nestedCharge.head
-          nestedCharge = nestedCharge.tail match {
-            // bill this build's FULL elapsed (self + descendants) to the
-            // enclosing build, which subtracts it — so a grandparent never
-            // double-subtracts what the parent already covered
-            case parent :: rest => (parent + total) :: rest
-            case Nil => Nil
-          }
-          df
-        } catch {
-          case e: Throwable =>
-            // the failed build records no entry for itself, but any nested
-            // builds that SUCCEEDED inside it did record theirs — their
-            // elapsed must still propagate to the enclosing build's charge
-            // (merge head into parent), or an ancestor that survives the
-            // failure would double-count them and break additivity
+    cache.get((s, dir, name)).getOrElse {
+      val tEnter = System.nanoTime()
+      synchronized {
+        // time blocked on the monitor is ANOTHER thread's build (possibly
+        // another session's — sbt runs suites concurrently): charge it to
+        // the enclosing build's nested accumulator so that build's
+        // marginal entry excludes it, or a waiting parent would bill a
+        // concurrent build's wall time into its own entry (and the other
+        // build records it too — double-counted, non-additive)
+        val waited = (System.nanoTime() - tEnter) / 1e9
+        nestedCharge = nestedCharge match {
+          case h :: t => (h + waited) :: t
+          case Nil => Nil
+        }
+        cache.getOrElseUpdate((s, dir, name), {
+          nestedCharge ::= 0.0
+          val t0 = System.nanoTime()
+          try {
+            val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count() // materialize the whole cache now, on the builder's clock
+            val total = (System.nanoTime() - t0) / 1e9
+            times((s, dir, name)) = total - nestedCharge.head
             nestedCharge = nestedCharge.tail match {
-              case parent :: rest => (parent + nestedCharge.head) :: rest
+              // bill this build's FULL elapsed (self + descendants) to the
+              // enclosing build, which subtracts it — so a grandparent never
+              // double-subtracts what the parent already covered
+              case parent :: rest => (parent + total) :: rest
               case Nil => Nil
             }
-            throw e
-        }
-      })
-    })
+            df
+          } catch {
+            case e: Throwable =>
+              // the failed build records no entry for itself, but any nested
+              // builds that SUCCEEDED inside it did record theirs — their
+              // elapsed must still propagate to the enclosing build's charge
+              // (merge head into parent), or an ancestor that survives the
+              // failure would double-count them and break additivity
+              nestedCharge = nestedCharge.tail match {
+                case parent :: rest => (parent + nestedCharge.head) :: rest
+                case Nil => Nil
+              }
+              throw e
+          }
+        })
+      }
+    }
+  }
 
   /** Marginal seconds spent building each of `s`'s staged frames, keyed by
     * (sfDir, name). One entry per build — a frame is built at most once per

@@ -126,7 +126,10 @@ object StreamDemo {
     val corpusBatches = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
     val corpusQ = StatefulOps.streamingExactDedup(
         graft.sources.Sources.fileStream(spark, sfDir, "documents")
-          .withColumn("ts", timestamp_seconds(col("doc_id")))
+          // +3600: an event sitting exactly on the initial watermark
+          // (epoch 0) is dropped as late, so doc_id 0 silently vanished
+          // before this offset (corpus_rows read 499 of 500)
+          .withColumn("ts", timestamp_seconds(col("doc_id") + 3600L))
           .withColumn("fp", md5(col("text"))),
         "fp", "ts", "10 minutes")
       .select(col("doc_id"),

@@ -86,7 +86,10 @@ object StreamingAnn {
   def ingest(vecsDf: DataFrame, idCol: String, m: Model): DataFrame =
     SimilarityOps.pqEncode(
       vecsDf.select(col(idCol), toDouble(col("embedding")).as("nv"))
-        .withColumn("cid", element_at(routeIds(col("nv"), m, 1), 1)),
+        // get (0-based) not element_at: an empty-model routing array must
+        // degrade to a null cid, and element_at(<empty>, 1) is a runtime
+        // INVALID_ARRAY_INDEX error under ANSI mode (the session default)
+        .withColumn("cid", get(routeIds(col("nv"), m, 1), lit(0))),
       "nv", m.cb, m.norms)
       .drop("nv")
 

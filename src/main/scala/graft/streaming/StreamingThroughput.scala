@@ -135,6 +135,12 @@ object StreamingThroughput {
     println("twin,dir,rows,secs,rows_per_sec")
     emit("lsh", "x1", x1Docs.size, feed(x1Docs)(lsh))
     emit("lsh", "x10", x10Docs.size, feed(x10Docs)(lsh))
+    // the saturated corpus is the streaming-LSH adversary: a pinned
+    // vocab floods the band buckets, and only the maxBucket state cap
+    // stands between an arriving doc and unbounded pairing work — the
+    // measured rate shows what the cap buys at ingest time
+    val satDocs = docs(s"$scaleRoot/x10sat")
+    emit("lsh", "x10sat", satDocs.size, feed(satDocs)(lsh))
     emit("decon", "x1", x1Docs.size, feed(x1Docs)(decon(bloom)))
     emit("decon", "x10", x10Docs.size, feed(x10Docs)(decon(bloom)))
     emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))

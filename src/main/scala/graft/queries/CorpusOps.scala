@@ -1124,7 +1124,146 @@ object CorpusOps {
       "Padding-aware length bucketing for batch inference: 64-token-block " +
         "buckets, per-bucket padded-token waste ppm and 16k-token batch " +
         "counts — the packing plan from counts alone " +
-        "(pipeline ops brief: inference batching)."))
+        "(pipeline ops brief: inference batching)."),
+
+    // ------------------------------------ linear-counting distinct sketch
+    Q(
+      "q134_linear_counting",
+      (s, dir) => {
+        // Linear probabilistic counting (Whang, Vander-Zanden & Taylor,
+        // TODS 1990): per-language distinct-vocabulary estimation from a
+        // fixed 64 Ki-bucket occupancy bitmap — the third member of the
+        // mergeable-synopsis family (bottom-k q108, count-min q127, the
+        // HLL optimizer rule). Shards merge by OR-ing bitmaps (here:
+        // COUNT(DISTINCT bucket) over the union), so at 100 TB each
+        // executor contributes an 8 KiB bitmap instead of shuffling a
+        // vocabulary-sized set; estimate n̂ = m·ln(m/(m−k)) from occupancy
+        // k alone. The ln() is the one float in the corpus families and is
+        // confined to a POSITIVE argument (m/(m−k) ≥ 1, both engines
+        // evaluate the identical double quotient; a 1-ulp libm divergence
+        // flips the rounded estimate only if the true value sits within
+        // ~1e-10 of a half-integer — verified not the case on the fixed
+        // fixtures, and the saturation case m=k reports null rather than
+        // ln(inf)). Exact distinct and the signed/absolute error ride
+        // along so the sketch's accuracy is itself hash-checked
+        // cross-engine, the q124/q129 measure-don't-guess discipline.
+        val m = 65536
+        val words = docs(s, dir)
+          .select(col("lang"),
+            explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+          .filter(col("w") =!= "")
+        words
+          .select(col("lang"), col("w"),
+            pmod(hash32(col("w")), lit(m)).as("b"))
+          .groupBy("lang")
+          .agg(countDistinct(col("w")).as("exact_distinct"),
+            countDistinct(col("b")).as("occupied"))
+          .select(col("lang"), col("exact_distinct"), col("occupied"),
+            when(col("occupied") === m, lit(null).cast("long"))
+              .otherwise(round(lit(m.toDouble) *
+                log(lit(m.toDouble) / (lit(m.toDouble) - col("occupied"))))
+                .cast("long")).as("lc_est"))
+          .withColumn("diff", col("lc_est") - col("exact_distinct"))
+          // abs() keeps the ppm division non-negative: Spark `div`
+          // truncates toward zero while engines differ on floor vs
+          // truncate for NEGATIVE integer division — never emit one
+          .withColumn("abs_err_ppm",
+            expr("abs(diff) * 1000000L div exact_distinct"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT lang, w FROM (
+            SELECT lang,
+                   unnest(string_split_regex(lower(text), '[^\pL\p{Nd}]+')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        b AS (
+          SELECT lang, w,
+                 CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 65536 AS b
+          FROM w),
+        g AS (
+          SELECT lang, COUNT(DISTINCT w) AS exact_distinct,
+                 COUNT(DISTINCT b) AS occupied
+          FROM b GROUP BY lang),
+        e AS (
+          SELECT lang, exact_distinct, occupied,
+                 CASE WHEN occupied = 65536 THEN NULL
+                      ELSE CAST(round(65536.0 *
+                             ln(65536.0 / (65536.0 - occupied))) AS BIGINT)
+                 END AS lc_est
+          FROM g)
+        SELECT lang, exact_distinct, occupied, lc_est,
+               lc_est - exact_distinct AS diff,
+               abs(lc_est - exact_distinct) * 1000000 // exact_distinct
+                 AS abs_err_ppm
+        FROM e"""),
+      "Linear-counting distinct sketch: per-lang vocabulary estimate from " +
+        "a 64Ki-bucket occupancy bitmap (mergeable across shards by OR), " +
+        "exact distinct + signed/absolute error shown cross-engine " +
+        "(pipeline ops brief: sketches)."),
+
+    // ----------------------------------------------- priority sampling
+    Q(
+      "q135_priority_sample",
+      (s, dir) => {
+        // Priority sampling (Duffield, Lund & Thorup, JACM 2007):
+        // weight-proportional sampling WITHOUT replacement — the missing
+        // member between q58's uniform stratified gate and q107's
+        // with-replacement temperature mixture. Priority q_i = w_i/u_i
+        // with u_i uniform; kept set = top-k priorities per stratum;
+        // Horvitz-Thompson weight estimate ŵ_i = max(w_i, τ) with τ the
+        // (k+1)-th priority, so Σŵ over the sample is an unbiased
+        // estimator of the stratum's total weight. Determinism: u_i is
+        // hash32(doc_id) — never rand(); priority is integer
+        // (w·10⁶ div u), all operands positive so div/floor agree
+        // cross-engine. Scale: the rn ≤ k+1 filter sits directly on the
+        // row_number window, so Catalyst's InferWindowGroupLimit inserts
+        // partial per-partition top-(k+1) BEFORE the stratum exchange
+        // (pinned by WindowGroupLimitSpec) — no stratum ever sorts more
+        // than executors·(k+1) rows, the same shape as the ANN family.
+        val k = 5
+        val ranked = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("n_chars").cast("long"), lit(0L)).as("w"),
+            (pmod(hash32(col("doc_id").cast("string")), lit(1000000)) + 1)
+              .as("u"))
+          .withColumn("pri", expr("w * 1000000L div u"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("pri").desc, col("doc_id"))))
+          .filter(col("rn") <= k + 1)
+        // τ per stratum: the (k+1)-th priority (0 when the stratum has ≤ k
+        // members — every member kept, inclusion probability 1, ŵ = w)
+        val tau = ranked.filter(col("rn") === k + 1)
+          .select(col("lang").as("lg"), col("pri").as("tau"))
+        ranked.filter(col("rn") <= k)
+          .join(broadcast(tau), col("lang") <=> col("lg"), "left")
+          .select(col("lang"), col("rn"), col("doc_id"), col("w"),
+            col("pri"), coalesce(col("tau"), lit(0L)).as("tau"),
+            greatest(col("w"), coalesce(col("tau"), lit(0L))).as("w_est"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 COALESCE(CAST(n_chars AS BIGINT), 0) AS w,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1000000 + 1 AS u
+          FROM documents),
+        p AS (SELECT doc_id, lang, w, w * 1000000 // u AS pri FROM d),
+        r AS (
+          SELECT doc_id, lang, w, pri,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY pri DESC, doc_id) AS rn
+          FROM p),
+        tau AS (SELECT lang, pri AS tau FROM r WHERE rn = 6)
+        SELECT r.lang, CAST(r.rn AS INT) AS rn, r.doc_id, r.w, r.pri,
+               COALESCE(t.tau, 0) AS tau,
+               GREATEST(r.w, COALESCE(t.tau, 0)) AS w_est
+        FROM r LEFT JOIN tau t ON r.lang IS NOT DISTINCT FROM t.lang
+        WHERE r.rn <= 5"""),
+      "Priority sampling: weight-proportional top-k per stratum without " +
+        "replacement (hash-deterministic priorities, integer-exact), with " +
+        "the Horvitz-Thompson max(w, tau) weight estimate " +
+        "(pipeline ops brief: weighted subsampling)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -133,4 +133,74 @@ class CorpusOpsSpec extends SparkSpec {
       assert(top > 0.0 && top <= 1.0 && dup >= 0.0 && dup < 1.0)
     }
   }
+
+  // the spec-side twin of TextFns.hash32 (md5 prefix), computed from first
+  // principles so the sketch tests don't trust the expression under test
+  private def hash32Ref(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("q134 linear counting: occupancy recomputed first-principles, " +
+    "estimate bounds hold") {
+    val out = run("q134_linear_counting").collect()
+    assert(out.nonEmpty)
+    // independent recompute of per-lang vocab + occupancy from raw text
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+    val vocab = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[String]]
+    docs.foreach { r =>
+      val lang = if (r.isNullAt(0)) null else r.getString(0)
+      Option(r.getString(1)).foreach { t =>
+        t.toLowerCase.split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty)
+          .foreach(w => vocab.getOrElseUpdate(lang, scala.collection.mutable.Set()) += w)
+      }
+    }
+    out.foreach { r =>
+      val lang = if (r.isNullAt(0)) null else r.getString(0)
+      val (exact, occupied, est) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val ws = vocab(lang)
+      assert(exact == ws.size, s"$lang exact")
+      assert(occupied == ws.map(w => hash32Ref(w) % 65536).size, s"$lang occupancy")
+      // LC invariants: occupancy can't exceed vocab or bitmap size;
+      // n̂ = m·ln(m/(m−k)) ≥ k always; and at sf0.001's tiny load factor
+      // the estimate must be within 5% of exact
+      assert(occupied <= math.min(exact, 65536L))
+      assert(est >= occupied)
+      assert(math.abs(est - exact) * 1000000L / exact < 50000L,
+        s"$lang est=$est exact=$exact")
+    }
+  }
+
+  test("q135 priority sample equals a first-principles recompute") {
+    val out = run("q135_priority_sample").collect()
+      .map(r => ((Option(r.getString(0)), r.getLong(2)),
+        (r.getInt(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap // (lang, doc_id) -> (rn, w, pri, tau, w_est)
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0),
+        Option(if (r.isNullAt(1)) null else r.getString(1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val byLang = docs.groupBy(_._2)
+    byLang.foreach { case (lang, members) =>
+      val ranked = members.map { case (id, _, w) =>
+        val u = hash32Ref(id.toString) % 1000000L + 1L
+        (id, w, w * 1000000L / u)
+      }.sortBy { case (id, _, pri) => (-pri, id) }
+      val tau = if (ranked.length > 5) ranked(5)._3 else 0L
+      val kept = ranked.take(5)
+      kept.zipWithIndex.foreach { case ((id, w, pri), i) =>
+        val got = out.get((lang, id))
+        assert(got.isDefined, s"missing ($lang, $id)")
+        assert(got.get == (i + 1, w, pri, tau, math.max(w, tau)),
+          s"($lang, $id): got ${got.get}, want ${(i + 1, w, pri, tau, math.max(w, tau))}")
+      }
+    }
+    // nothing extra: every output row is one of the recomputed keeps
+    assert(out.size == byLang.valuesIterator.map(m => math.min(5, m.length)).sum)
+  }
 }

@@ -18,9 +18,12 @@ import graft.SparkSpec
   */
 class WindowGroupLimitSpec extends SparkSpec {
 
+  // + q135: priority sampling's rn <= k+1 stratum top-k rides the same
+  // rewrite (the filter sits directly on the row_number window)
   private val annQueries = Seq(
     "q38_knn_bruteforce", "q39_ann_lsh", "q46_ann_ivf",
-    "q72_ann_multiprobe", "q128_ivfpq_ann", "q108_bottomk_sketch")
+    "q72_ann_multiprobe", "q128_ivfpq_ann", "q108_bottomk_sketch",
+    "q135_priority_sample")
 
   test("every ANN top-k plan carries a Partial WindowGroupLimit below " +
     "the exchange") {

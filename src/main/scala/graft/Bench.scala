@@ -115,10 +115,26 @@ object Bench {
     // the full-precision numbers live in the BENCH_RESULT.json line
     def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val total = ts.map(_._2).sum
+    // Error bodies are the one unbounded input to the stdout line: ten
+    // ~190-char exceptions overflowed every compression stage in r08 and
+    // the driver recorded `parsed: null`. The stdout stages therefore cap
+    // each error to its exception class + the first 80 message chars (the
+    // full text always lives in the BENCH_RESULT.json file line), and a
+    // final stage drops message bodies entirely, keeping just the errored
+    // query names — the stdout line can no longer be blown up by error
+    // text, only by sheer query count (covered by the existing stages).
+    def capErr(v: String, msgCap: Int): String =
+      if (msgCap == Int.MaxValue) v
+      else if (msgCap <= 0) ""
+      else {
+        val i = v.indexOf(": ")
+        if (i >= 0) v.take(i + 2) + v.drop(i + 2).take(msgCap) else v.take(msgCap)
+      }
     def line(key: String => String, fmt: Double => Any,
-        withStaging: Boolean = true) = {
+        withStaging: Boolean = true, errCap: Int = Int.MaxValue) = {
       val qs = ts.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val es = errs.map { case (k, v) => s"\"${esc(key(k))}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
+      val es = errs.map { case (k, v) =>
+        s"\"${esc(key(k))}\":\"${esc(capErr(v, errCap))}\"" }.mkString("{", ",", "}")
       // staged-frame builds are their own line items (full names — the
       // namespace is small), so per-query numbers are marginal cost and
       // the one-time build cost is visible instead of riding inside
@@ -134,18 +150,20 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging":$st,"errors":$es,"repeats":$Repeats$amb,"sf":"$sfDir"}"""
     }
     // adaptive compression stages for the driver's bounded tail window:
-    // (1) qNN keys + 2-decimal values; (2) drop the 'q' prefix ("q95" ->
-    // "95") — digits stay unique iff the qNN keys were; (3) drop the
-    // staging object from stdout (it survives in the file line). Each
-    // stage fires only when needed; overflow past stage 3 is LOUD
-    // (stderr) instead of the driver silently truncating the tail.
-    // LazyList memoizes: the overflow fallback reuses the stage-3 string
+    // (1) qNN keys + 2-decimal values + 80-char error messages; (2) drop
+    // the 'q' prefix ("q95" -> "95") — digits stay unique iff the qNN keys
+    // were; (3) drop the staging object from stdout (it survives in the
+    // file line); (4) drop error message bodies, keeping errored query
+    // names only. Each stage fires only when needed; overflow past stage 4
+    // is LOUD (stderr) instead of the driver silently truncating the tail.
+    // LazyList memoizes: the overflow fallback reuses the last-stage string
     // the find already rendered instead of rendering it twice
+    val digitKey = shortKey.andThen(k => if (k.startsWith("q")) k.drop(1) else k)
     val stages = LazyList(
-      () => line(shortKey, ms),
-      () => line(shortKey.andThen(k => if (k.startsWith("q")) k.drop(1) else k), ms),
-      () => line(shortKey.andThen(k => if (k.startsWith("q")) k.drop(1) else k),
-        ms, withStaging = false)).map(_())
+      () => line(shortKey, ms, errCap = 80),
+      () => line(digitKey, ms, errCap = 80),
+      () => line(digitKey, ms, withStaging = false, errCap = 80),
+      () => line(digitKey, ms, withStaging = false, errCap = 0)).map(_())
     val stdoutLine = stages.find(_.length <= 1880)
       .getOrElse {
         val last = stages.last

@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -11,11 +11,22 @@ import org.apache.spark.sql.types.LongType
   * `spark.read.parquet(dir)` distributes across executors; nothing here is
   * local-mode-specific.
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-  * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a raw long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds,
-  * matching DuckDB's `CAST(ts_ns AS TIMESTAMP)` truncation so oracle
-  * comparisons agree.
+  * `events.parquet`'s `ts` encoding has drifted across driver testdata
+  * generations, so the loader normalizes it to session-TZ `TimestampType`
+  * whatever the file says:
+  *   - parquet TIMESTAMP(NANOS): Spark's reader rejects it
+  *     ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong`
+  *     is set, under which it surfaces as a raw nanos `LongType` — truncate
+  *     to micros, matching DuckDB's `CAST(ts_ns AS TIMESTAMP)` truncation.
+  *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it
+  *     natively as `TimestampNTZType` — cast to `TimestampType`. The
+  *     session TZ is UTC everywhere in this library, so the NTZ→LTZ cast is
+  *     instant-preserving and agrees with the DuckDB oracles' naive
+  *     `CAST(ts AS TIMESTAMP)`.
+  *   - anything already `TimestampType` passes through.
+  * Downstream code may assume `Tables(_, _, "events").schema("ts")` is
+  * `TimestampType`; TablesSchemaSpec pins this across all three sf dirs so
+  * the next silent regeneration fails in one named test.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -25,13 +36,30 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Set at SparkSession construction in the library mains; repeated here
     // (idempotent, runtime-settable) as a fallback for externally created
-    // sessions (tests, user shells) — without it the events read fails.
+    // sessions (tests, user shells) — without it a NANOS-encoded events
+    // read fails outright.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
+
+  /** Event-time extraction — the ONE definition site for turning `ts` into
+    * an epoch number. Every query goes through these instead of calling
+    * `unix_micros`/`unix_millis`/`cast(... as double)` inline, so the next
+    * encoding drift is a loader-only fix instead of ten scattered analysis
+    * errors. The defensive `TimestampType` cast is a no-op on the
+    * already-normalized loader output (identical plans, identical hashes)
+    * but keeps these total over any timestamp flavor.
+    */
+  def tsMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+  def tsMillis(c: Column): Column = unix_millis(c.cast(TimestampType))
+  /** Epoch seconds as fractional double (the CEP gap comparisons' unit). */
+  def tsSeconds(c: Column): Column =
+    unix_micros(c.cast(TimestampType)).cast("double") / 1e6
 
   /** Register all tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

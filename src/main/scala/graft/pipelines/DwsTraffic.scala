@@ -41,9 +41,9 @@ object DwsTraffic {
       .withColumn("next_ts", lead(col("ts"), 1).over(wOrd))
       .filter(
         (col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") > 10.0) &&
+          Tables.tsSeconds(col("ts")) - Tables.tsSeconds(col("prev_ts")) > 10.0) &&
         (col("next_ts").isNull ||
-          col("next_ts").cast("double") - col("ts").cast("double") > 10.0))
+          Tables.tsSeconds(col("next_ts")) - Tables.tsSeconds(col("ts")) > 10.0))
       .select(col("ch"), col("ts"),
         lit(0L).as("pv_ct"), lit(0L).as("dur_sum"),
         lit(0L).as("uv_ct"), lit(1L).as("uj_ct"))

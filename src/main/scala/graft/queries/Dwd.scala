@@ -359,7 +359,7 @@ object Dwd {
         cdc(s, dir)
           .filter(col("env.table") === "user_info")
           .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("tus"),
+            Tables.tsMicros(col("ts")).as("tus"),
             element_at(col("env.data"), "order_status").as("status"))
           .withColumn("version", row_number().over(w).cast("int"))
           .withColumn("valid_from_us", col("tus"))
@@ -405,7 +405,7 @@ object Dwd {
         val versions = cdc(s, dir)
           .filter(col("env.table") === "user_info")
           .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("tus"),
+            Tables.tsMicros(col("ts")).as("tus"),
             element_at(col("env.data"), "order_status").as("status"))
         def latest(df: DataFrame) = {
           val w = Window.partitionBy(col("user_id"))

@@ -391,7 +391,7 @@ object Extras {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("tus"), col("event_id"))
         Tables(s, dir, "events")
-          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+          .select(col("user_id"), col("event_id"), Tables.tsMicros(col("ts")).as("tus"))
           .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
@@ -737,7 +737,7 @@ object Extras {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ms"), col("event_id"))
         Tables(s, dir, "events")
-          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+          .select(col("user_id"), col("event_id"), Tables.tsMillis(col("ts")).as("ms"))
           .withColumn("prev", lag(col("ms"), 1).over(w))
           .select(col("user_id"), col("event_id"),
             when(col("prev").isNull || col("ms") - col("prev") >= gapMs, 1)
@@ -809,7 +809,7 @@ object Extras {
         // scale; integer-µs comparisons keep it engine-exact.
         val e = Tables(s, dir, "events").select(
           col("user_id"), to_date(col("ts")).as("d"),
-          col("event_type"), unix_micros(col("ts")).as("tus"))
+          col("event_type"), Tables.tsMicros(col("ts")).as("tus"))
         val ks = Seq("user_id", "d")
         val v = e.filter(col("event_type") === "view")
           .groupBy(ks.map(col): _*).agg(min("tus").as("v_ts"))
@@ -1018,7 +1018,7 @@ object Extras {
         // WindowGroupLimit partial-rank path, then a channels-sized
         // aggregate.
         val e = Tables(s, dir, "events").select(col("user_id"),
-          col("event_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), Tables.tsMicros(col("ts")).as("tus"),
           col("event_type"), col("value"))
         val p = e.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("p_eid"),
@@ -1087,7 +1087,7 @@ object Extras {
           .orderBy(col("tus"), col("event_id"))
         Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("tus"), col("event_type"))
+            Tables.tsMicros(col("ts")).as("tus"), col("event_type"))
           .withColumn("from_type", lag(col("event_type"), 1).over(w))
           .filter(col("from_type").isNotNull)
           .groupBy(col("from_type"), col("event_type").as("to_type"))
@@ -1359,7 +1359,7 @@ object Extras {
           .rowsBetween(Window.unboundedPreceding, -1)
         Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("tus"),
+            Tables.tsMicros(col("ts")).as("tus"),
             to_date(col("ts")).as("d"))
           .withColumn("hwm", max(col("tus")).over(w))
           .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))

@@ -175,7 +175,7 @@ object Stateful {
             "new_session",
             when(
               col("prev_ts").isNull ||
-                col("ts").cast("double") - col("prev_ts").cast("double") > 10.0,
+                Tables.tsSeconds(col("ts")) - Tables.tsSeconds(col("prev_ts")) > 10.0,
               1).otherwise(0))
         val sessions = flagged.withColumn(
           "session_id",

@@ -86,6 +86,40 @@ class BenchSpec extends AnyFunSuite {
       "file line must keep the full staging map")
   }
 
+  test("many long error messages cannot overflow the stdout line " +
+    "(r08: ten ~190-char exceptions made parsed: null)") {
+    // the exact r08 regime: a full-size registry where 10 queries throw
+    // analysis errors whose rendered strings are ~190 chars each
+    val ts = (1 to 125).map(i => (f"q$i%03d_some_representative_query_name",
+      if (i % 10 == 0) 12.345678901 else 0.423456789)).toVector
+    val st = (1 to 12).map(i => (s"staged_frame_$i", 3.21098765)).toVector
+    val longMsg = "[DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION] Cannot resolve " +
+      "\"unix_micros(ts)\" due to data type mismatch: cannot cast \"TIMESTAMP_NTZ\" " +
+      "to \"DOUBLE\". SQLSTATE: 42K09; line 1 pos 0"
+    val errs = (1 to 10).map(i =>
+      f"e$i%03d_exploding_query" -> s"ExtendedAnalysisException: $longMsg").toMap
+    val (stdout, file) = Bench.render(ts, errs, "/root/testdata/sf0.1", st)
+    assert(stdout.length <= 1880, s"stdout line too long: ${stdout.length}")
+    // every errored query stays visible by name even at the final stage
+    (1 to 10).foreach(i => assert(stdout.contains(f"\"e$i%03d")))
+    // the file line always keeps the full error text (quotes JSON-escaped,
+    // so assert on a quote-free tail chunk past the 80-char stdout cap)
+    assert(file.contains("SQLSTATE: 42K09; line 1 pos 0"))
+  }
+
+  test("stdout error messages are capped at class + ~80 chars; " +
+    "file line keeps full text") {
+    val msg = "x" * 500
+    val (stdout, file) = Bench.render(
+      Vector(("q01_a", 1.0)), Map("q02_b" -> s"RuntimeException: $msg"),
+      "sf")
+    // class name + ": " + 80 chars of message
+    assert(stdout.contains("\"q02\":\"RuntimeException: " + "x" * 80 + "\""),
+      stdout)
+    assert(!stdout.contains("x" * 81))
+    assert(file.contains("x" * 500))
+  }
+
   test("short keys fall back to full names on prefix clash") {
     val ts = Vector(("q01_a", 1.0), ("q01_b", 2.0))
     val (stdout, _) = Bench.render(ts, Map.empty, "sf")

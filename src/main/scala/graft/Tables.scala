@@ -39,13 +39,30 @@ object Tables {
     // sessions (tests, user shells) — without it a NANOS-encoded events
     // read fails outright.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
-    } else df
+    // The NTZ→LTZ branch of normalizeTs is instant-preserving ONLY under a
+    // UTC session; the library mains set it at build time, but an
+    // externally created session (user shell) would otherwise silently
+    // SHIFT every event time. Runtime-settable and idempotent, like
+    // nanosAsLong above.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
+
+  /** Normalize a `ts` column to session-TZ `TimestampType` whatever the
+    * parquet encoding surfaced (raw nanos long, TIMESTAMP_NTZ, or already
+    * TimestampType) — the ONE dispatch site shared by the batch loader and
+    * the streaming file source, so an encoding drift in the driver's
+    * testdata is a one-place fix for batch and streaming alike. Frames
+    * without a `ts` column pass through untouched.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Event-time extraction — the ONE definition site for turning `ts` into
     * an epoch number. Every query goes through these instead of calling

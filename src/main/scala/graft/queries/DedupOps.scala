@@ -176,40 +176,27 @@ object DedupOps {
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
 
   /** q57's connected-components labeling as a reusable frame
-    * `(node, label)`: alternating node↔bucket min-label propagation over
-    * the LSH bands (buckets are cliques, so shared-bucket connectivity
-    * equals pair-graph connectivity; no pairwise edge materialization).
-    * Convergence via the monotone total label sum. Also feeds the q65
-    * end-to-end curation pipeline.
+    * `(node, label)`: bucket-star edges over the LSH bands (each bucket
+    * member links to its bucket minimum — a bucket is a clique, so the
+    * star preserves exactly the clique's connectivity at linear rather
+    * than quadratic edge count), then alternating large-star/small-star
+    * contraction ([[graft.operators.ConnectedComponents]]). Round count is
+    * O(log n) regardless of component shape — the previous min-label
+    * propagation needed O(diameter) rounds AND re-joined the corpus-sized
+    * bands frame every round; contraction touches the bands once and then
+    * iterates on the contracting (node → root) pointer set only. Also
+    * feeds the q65 end-to-end curation pipeline. Label values are
+    * identical (min doc_id of the component), so consumers and oracle
+    * hashes are unchanged.
     */
   private def neardupLabels(s: SparkSession, dir: String): DataFrame = {
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey"))
-    val b2 = minhashBands(s, dir)
-      .withColumn("n", count(lit(1)).over(wB))
-      .filter(col("n") >= 2).drop("n")
-      .persist()
-    var labels = b2.select(col("doc_id").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
-    var converged = false
-    while (!converged && iter < 25) {
-      val bmin = b2.join(labels, col("doc_id") === col("node"))
-        .groupBy("band", "bkey").agg(min("label").as("bl"))
-      val next = b2.join(bmin, Seq("band", "bkey"))
-        .groupBy("doc_id").agg(min("bl").as("label"))
-        .select(col("doc_id").as("node"), col("label")).persist()
-      val sumNow = next
-        .agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
-      converged = sumNow == prevSum
-      prevSum = sumNow
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    b2.unpersist()
-    labels
+    // The staged near-dup pair set is exactly the CC edge list (bucket
+    // cliques, deduped) and is already shared by q36/q95/q97 — reusing it
+    // means the labels' marginal cost is the contraction alone, not a
+    // second run of the shingle→signature→band pipeline.
+    val edges = minhashPairs(s, dir)
+      .select(col("i").as("u"), col("j").as("v"))
+    graft.operators.ConnectedComponents.run(edges)._1
   }
 
   /** Session-staged labels (graft.Staging): q57 and q65 share one CC run —

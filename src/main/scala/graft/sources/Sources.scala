@@ -37,8 +37,14 @@ object Sources {
     val reader = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-    if (isFile) reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
-    else reader.parquet(path)
+    val raw =
+      if (isFile) reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+      else reader.parquet(path)
+    // Same ts normalization as the batch loader (graft.Tables.normalizeTs):
+    // the streamed schema comes from a batch read of the same files, so it
+    // carries whatever encoding the driver's testdata generation used —
+    // downstream streaming code may assume session-TZ TimestampType.
+    graft.Tables.normalizeTs(raw)
   }
 
   /** K6 dirty-data side output: split a JSON-string column into (clean,

@@ -26,8 +26,9 @@ object StreamDemo {
 
     // File-source stream: the batch events table replayed as a stream, the
     // same way a Kafka topic would arrive (S1/S2 analog; SURVEY §1.5).
+    // ts arrives already normalized to session-TZ TimestampType — the
+    // encoding dispatch lives in Sources.fileStream via Tables.normalizeTs.
     val raw = graft.sources.Sources.fileStream(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
     val orders = raw
       .filter($"event_type" === "purchase")
@@ -159,7 +160,6 @@ object StreamDemo {
     // delivers per-key in order and would stream batch-by-batch.
     val rawOneBatch = graft.sources.Sources
       .fileStream(spark, sfDir, "events", maxFilesPerTrigger = Int.MaxValue)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val provOrders = rawOneBatch.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts", $"value".as("amount"))
     val (provAgg, lateMarks) = DwsTradeStream.provinceOrderWindow(provOrders)

@@ -36,6 +36,26 @@ class TablesSchemaSpec extends SparkSpec {
     }
   }
 
+  test("streaming file source surfaces normalized ts and delivers rows") {
+    // The StreamDemo crash mode the round-9 ADVICE flagged: the streamed
+    // events schema comes from a batch read, so it drifts with the file
+    // encoding exactly like the batch path. fileStream now routes through
+    // Tables.normalizeTs — pin the post-source type at analysis AND smoke
+    // one micro-batch end-to-end so the read path itself is exercised.
+    val sfDir = sfDirs.head
+    val src = graft.sources.Sources.fileStream(spark, sfDir, "events",
+      maxFilesPerTrigger = Int.MaxValue)
+    assert(src.schema("ts").dataType == TimestampType,
+      s"fileStream surfaced ts as ${src.schema("ts").dataType} (raw parquet " +
+        s"type: ${rawTsType(sfDir)}) — Tables.normalizeTs needs a branch for it")
+    val q = src.writeStream.format("memory").queryName("ts_smoke")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val rows = spark.table("ts_smoke").count()
+    assert(rows > 0, "streamed events delivered no rows")
+    assert(spark.table("ts_smoke").schema("ts").dataType == TimestampType)
+  }
+
   test("events envelope columns keep their contracted types") {
     val expected = Map(
       "event_id" -> LongType, "user_id" -> LongType,

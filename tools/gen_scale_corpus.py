@@ -105,20 +105,54 @@ def write_embeddings(path, n, seed=7, skew=0.0):
     print(f"wrote {path}: {t.num_rows} rows")
 
 
+def write_events(path, n, n_users, seed=11):
+    """Seeded events table matching the driver testdata's schema/encoding
+    (ts as parquet TIMESTAMP(MICROS, no-TZ) — exercises the same
+    normalizeTs branch). event_id is ARRIVAL order; event time lags it by
+    an exponential delay with a heavy tail (~2% beyond 3 s), so the
+    lateness/debounce/ordering queries (q88/q113) see realistic
+    out-of-order data at every scale. n_users controls per-key depth:
+    scaling users with n keeps per-user history constant (natural regime);
+    pinning users while n grows 10x is the per-key-window adversary."""
+    rng = np.random.default_rng(seed)
+    span = 30 * 24 * 3600 * 10**6
+    arrival = np.sort(rng.integers(0, span, n))
+    late = (rng.exponential(0.5, n) * 10**6).astype(np.int64)
+    late[rng.random(n) < 0.02] += rng.integers(3, 300, (rng.random(n) < 0.02).sum()) * 10**6
+    ts = np.datetime64("2024-01-01T00:00:00", "us") \
+        + np.maximum(arrival - late, 0).astype("timedelta64[us]")
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 5, n)], pa.string()),
+        "value": pa.array(np.round(rng.random(n) * 100, 2), pa.float64()),
+        "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n)],
+                          pa.string()),
+    })
+    pq.write_table(t, path)
+    print(f"wrote {path}: {t.num_rows} rows")
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_docs"
     per_shard = 5000
+    n_events = 20000
+    ev_users = 300
     import os
     rng = np.random.default_rng(42)
     x1 = gen_shard(rng, 0, per_shard, 0, "")
     os.makedirs(f"{out}/x1", exist_ok=True)
     write(f"{out}/x1/documents.parquet", x1)
     write_embeddings(f"{out}/x1/embeddings.parquet", per_shard)
+    write_events(f"{out}/x1/events.parquet", n_events, ev_users)
     # identical copy under a distinct dir: ScalingBench's sacrificial
     # JIT-warmup target (Staging keys on the dir string)
     os.makedirs(f"{out}/x1warm", exist_ok=True)
     write(f"{out}/x1warm/documents.parquet", x1)
     write_embeddings(f"{out}/x1warm/embeddings.parquet", per_shard)
+    write_events(f"{out}/x1warm/events.parquet", n_events, ev_users)
 
     rng = np.random.default_rng(42)
     rows = []
@@ -128,6 +162,8 @@ def main():
     os.makedirs(f"{out}/x10", exist_ok=True)
     write(f"{out}/x10/documents.parquet", rows)
     write_embeddings(f"{out}/x10/embeddings.parquet", per_shard * 10)
+    # natural regime: users scale with volume, per-user depth constant
+    write_events(f"{out}/x10/events.parquet", n_events * 10, ev_users * 10)
 
     rng = np.random.default_rng(42)
     rows = []
@@ -141,6 +177,10 @@ def main():
     # wrote a byte-copy of x10 here, so no embeddings query had a real
     # saturated-regime measurement.
     write_embeddings(f"{out}/x10sat/embeddings.parquet", per_shard * 10, skew=0.4)
+    # saturated regime for the event family: same 10x volume but the user
+    # population PINNED, so per-key history grows 10x — the adversary for
+    # every per-user window/sort/state op (q75/q88/q103/q104)
+    write_events(f"{out}/x10sat/events.parquet", n_events * 10, ev_users)
 
 
 if __name__ == "__main__":

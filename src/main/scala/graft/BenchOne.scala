@@ -20,10 +20,12 @@ object BenchOne {
     // be an error, never silently consumed as a parameter
     var sfDir = "/root/testdata/sf0.1"
     var repeats = 3
+    var stages = false
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "-stages" => stages = true; i += 1
         case "-d" if i + 1 < args.length => sfDir = args(i + 1); i += 2
         case "-n" if i + 1 < args.length =>
           repeats = args(i + 1).toIntOption.filter(_ >= 1).getOrElse {
@@ -61,6 +63,22 @@ object BenchOne {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"BENCHONE $name min=${samples.min}%.3f samples=${samples.map(s => f"$s%.3f").mkString(",")}")
+      // -stages: time each composed sub-plan of a decomposable query
+      // separately (currently q120) — variance attribution, not a bench
+      // number (the sub-plans recompute shared subtrees, so their sum
+      // exceeds the one-plan time by design)
+      if (stages && name == "q120_recipe_funnel") {
+        graft.queries.DedupOps.recipeFunnelStages(spark, sfDir)
+          .foreach { case (st, df) =>
+            val ss = (1 to repeats).map { _ =>
+              val t0 = System.nanoTime()
+              df.write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            println(f"BENCHONE stage:$st min=${ss.min}%.3f " +
+              f"samples=${ss.map(x => f"$x%.3f").mkString(",")}")
+          }
+      }
     }
     // staged frames this run built (marginal seconds, same accounting as
     // Bench) — so isolating a consumer query also isolates its builds

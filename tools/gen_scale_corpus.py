@@ -118,7 +118,8 @@ def write_events(path, n, n_users, seed=11):
     span = 30 * 24 * 3600 * 10**6
     arrival = np.sort(rng.integers(0, span, n))
     late = (rng.exponential(0.5, n) * 10**6).astype(np.int64)
-    late[rng.random(n) < 0.02] += rng.integers(3, 300, (rng.random(n) < 0.02).sum()) * 10**6
+    tail = rng.random(n) < 0.02
+    late[tail] += rng.integers(3, 300, tail.sum()) * 10**6
     ts = np.datetime64("2024-01-01T00:00:00", "us") \
         + np.maximum(arrival - late, 0).astype("timedelta64[us]")
     types = np.array(["view", "click", "purchase", "signup", "error"])

@@ -1047,5 +1047,82 @@ object DedupOps {
       "Incremental ingest dedup: the arriving batch probes the corpus " +
         "fingerprint set and staged gram index — exact + best-overlap " +
         "flags at per-batch cost, never per-corpus " +
-        "(pipeline ops brief: daily-crawl dedup)."))
+        "(pipeline ops brief: daily-crawl dedup)."),
+
+    // ----------------------------------- embedding near-dup LABELS (linear)
+    Q(
+      "q136_embedding_dedup_labels",
+      (s, dir) => {
+        import graft.functions.VectorFns.{bucketArray, dot, norm}
+        // The scale path q45's x10sat measurement demands: under mass
+        // duplication the near-dup PAIR SET is Σ c_i² (measured 75 s /
+        // ~25 M pairs on the 40 %-collapsed scale corpus) — any
+        // pair-emitting form is output-bound. This query emits cluster
+        // LABELS at strictly linear cost instead: per LSH bucket, only
+        // (bucket-min → member) star edges are cosine-verified — O(size)
+        // rescores per bucket, never O(size²) — then the star-contraction
+        // CC collapses the verified edges to (vec_id, cluster_rep).
+        // Recall trade vs pair emission, stated honestly: two similar
+        // members of a bucket whose min is near-dup to NEITHER do not
+        // connect through that bucket; each of the 4 tables re-deals the
+        // bucket composition, and in the regime that needs this query
+        // (tight mass-dup clusters) the cluster's own min is a member, so
+        // true dup clusters stay connected (spec-asserted on planted
+        // dups). Same (4 × 12-bit) geometry and τ = 0.35 as q45.
+        val tables = 4; val bits = 12
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val ids = base.select(col("vec_id"),
+          posexplode(bucketArray(col("v"), tables, bits)).as(Seq("t", "bk")))
+        val wB = Window.partitionBy(col("t"), col("bk"))
+        val star = ids.withColumn("m", min(col("vec_id")).over(wB))
+          .filter(col("vec_id") =!= col("m"))
+          .select(col("m").as("u"), col("vec_id").as("w"))
+          .distinct()
+        val normed = base.withColumn("nrm", norm(col("v")))
+        val edges = star
+          .join(normed.select(col("vec_id").as("u"), col("v").as("vu"),
+            col("nrm").as("nu")), "u")
+          .join(normed.select(col("vec_id").as("w"), col("v").as("vw"),
+            col("nrm").as("nw")), "w")
+          .filter(col("nu") * col("nw") =!= 0.0 &&
+            dot(col("vu"), col("vw")) / (col("nu") * col("nw")) >= 0.35)
+          .select(col("u"), col("w").as("v"))
+        val labels = graft.operators.ConnectedComponents.run(edges)._1
+        base.select(col("vec_id"))
+          .join(labels.withColumnRenamed("node", "vec_id"),
+            Seq("vec_id"), "left_outer")
+          .select(col("vec_id"),
+            coalesce(col("label"), col("vec_id")).as("cluster_rep"))
+      },
+      Some(s"""
+        WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${graft.functions.VectorFns.planesCte(4, 12)},
+        bm AS (SELECT t, bk AS bkt, MIN(vec_id) AS m FROM bk GROUP BY t, bk),
+        star AS (
+          SELECT DISTINCT bm.m AS u, b.vec_id AS w
+          FROM bk b JOIN bm ON b.t = bm.t AND b.bk = bm.bkt
+          WHERE b.vec_id <> bm.m),
+        edges AS (
+          SELECT u, w FROM star
+          JOIN e eu ON star.u = eu.vec_id
+          JOIN e ew ON star.w = ew.vec_id
+          WHERE sqrt(list_dot_product(eu.v, eu.v))
+                  * sqrt(list_dot_product(ew.v, ew.v)) <> 0
+            AND list_dot_product(eu.v, ew.v)
+                  / (sqrt(list_dot_product(eu.v, eu.v))
+                     * sqrt(list_dot_product(ew.v, ew.v))) >= 0.35),
+        sym AS (SELECT u AS a, w AS b FROM edges UNION SELECT w, u FROM edges),
+        reach AS (
+          SELECT a AS node, b AS r FROM sym
+          UNION
+          SELECT reach.node, s2.b FROM reach JOIN sym s2 ON reach.r = s2.a),
+        cc AS (SELECT node, LEAST(node, MIN(r)) AS lbl FROM reach GROUP BY node)
+        SELECT e.vec_id, COALESCE(cc.lbl, e.vec_id) AS cluster_rep
+        FROM e LEFT JOIN cc ON e.vec_id = cc.node"""),
+      "Embedding near-dup cluster LABELS at linear cost: star-verified " +
+        "LSH bucket edges (O(size) rescores per bucket) + large/small-star " +
+        "CC contraction — the mass-duplication regime's replacement for " +
+        "pair emission (pipeline ops brief)."))
 }

@@ -175,6 +175,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"near-dup recall collapsed: $recall")
   }
 
+  test("q136 labels put every planted dup cluster under one representative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // end-to-end through the REGISTERED query: a temp embeddings table of
+    // 30 planted 3-member clusters (base + two tiny-noise copies, cos
+    // ~0.99) among 200 unrelated vectors; the star-verified bucket edges
+    // must keep each planted cluster connected (the cluster min is a
+    // member, so member→min edges verify) whatever the bucket mixture
+    val rng = new scala.util.Random(11)
+    val clusters = (0 until 30).map { i =>
+      val v = Array.fill(64)(rng.nextGaussian().toFloat)
+      val ids = Seq(i.toLong, 1000L + i, 2000L + i)
+      ids -> ids.map(id => (id,
+        if (id < 1000) v.toSeq
+        else v.map(x => x + rng.nextGaussian().toFloat * 0.02f).toSeq))
+    }
+    val singles = (0 until 200).map(k =>
+      (5000L + k, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val dir = java.nio.file.Files.createTempDirectory("q136_fix_").toString
+    (clusters.flatMap(_._2) ++ singles).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val labels = graft.SparkEntry.queries("q136_embedding_dedup_labels")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val broken = clusters.collect {
+      case (ids, _) if ids.map(labels).toSet.size != 1 =>
+        ids.map(id => id -> labels(id))
+    }
+    assert(broken.isEmpty, s"planted clusters fractured: $broken")
+    // and the planted clusters never merge with each other (cos of
+    // independent 64-dim gaussians is ~0 — far under the 0.35 gate)
+    val reps = clusters.map { case (ids, _) => labels(ids.head) }
+    assert(reps.distinct.size == clusters.size,
+      "unrelated planted clusters merged")
+  }
+
   test("bucketArray packs the same bucket ids as the unrolled buckets columns") {
     import spark.implicits._
     import graft.functions.VectorFns.{buckets, bucketArray}

@@ -72,7 +72,9 @@ object VectorFns {
     when(size(v) === Dims, dot(v, typedLit(planeSigns(p))))
       .otherwise(raise_error(concat(
         lit(s"planeDot: expected $Dims-dim vector, got size="),
-        size(v).cast("string"))))
+        // coalesce: a NULL vector would null the whole concat and raise a
+        // message-less error — the one diagnostic a 100 TB run gets
+        coalesce(size(v).cast("string"), lit("null")))))
 
   /** L banded bucket ids over `bits` hyperplanes each (sign-bit packing).
     * Collision probability per table is (1 - θ/π)^bits — high for
@@ -106,7 +108,7 @@ object VectorFns {
       }))
     when(size(v) === Dims, arr).otherwise(raise_error(concat(
       lit(s"bucketArray: expected $Dims-dim vector, got size="),
-      size(v).cast("string"))))
+      coalesce(size(v).cast("string"), lit("null")))))
   }
 
   /** DuckDB CTE computing the same (plane, signs) table for `tables*bits`

@@ -32,9 +32,13 @@ object ConnectedComponents {
     * any orientation; self-loops and duplicates tolerated). Returns
     * `(labels(node, label), rounds)` where `rounds` counts the
     * (large-star + small-star) iterations executed, including the final
-    * fixpoint-confirming one. `rounds == maxRounds` means the fixpoint was
-    * not confirmed (practically unreachable: 25 rounds covers components
-    * of ~2^25 nodes even on a pure chain).
+    * fixpoint-confirming one. Throws if the fixpoint is not confirmed
+    * within `maxRounds` — silently returning half-contracted labels would
+    * be the worst possible failure mode for a dedup pipeline (documents
+    * wrongly kept as "unique"); the default 25 rounds covers ~2^25-node
+    * components even on a pure chain, so hitting the cap means the input
+    * is far outside the design envelope and the caller should raise it
+    * deliberately.
     */
   def run(edgesIn: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
     val nodes = edgesIn.select(col("u").as("node"))
@@ -97,6 +101,13 @@ object ConnectedComponents {
       edges = ss
       rounds += 1
     }
+
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not confirm a fixpoint in $maxRounds " +
+          "rounds; labels would be half-contracted. Raise maxRounds " +
+          "(alternating star contraction needs O(log n) rounds in " +
+          "practice, O(log^2 n) worst-case).")
 
     // Fixpoint edge set is a star forest oriented (child, root): each
     // non-root appears exactly once as u; roots appear only as v. The

@@ -193,7 +193,13 @@ object DedupOps {
     // The staged near-dup pair set is exactly the CC edge list (bucket
     // cliques, deduped) and is already shared by q36/q95/q97 — reusing it
     // means the labels' marginal cost is the contraction alone, not a
-    // second run of the shingle→signature→band pipeline.
+    // second run of the shingle→signature→band pipeline. Known trade:
+    // under EXTREME duplication the pair set itself is Σ cluster², and a
+    // labels-only consumer would want the linear bucket-star construction
+    // instead (per bucket: (min → member) edges, the q136 shape — same
+    // connectivity, O(bucket) edges); here exact dedup runs upstream and
+    // the pair frame is demanded by the graph queries regardless, so
+    // pair reuse is the cheaper session-wide choice.
     val edges = minhashPairs(s, dir)
       .select(col("i").as("u"), col("j").as("v"))
     graft.operators.ConnectedComponents.run(edges)._1

@@ -80,6 +80,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("an exhausted round budget fails loudly, never returns partial labels") {
+    val pairs = (0 until 63).map(i => (i.toLong, i.toLong + 1))
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(edgesDf(pairs), maxRounds = 1)
+    }
+    assert(e.getMessage.contains("maxRounds"))
+  }
+
   test("self-loops and duplicate edges are tolerated") {
     val pairs = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
     val (labels, _) = ConnectedComponents.run(edgesDf(pairs))

@@ -99,6 +99,34 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("q136 labels refuse a drifted index loudly (the LSH raise contract)") {
+    // The bucketing family's documented posture: a wrong-dimension vector
+    // RAISES instead of silently landing in a wrong-but-plausible bucket
+    // (PipelineOpsSpec pins the expression-level behavior; this pins it
+    // end-to-end through the registered label query). Mis-bucketed dedup
+    // labels would silently merge or split clusters — a crash is the
+    // correct outcome on this index.
+    val e = intercept[Exception] {
+      graft.SparkEntry.queries("q136_embedding_dedup_labels")(spark, dirtyDir)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("expected 64-dim vector")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+    // and on the same index FILTERED to well-formed vectors, every vector
+    // gets exactly one label and the planted dup pair (1, 5) shares one
+    import spark.implicits._
+    val cleanDir = java.nio.file.Files.createTempDirectory("q136_clean_").toString
+    spark.read.parquet(s"$dirtyDir/embeddings.parquet")
+      .filter(size(col("embedding")) === dim)
+      .coalesce(1).write.parquet(s"$cleanDir/embeddings.parquet")
+    val labels = graft.SparkEntry.queries("q136_embedding_dedup_labels")(spark, cleanDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 6) // ids 0,1,2,5,8,9 are the 64-dim vectors
+    assert(labels(1L) == labels(5L), s"planted dup pair split: $labels")
+  }
+
   test("StreamingAnn model + in-row ingest survive the dirty index " +
     "(malformed centroids dropped, malformed arrivals carry null codes)") {
     import graft.streaming.StreamingAnn

@@ -62,6 +62,59 @@ class StreamingLshSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
   }
 
+  test("bucket state survives a kill-and-resume: post-restart arrivals " +
+    "pair against pre-restart members exactly once, on RocksDB") {
+    // The ingest-dedup twin's crash story (mirrors the DWS window leg in
+    // CheckpointRecoverySpec): docs arrive, the query dies, MORE docs
+    // arrive after the restart — a post-restart near-dup must still pair
+    // with documents ingested BEFORE the crash (state restored), and the
+    // pre-crash pairs must not re-emit (sink exactly-once). BandHits are
+    // synthesized directly so bucket collisions are fully controlled.
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("lsh_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lsh_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh_ck").toString
+
+    def writeHits(hits: Seq[BandHit]): Unit =
+      hits.toDS().toDF().coalesce(1).write.mode("append").parquet(inDir)
+
+    // pre-crash: docs 1,2 collide in bucket (0,"k"); doc 3 alone in (1,"z")
+    writeHits(Seq(BandHit(0, "k", 1L), BandHit(0, "k", 2L), BandHit(1, "z", 3L)))
+
+    def pipeline() = {
+      val schema = spark.read.parquet(inDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir).as[BandHit]
+      StreamingLsh.pairs(src)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q1 = pipeline()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(spark.read.parquet(outDir).as[NearDupPair].collect().toSet
+        == Set(NearDupPair(1L, 2L)))
+
+      // post-restart: doc 4 lands in the pre-crash bucket (must pair with
+      // the RESTORED members 1 and 2) and doc 5 joins doc 3's bucket
+      writeHits(Seq(BandHit(0, "k", 4L), BandHit(1, "z", 5L)))
+      val q2 = pipeline()
+      try q2.processAllAvailable() finally q2.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    val out = spark.read.parquet(outDir).as[NearDupPair].collect().toSeq
+    // multiset: a re-emitted (1,2) would duplicate a row even though the
+    // set view hides it
+    assert(out.size == 4 && out.toSet == Set(
+      NearDupPair(1L, 2L), NearDupPair(1L, 4L), NearDupPair(2L, 4L),
+      NearDupPair(3L, 5L)),
+      s"state lost or pairs re-emitted across restart: $out")
+  }
+
   test("streamed pair set equals batch q36 across micro-batches") {
     import spark.implicits._
     val hits = StreamingLsh.bandAssignments(

@@ -38,14 +38,29 @@ object Tables {
     // (idempotent, runtime-settable) as a fallback for externally created
     // sessions (tests, user shells) — without it a NANOS-encoded events
     // read fails outright.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ→LTZ branch of normalizeTs is instant-preserving ONLY under a
-    // UTC session; the library mains set it at build time, but an
-    // externally created session (user shell) would otherwise silently
-    // SHIFT every event time. Runtime-settable and idempotent, like
-    // nanosAsLong above.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensureSessionConfs(spark)
     normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Session preconditions for reading the testdata tables, shared by the
+    * batch loader and the streaming file source. `nanosAsLong` is set
+    * (runtime-settable, idempotent — without it a NANOS-encoded events
+    * read fails outright). The session TZ is REQUIRED to be UTC and
+    * asserted with a clear error rather than silently set: the NTZ→LTZ
+    * branch of [[normalizeTs]] is instant-preserving only under UTC, but
+    * force-flipping the conf would also silently change the results of
+    * every non-graft date/timestamp expression in a user's session — an
+    * error names the one-line fix instead.
+    */
+  private[graft] def ensureSessionConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).normalized() ==
+      java.time.ZoneOffset.UTC.normalized(),
+      s"graft requires a UTC session (found spark.sql.session.timeZone=$tz): " +
+        "event-time normalization and the DuckDB oracles are defined over " +
+        "UTC instants. Set .config(\"spark.sql.session.timeZone\", \"UTC\") " +
+        "on the SparkSession builder (the library mains already do).")
   }
 
   /** Normalize a `ts` column to session-TZ `TimestampType` whatever the

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components via alternating large-star/small-star
   * contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -41,22 +40,31 @@ object ConnectedComponents {
     * deliberately.
     */
   def run(edgesIn: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+    // consumed once (the final label join), so no persist — caching it
+    // would only hold executor storage hostage across the loop
     val nodes = edgesIn.select(col("u").as("node"))
       .union(edgesIn.select(col("v").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Eager localCheckpoint per round: iterative DataFrame loops MUST
-    // truncate lineage — each round's plan references the previous round
-    // twice (the symmetrize union), so without truncation the logical plan
-    // doubles per round and the optimizer itself becomes the bottleneck
-    // long before the data does. The checkpointed frames are the
-    // contracting pointer sets (small after round 1); blocks are reclaimed
-    // by the context cleaner as the old round frames go out of scope.
-    var edges = edgesIn
+    // Eager checkpoint per round: iterative DataFrame loops MUST truncate
+    // lineage — each round's plan references the previous round twice (the
+    // symmetrize union), so without truncation the logical plan doubles
+    // per round and the optimizer itself becomes the bottleneck long
+    // before the data does. With a configured checkpoint dir
+    // (sparkContext.setCheckpointDir — what a cluster deployment sets)
+    // rounds checkpoint RELIABLY and survive executor loss; otherwise
+    // localCheckpoint keeps the local-mode harness fast at the documented
+    // cost that lost executor blocks cannot be recomputed (lineage gone).
+    // Blocks are reclaimed by the context cleaner as round frames go out
+    // of scope.
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+
+    var edges = truncate(edgesIn
       .filter(col("u") =!= col("v"))
-      .select(col("u"), col("v")).distinct()
-      .localCheckpoint(true)
+      .select(col("u"), col("v")).distinct())
 
     // Edge-multiset fingerprint: (count, sum of per-edge xxhash64 widened
     // to decimal — ANSI long-sum would overflow). Equal fingerprints across
@@ -89,16 +97,16 @@ object ConnectedComponents {
         .union(withM.select(col("a").as("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+      val ss2 = truncate(ss)
 
-      val probe = ss.agg(
+      val probe = ss2.agg(
         count(lit(1)).as("c"),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")).head()
       val now = (probe.getLong(0), probe.getDecimal(1))
       converged = now._1 == prev._1 &&
         (now._1 == 0L || (now._2 != null && now._2 == prev._2))
       prev = now
-      edges = ss
+      edges = ss2
       rounds += 1
     }
 

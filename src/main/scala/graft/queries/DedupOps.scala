@@ -176,18 +176,16 @@ object DedupOps {
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
 
   /** q57's connected-components labeling as a reusable frame
-    * `(node, label)`: bucket-star edges over the LSH bands (each bucket
-    * member links to its bucket minimum — a bucket is a clique, so the
-    * star preserves exactly the clique's connectivity at linear rather
-    * than quadratic edge count), then alternating large-star/small-star
-    * contraction ([[graft.operators.ConnectedComponents]]). Round count is
-    * O(log n) regardless of component shape — the previous min-label
-    * propagation needed O(diameter) rounds AND re-joined the corpus-sized
-    * bands frame every round; contraction touches the bands once and then
-    * iterates on the contracting (node → root) pointer set only. Also
-    * feeds the q65 end-to-end curation pipeline. Label values are
-    * identical (min doc_id of the component), so consumers and oracle
-    * hashes are unchanged.
+    * `(node, label)`: the staged near-dup PAIR SET as the edge list, then
+    * alternating large-star/small-star contraction
+    * ([[graft.operators.ConnectedComponents]]). Round count is O(log n)
+    * regardless of component shape — the previous min-label propagation
+    * needed O(diameter) rounds AND re-joined the corpus-sized bands frame
+    * every round; contraction iterates on the contracting (node → root)
+    * pointer set only. Also feeds the q65 end-to-end curation pipeline.
+    * Label values are identical (min doc_id of the component), so
+    * consumers and oracle hashes are unchanged. See the inline comment
+    * for the pair-set-vs-bucket-star input trade.
     */
   private def neardupLabels(s: SparkSession, dir: String): DataFrame = {
     // The staged near-dup pair set is exactly the CC edge list (bucket
@@ -745,11 +743,19 @@ object DedupOps {
         // pair count grows ~n²/2^bits at fixed resolution. Measured on the
         // x10 scale corpus: 6 bits → ~78M candidate pairs and a 205 s
         // quadratic blowup; 12 bits → linear-regime candidates until the
-        // corpus reaches millions of vectors. Recall on true near-dups
-        // (cos ≥ 0.99) stays ≥ 0.9996 across the 4-table union —
-        // (1-(1-θ/π)^12)^4 at θ ≈ 0.045 — asserted in PipelineOpsSpec.
-        // At 10^8+ vectors, raise bits with log2(n) (bits ≈ log2(n/16));
-        // the operator is parametric, the registered query pins (4, 12).
+        // corpus reaches millions of vectors. The recall profile this
+        // buys, by similarity band (miss/table = 1-(1-θ/π)^bits, union
+        // over 4 tables): cos 0.999 → ≥ 0.999; cos 0.99 → ≈ 0.967;
+        // cos 0.9 → ≈ 0.41; at the τ = 0.35 rescore floor → ≈ 1 %. That
+        // is the deliberate posture: q45 is a NEAR-DUPLICATE detector
+        // tuned for the high-similarity band where near-dups live (the
+        // planted-dup recall is asserted in PipelineOpsSpec); τ filters
+        // candidates, it is NOT a completeness promise at moderate
+        // similarity — moderate-sim retrieval is the ANN family's job
+        // (q38/q39/q72, whose bounded probe sides keep 6-bit recall
+        // affordable). At 10^8+ vectors, raise bits with log2(n)
+        // (bits ≈ log2(n/16)); the operator is parametric, the registered
+        // query pins (4, 12).
         val tables = 4; val bits = 12
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"),

@@ -30,6 +30,11 @@ object Sources {
     // names, which is exactly the single-file layout — it would silently
     // match nothing for the directory layout, hence the branch).
     val path = s"$dir/$table.parquet"
+    // same preconditions as the batch loader: nanosAsLong for the schema
+    // probe below (a NANOS-encoded table throws without it) and the UTC
+    // assertion normalizeTs depends on — an external session hits this
+    // path without ever calling Tables.apply
+    graft.Tables.ensureSessionConfs(spark)
     val schema = spark.read.parquet(path).schema
     val p = new org.apache.hadoop.fs.Path(path)
     val isFile =

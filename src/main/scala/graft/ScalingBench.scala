@@ -36,7 +36,7 @@ object ScalingBench {
     // embeddings are the cluster-skew adversary for the SemDeDup members)
     "q45_embedding_neardup", "q100_semantic_dedup", "q128_ivfpq_ann",
     "q131_semantic_dedup_scaledk", "q133_semantic_dedup_star",
-    "q136_embedding_dedup_labels",
+    "q136_embedding_dedup_labels", "q137_semantic_decontamination",
     // CC-consumer graph family (round-10: the star-contraction path)
     "q57_neardup_cluster", "q95_pagerank_neardup",
     // event-time family (round-10: restored in round 9 with no scaling

@@ -993,5 +993,59 @@ object SimilarityOps {
       "IVF-PQ recall audit: recall@5 of the PQ-scored index against the " +
         "exact L2 top-5 truth set — the measurement that sizes subspaces/" +
         "codewords/probes before the index ships " +
-        "(pipeline ops brief: measure the index, don't guess)."))
+        "(pipeline ops brief: measure the index, don't guess)."),
+
+    // --------------------------------------- semantic decontamination
+    Q(
+      "q137_semantic_decontamination",
+      (s, dir) => {
+        // The embedding-side member of the decontamination family (q63
+        // 5-gram overlap, q130/q132 Bloom are all GRAM-based): flag corpus
+        // vectors semantically close to a held-out benchmark set —
+        // paraphrased leakage that shares no n-grams still collides in
+        // embedding space. Scale shape is the family's: the benchmark set
+        // is small BY DEFINITION (vec_id < 5 here, thousands in
+        // production), so it broadcasts and the corpus is scanned ONCE
+        // with a per-row max over the broadcast side — no shuffle of the
+        // corpus embedding matrix, same geometry as q38's probe but
+        // corpus-wide and flag-producing rather than top-k. Exact cosine
+        // in ppm (integer-exact across engines); the 0.95 flag threshold
+        // is the conventional paraphrase-leakage floor.
+        val evals = vecs(s, dir).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+        val corpus = vecs(s, dir).filter(col("vec_id") >= 5)
+        corpus
+          .join(broadcast(evals))
+          .withColumn("den", norm(col("v")) * norm(col("ev")))
+          .withColumn("sim_ppm",
+            when(col("den") =!= 0.0,
+              floor(dot(col("v"), col("ev")) / col("den") * 1e6).cast("long"))
+              .otherwise(lit(-1000000L)))
+          .groupBy(col("vec_id"))
+          .agg(max(col("sim_ppm")).as("max_sim_ppm"))
+          .withColumn("contaminated",
+            (col("max_sim_ppm") >= 950000L).cast("int"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+        s AS (
+          SELECT c.vec_id,
+                 CASE WHEN sqrt(list_dot_product(c.v, c.v))
+                        * sqrt(list_dot_product(evv, evv)) <> 0
+                      THEN CAST(FLOOR(list_dot_product(c.v, evv)
+                             / (sqrt(list_dot_product(c.v, c.v))
+                                * sqrt(list_dot_product(evv, evv))) * 1000000)
+                           AS BIGINT)
+                      ELSE -1000000 END AS sim_ppm
+          FROM c, ev)
+        SELECT vec_id, MAX(sim_ppm) AS max_sim_ppm,
+               CAST(CASE WHEN MAX(sim_ppm) >= 950000 THEN 1 ELSE 0 END AS INT)
+                 AS contaminated
+        FROM s GROUP BY vec_id"""),
+      "Semantic decontamination: corpus vectors flagged by max cosine " +
+        "against a broadcast held-out benchmark set — catches paraphrased " +
+        "leakage that gram-based decon (q63/q130/q132) cannot see " +
+        "(pipeline ops brief)."))
 }

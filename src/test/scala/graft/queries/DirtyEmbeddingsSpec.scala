@@ -99,6 +99,26 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("q137 semantic decon flags the planted eval dup, sentinels the " +
+    "malformed rows, never crashes") {
+    // corpus vector 5 is an exact copy of eval vector 1 → contaminated;
+    // malformed corpus vectors (null/empty/wrong-dim) carry the -1e6
+    // sentinel similarity and flag 0 — visible, never invented, no crash
+    // (cosine-null propagation, the q38 contract)
+    val rows = graft.SparkEntry.queries("q137_semantic_decontamination")(
+        spark, dirtyDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2)))).toMap
+    assert(rows.keySet == Set(5L, 6L, 7L, 8L, 9L, 10L))
+    assert(rows(5L)._2 == 1 && rows(5L)._1 >= 999999L,
+      s"planted eval dup not flagged: ${rows(5L)}")
+    for (malformed <- Seq(6L, 7L, 10L))
+      assert(rows(malformed) == ((-1000000L, 0)),
+        s"malformed vector $malformed: ${rows(malformed)}")
+    for (clean <- Seq(8L, 9L))
+      assert(rows(clean)._2 == 0, s"unrelated vector flagged: $clean")
+  }
+
   test("q136 labels refuse a drifted index loudly (the LSH raise contract)") {
     // The bucketing family's documented posture: a wrong-dimension vector
     // RAISES instead of silently landing in a wrong-but-plausible bucket

@@ -52,15 +52,25 @@ object ConnectedComponents {
     // per round and the optimizer itself becomes the bottleneck long
     // before the data does. With a configured checkpoint dir
     // (sparkContext.setCheckpointDir — what a cluster deployment sets)
-    // rounds checkpoint RELIABLY and survive executor loss; otherwise
-    // localCheckpoint keeps the local-mode harness fast at the documented
-    // cost that lost executor blocks cannot be recomputed (lineage gone).
-    // Blocks are reclaimed by the context cleaner as round frames go out
-    // of scope.
+    // rounds checkpoint RELIABLY and survive executor loss; the
+    // persist-before-checkpoint keeps the reliable write from recomputing
+    // the round (RDD.checkpoint otherwise re-runs the lineage in the
+    // writing job). Checkpoint FILES are deleted by the context cleaner
+    // only when spark.cleaner.referenceTracking.cleanCheckpoints=true —
+    // a deployment that loops CC should set it (or clean the dir itself);
+    // without it files persist for the app lifetime (they are per-round
+    // pointer sets, small, but unbounded across many invocations).
+    // Without a checkpoint dir, localCheckpoint keeps the local-mode
+    // harness fast at the documented cost that lost executor blocks
+    // cannot be recomputed (lineage gone); those blocks ARE reclaimed by
+    // the context cleaner as round frames go out of scope.
     def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+        val cached = df.persist()
+        val out = cached.checkpoint(true)
+        cached.unpersist()
+        out
+      } else df.localCheckpoint(true)
 
     var edges = truncate(edgesIn
       .filter(col("u") =!= col("v"))

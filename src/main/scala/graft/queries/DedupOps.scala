@@ -746,7 +746,7 @@ object DedupOps {
         // corpus reaches millions of vectors. The recall profile this
         // buys, by similarity band (miss/table = 1-(1-θ/π)^bits, union
         // over 4 tables): cos 0.999 → ≥ 0.999; cos 0.99 → ≈ 0.967;
-        // cos 0.9 → ≈ 0.41; at the τ = 0.35 rescore floor → ≈ 1 %. That
+        // cos 0.9 → ≈ 0.49; at the τ = 0.35 rescore floor → ≈ 1 %. That
         // is the deliberate posture: q45 is a NEAR-DUPLICATE detector
         // tuned for the high-similarity band where near-dups live (the
         // planted-dup recall is asserted in PipelineOpsSpec); τ filters

@@ -1011,16 +1011,25 @@ object SimilarityOps {
         // corpus-wide and flag-producing rather than top-k. Exact cosine
         // in ppm (integer-exact across engines); the 0.95 flag threshold
         // is the conventional paraphrase-leakage floor.
+        // LEFT join on TRUE, not a plain cross join: an EMPTY benchmark
+        // set must report every corpus row as clean, never silently emit
+        // zero rows ("nothing contaminated" ≠ "nothing checked"). The
+        // per-pair similarity rides VectorFns.cosine (null on zero-norm,
+        // null-propagating on dimension drift via VecDot) and a single
+        // coalesce turns EVERY unscorable case — null/empty/wrong-dim
+        // vector on either side, or no eval rows at all — into the
+        // -2 000 000 sentinel: out of the representable cosine-ppm range
+        // [-1e6, 1e6], so a legitimate antipodal match (exactly -1e6)
+        // stays distinguishable from corruption.
         val evals = vecs(s, dir).filter(col("vec_id") < 5)
           .select(col("vec_id").as("eval_id"), col("v").as("ev"))
         val corpus = vecs(s, dir).filter(col("vec_id") >= 5)
         corpus
-          .join(broadcast(evals))
-          .withColumn("den", norm(col("v")) * norm(col("ev")))
-          .withColumn("sim_ppm",
-            when(col("den") =!= 0.0,
-              floor(dot(col("v"), col("ev")) / col("den") * 1e6).cast("long"))
-              .otherwise(lit(-1000000L)))
+          .join(broadcast(evals), lit(true), "left")
+          .withColumn("sim_ppm", coalesce(
+            floor(graft.functions.VectorFns.cosine(col("v"), col("ev")) * 1e6)
+              .cast("long"),
+            lit(-2000000L)))
           .groupBy(col("vec_id"))
           .agg(max(col("sim_ppm")).as("max_sim_ppm"))
           .withColumn("contaminated",
@@ -1032,14 +1041,13 @@ object SimilarityOps {
         c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
         s AS (
           SELECT c.vec_id,
-                 CASE WHEN sqrt(list_dot_product(c.v, c.v))
+                 COALESCE(CASE WHEN sqrt(list_dot_product(c.v, c.v))
                         * sqrt(list_dot_product(evv, evv)) <> 0
                       THEN CAST(FLOOR(list_dot_product(c.v, evv)
                              / (sqrt(list_dot_product(c.v, c.v))
                                 * sqrt(list_dot_product(evv, evv))) * 1000000)
-                           AS BIGINT)
-                      ELSE -1000000 END AS sim_ppm
-          FROM c, ev)
+                           AS BIGINT) END, -2000000) AS sim_ppm
+          FROM c LEFT JOIN ev ON TRUE)
         SELECT vec_id, MAX(sim_ppm) AS max_sim_ppm,
                CAST(CASE WHEN MAX(sim_ppm) >= 950000 THEN 1 ELSE 0 END AS INT)
                  AS contaminated

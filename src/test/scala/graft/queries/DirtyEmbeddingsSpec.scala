@@ -102,9 +102,10 @@ class DirtyEmbeddingsSpec extends SparkSpec {
   test("q137 semantic decon flags the planted eval dup, sentinels the " +
     "malformed rows, never crashes") {
     // corpus vector 5 is an exact copy of eval vector 1 → contaminated;
-    // malformed corpus vectors (null/empty/wrong-dim) carry the -1e6
-    // sentinel similarity and flag 0 — visible, never invented, no crash
-    // (cosine-null propagation, the q38 contract)
+    // malformed corpus vectors (null/empty/wrong-dim) carry the -2e6
+    // sentinel similarity (outside the representable cosine-ppm range, so
+    // a real antipodal -1e6 match stays distinguishable) and flag 0 —
+    // visible, never invented, no crash
     val rows = graft.SparkEntry.queries("q137_semantic_decontamination")(
         spark, dirtyDir)
       .collect().map(r => r.getLong(0) ->
@@ -113,10 +114,43 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     assert(rows(5L)._2 == 1 && rows(5L)._1 >= 999999L,
       s"planted eval dup not flagged: ${rows(5L)}")
     for (malformed <- Seq(6L, 7L, 10L))
-      assert(rows(malformed) == ((-1000000L, 0)),
+      assert(rows(malformed) == ((-2000000L, 0)),
         s"malformed vector $malformed: ${rows(malformed)}")
     for (clean <- Seq(8L, 9L))
       assert(rows(clean)._2 == 0, s"unrelated vector flagged: $clean")
+  }
+
+  test("q137: wrong-dim corpus rows sentinel even against an ALL-CLEAN " +
+    "eval set, and an empty eval set reports every row clean") {
+    // The two cases the dirty fixture masks: (a) a wrong-dim corpus
+    // vector scored only against well-formed evals must still sentinel
+    // (VecDot null-propagation through the coalesce — previously the
+    // den-guard missed it and emitted NULL); (b) no eval rows at all must
+    // keep every corpus row in the output with flag 0, never silently
+    // emit an empty frame ("nothing contaminated" ≠ "nothing checked").
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q137_edge_").toString
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (0L, vec(1)), (1L, vec(2)),              // clean evals only
+      (5L, vec(2)),                            // dup of eval 1
+      (6L, Array.tabulate(16)(_.toFloat)),     // wrong dim
+      (7L, vec(7)))
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.SparkEntry.queries("q137_semantic_decontamination")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(6L) == ((-2000000L, 0)),
+      s"wrong-dim vs clean evals must sentinel, got ${got(6L)}")
+    assert(got(5L)._2 == 1 && got(7L)._2 == 0)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q137_noev_").toString
+    Seq((5L, vec(2)), (6L, vec(3)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir2/embeddings.parquet")
+    val noEv = graft.SparkEntry.queries("q137_semantic_decontamination")(spark, dir2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(noEv == Map(5L -> ((-2000000L, 0)), 6L -> ((-2000000L, 0))),
+      s"empty eval set must report every row clean, got $noEv")
   }
 
   test("q136 labels refuse a drifted index loudly (the LSH raise contract)") {

@@ -1263,7 +1263,269 @@ object CorpusOps {
       "Priority sampling: weight-proportional top-k per stratum without " +
         "replacement (hash-deterministic priorities, integer-exact), with " +
         "the Horvitz-Thompson max(w, tau) weight estimate " +
-        "(pipeline ops brief: weighted subsampling)."))
+        "(pipeline ops brief: weighted subsampling)."),
+
+    // ---------------------------------- log-histogram quantile sketch
+    Q(
+      "q138_logq_sketch",
+      (s, dir) => {
+        // DDSketch-style relative-error quantile sketch (Masson, Rim &
+        // Lee, VLDB 2019: quantiles from log-spaced buckets, mergeable by
+        // ADDING per-bucket counts) — the quantile member of the
+        // mergeable-synopsis family (bottom-k q108, count-min q127,
+        // linear counting q134, priority sample q135). Integer-exact
+        // variant: bucket id = (bit-length, top-3-bits-after-MSB) of the
+        // value, i.e. gamma = 2^(1/8) buckets (≤ ~6% worst-case relative
+        // error), computed with shifts only — no libm, the q122/q134
+        // float-free discipline, so both engines agree bit-for-bit.
+        // Scale: q83's exact percentiles need a per-stratum sort; this
+        // needs a ~100-long count vector per stratum that shards merge by
+        // addition — at 100 TB each executor ships one tiny vector, never
+        // a sorted stratum. Here the exact quantiles ride along as the
+        // sketch's own accuracy audit (the q124/q129 measure-don't-guess
+        // rule): BOTH legs come from ONE value histogram
+        // (groupBy(lang, n_chars); map-side combine bounds the shuffle by
+        // distinct lengths per stratum), and because the bucket id is
+        // monotone in the value, the first histogram row whose cumulative
+        // count reaches the target rank carries the exact quantile AND
+        // its bucket — one window, one aggregate, no second pass.
+        val vh = docs(s, dir)
+          .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+          .groupBy(col("lang"), col("n_chars").cast("long").as("w"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("bl", (length(bin(col("w"))) - 1).cast("long"))
+          .withColumn("bid", expr(
+            "CASE WHEN w < 16 THEN w " +
+              "ELSE (bl - 2) * 8 + shiftright(w, cast(bl - 3 as int)) - 8 " +
+              "END"))
+        val ec = vh
+          .withColumn("cum",
+            sum(col("c")).over(Window.partitionBy("lang").orderBy("w")))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+        // cum is integer, so cum >= ceil(q*n/100) <=> cum*100 >= q*n; min
+        // bid over the qualifying rows == bid of the min qualifying w
+        // (monotone mapping), so exact value and bucket come out of the
+        // same MIN(CASE) pair.
+        def q(p: Int, c: String) =
+          min(when(col("cum") * 100 >= lit(p) * col("n"), col(c)))
+        val g = ec.groupBy("lang").agg(
+          max(col("n")).as("n"),
+          countDistinct(col("bid")).as("n_buckets"),
+          q(50, "w").as("exact_p50"), q(50, "bid").as("b50"),
+          q(90, "w").as("exact_p90"), q(90, "bid").as("b90"),
+          q(99, "w").as("exact_p99"), q(99, "bid").as("b99"))
+        // bucket representative: midpoint of [lower, upper] where for
+        // bid >= 16, L = bid div 8 + 2, m = bid % 8, lower = (8+m)·2^(L-3),
+        // upper = (9+m)·2^(L-3) − 1; bids < 16 are exact singletons.
+        def rep(b: String) = expr(
+          s"CASE WHEN $b < 16 THEN $b ELSE " +
+            s"((8 + $b % 8) * shiftleft(cast(1 as bigint), " +
+            s"cast($b div 8 - 1 as int)) + " +
+            s"(9 + $b % 8) * shiftleft(cast(1 as bigint), " +
+            s"cast($b div 8 - 1 as int)) - 1) div 2 END")
+        g.select(col("lang"), col("n"), col("n_buckets"),
+          col("exact_p50"), rep("b50").as("est_p50"),
+          col("exact_p90"), rep("b90").as("est_p90"),
+          col("exact_p99"), rep("b99").as("est_p99"))
+          .withColumn("max_err_ppm", greatest(
+            expr("abs(est_p50 - exact_p50) * 1000000L div exact_p50"),
+            expr("abs(est_p90 - exact_p90) * 1000000L div exact_p90"),
+            expr("abs(est_p99 - exact_p99) * 1000000L div exact_p99")))
+      },
+      Some("""
+        WITH v AS (
+          SELECT lang, CAST(n_chars AS BIGINT) AS w, COUNT(*) AS c
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+          GROUP BY 1, 2),
+        vb AS (
+          SELECT lang, w, c, length(bin(w)) - 1 AS bl FROM v),
+        vbb AS (
+          SELECT lang, w, c,
+                 CASE WHEN w < 16 THEN w
+                      ELSE (bl - 2) * 8 + (w >> CAST(bl - 3 AS INT)) - 8
+                 END AS bid
+          FROM vb),
+        ec AS (
+          SELECT lang, w, bid, c,
+                 CAST(SUM(c) OVER (PARTITION BY lang ORDER BY w) AS BIGINT)
+                   AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM vbb),
+        g AS (
+          SELECT lang, MAX(n) AS n, COUNT(DISTINCT bid) AS n_buckets,
+                 MIN(CASE WHEN cum * 100 >= 50 * n THEN w END) AS exact_p50,
+                 MIN(CASE WHEN cum * 100 >= 50 * n THEN bid END) AS b50,
+                 MIN(CASE WHEN cum * 100 >= 90 * n THEN w END) AS exact_p90,
+                 MIN(CASE WHEN cum * 100 >= 90 * n THEN bid END) AS b90,
+                 MIN(CASE WHEN cum * 100 >= 99 * n THEN w END) AS exact_p99,
+                 MIN(CASE WHEN cum * 100 >= 99 * n THEN bid END) AS b99
+          FROM ec GROUP BY 1),
+        r AS (
+          SELECT lang, n, n_buckets, exact_p50, exact_p90, exact_p99,
+                 CASE WHEN b50 < 16 THEN b50 ELSE
+                   ((8 + b50 % 8) * (CAST(1 AS BIGINT) << CAST(b50 // 8 - 1 AS INT)) +
+                    (9 + b50 % 8) * (CAST(1 AS BIGINT) << CAST(b50 // 8 - 1 AS INT)) - 1) // 2
+                 END AS est_p50,
+                 CASE WHEN b90 < 16 THEN b90 ELSE
+                   ((8 + b90 % 8) * (CAST(1 AS BIGINT) << CAST(b90 // 8 - 1 AS INT)) +
+                    (9 + b90 % 8) * (CAST(1 AS BIGINT) << CAST(b90 // 8 - 1 AS INT)) - 1) // 2
+                 END AS est_p90,
+                 CASE WHEN b99 < 16 THEN b99 ELSE
+                   ((8 + b99 % 8) * (CAST(1 AS BIGINT) << CAST(b99 // 8 - 1 AS INT)) +
+                    (9 + b99 % 8) * (CAST(1 AS BIGINT) << CAST(b99 // 8 - 1 AS INT)) - 1) // 2
+                 END AS est_p99
+          FROM g)
+        SELECT lang, n, n_buckets, exact_p50, est_p50, exact_p90, est_p90,
+               exact_p99, est_p99,
+               GREATEST(abs(est_p50 - exact_p50) * 1000000 // exact_p50,
+                        abs(est_p90 - exact_p90) * 1000000 // exact_p90,
+                        abs(est_p99 - exact_p99) * 1000000 // exact_p99)
+                 AS max_err_ppm
+        FROM r"""),
+      "Log-histogram quantile sketch (DDSketch-style, gamma = 2^(1/8), " +
+        "integer shifts only): per-stratum p50/p90/p99 estimates from a " +
+        "mergeable ~100-bucket count vector, with the exact quantiles " +
+        "and worst error ppm riding along as the accuracy audit " +
+        "(pipeline ops brief: sketches)."),
+
+    // ------------------------------------ KMV cross-source set overlap
+    Q(
+      "q139_kmv_overlap",
+      (s, dir) => {
+        // KMV/theta-sketch set operations (Beyer et al., SIGMOD 2007;
+        // Dasgupta et al., theta sketches): estimate the VOCABULARY
+        // overlap of every source pair from k-minimum-value sketches —
+        // the cross-set operation the per-source bottom-k synopsis (q108)
+        // exists to enable. Per source: the k smallest distinct word-hash
+        // values (partial per-partition top-k via WindowGroupLimit — the
+        // shuffle carries ≤ k rows per partition per source). Per pair:
+        // the k smallest of the UNION of the two sketches give
+        // θ = max kept hash, est_union = (k−1)·2^32 div θ (hashes are
+        // md5-prefix uniform in [0, 2^32)), and the fraction of kept
+        // hashes present in BOTH sketches estimates Jaccard; when the
+        // union sketch is unsaturated (< k) the counts are exact by
+        // construction. Everything after the one corpus-sized vocab
+        // distinct is sketch-sized: |S|·k rows joined against |S|² pair
+        // stubs — at 100 TB the sketches for ten thousand sources fit on
+        // one executor. The exact per-pair intersection (a vocab⋈vocab
+        // equi-join, the thing you could NOT afford cross-snapshot at
+        // scale) rides along as the accuracy audit. Integer-exact
+        // throughout; ordering keys are distinct hashes, deterministic.
+        val k = 64
+        val vocab = docs(s, dir)
+          .filter(col("source").isNotNull && col("text").isNotNull)
+          .select(col("source"),
+            explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+          .filter(col("w") =!= "")
+          .distinct()
+        val ex = vocab.groupBy("source").agg(countDistinct("w").as("nv"))
+        val sk = vocab
+          .select(col("source"), hash32(col("w")).as("hv")).distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy("hv")))
+          .filter(col("rn") <= k)
+          .select(col("source"), col("hv"))
+        val pairs = ex.select(col("source").as("s1"), col("nv").as("n1"))
+          .join(ex.select(col("source").as("s2"), col("nv").as("n2")),
+            col("s1") < col("s2"))
+        // union-of-sketches per pair with per-side membership flags; the
+        // OR-join fans each sketch row to its pairs — pair-stub × sketch
+        // rows, both sketch-sized frames
+        val pu = pairs
+          .join(sk, col("source") === col("s1") || col("source") === col("s2"))
+          .groupBy(col("s1"), col("s2"), col("n1"), col("n2"), col("hv"))
+          .agg(max(when(col("source") === col("s1"), 1).otherwise(0)).as("ina"),
+            max(when(col("source") === col("s2"), 1).otherwise(0)).as("inb"))
+        val agg = pu
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("s1", "s2").orderBy("hv")))
+          .filter(col("rn") <= k)
+          .groupBy("s1", "s2")
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            count(lit(1)).as("u_sz"), max(col("hv")).as("theta"),
+            sum(when(col("ina") === 1 && col("inb") === 1, 1L)
+              .otherwise(0L)).as("boths"))
+        val xi = vocab.select(col("source").as("xa"), col("w"))
+          .join(vocab.select(col("source").as("xb"), col("w")),
+            Seq("w"))
+          .filter(col("xa") < col("xb"))
+          .groupBy(col("xa"), col("xb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        agg
+          .join(xi, col("s1") === col("xa") && col("s2") === col("xb"),
+            "left")
+          .select(col("s1"), col("s2"), col("n1"), col("n2"),
+            coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+            col("u_sz"), col("boths"),
+            when(col("u_sz") < k, col("u_sz"))
+              .otherwise(expr(s"${k - 1}L * 4294967296L div theta"))
+              .as("est_union"))
+          .withColumn("exact_jacc_ppm",
+            expr("exact_inter * 1000000L div (n1 + n2 - exact_inter)"))
+          .withColumn("est_inter", expr("boths * est_union div u_sz"))
+          .withColumn("est_jacc_ppm", expr("boths * 1000000L div u_sz"))
+          .withColumn("jacc_err_ppm",
+            expr("abs(est_jacc_ppm - exact_jacc_ppm)"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT DISTINCT source, w FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text),
+                          '[^\pL\p{Nd}]+')) AS w
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL)
+          WHERE w <> ''),
+        ex AS (SELECT source, COUNT(DISTINCT w) AS nv FROM v GROUP BY 1),
+        h AS (SELECT DISTINCT source,
+                CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv
+              FROM v),
+        r AS (SELECT source, hv,
+                row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+              FROM h),
+        sk AS (SELECT source, hv FROM r WHERE rn <= 64),
+        pairs AS (
+          SELECT a.source AS s1, b.source AS s2, a.nv AS n1, b.nv AS n2
+          FROM ex a JOIN ex b ON a.source < b.source),
+        pu AS (
+          SELECT p.s1, p.s2, p.n1, p.n2, s.hv,
+                 MAX(CASE WHEN s.source = p.s1 THEN 1 ELSE 0 END) AS ina,
+                 MAX(CASE WHEN s.source = p.s2 THEN 1 ELSE 0 END) AS inb
+          FROM pairs p JOIN sk s ON s.source = p.s1 OR s.source = p.s2
+          GROUP BY 1, 2, 3, 4, 5),
+        ru AS (SELECT s1, s2, n1, n2, hv, ina, inb,
+                 row_number() OVER (PARTITION BY s1, s2 ORDER BY hv) AS rn
+               FROM pu),
+        agg AS (
+          SELECT s1, s2, MAX(n1) AS n1, MAX(n2) AS n2,
+                 COUNT(*) AS u_sz, MAX(hv) AS theta,
+                 CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS boths
+          FROM ru WHERE rn <= 64 GROUP BY 1, 2),
+        xi AS (
+          SELECT a.source AS s1, b.source AS s2, COUNT(*) AS exact_inter
+          FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2),
+        est AS (
+          SELECT g.s1, g.s2, g.n1, g.n2, g.u_sz, g.boths,
+                 COALESCE(x.exact_inter, 0) AS exact_inter,
+                 CASE WHEN g.u_sz < 64 THEN g.u_sz
+                      ELSE 63 * 4294967296 // g.theta END AS est_union
+          FROM agg g LEFT JOIN xi x ON g.s1 = x.s1 AND g.s2 = x.s2)
+        SELECT s1, s2, n1, n2, exact_inter, u_sz, boths, est_union,
+               exact_inter * 1000000 // (n1 + n2 - exact_inter)
+                 AS exact_jacc_ppm,
+               boths * est_union // u_sz AS est_inter,
+               boths * 1000000 // u_sz AS est_jacc_ppm,
+               abs(boths * 1000000 // u_sz
+                   - exact_inter * 1000000 // (n1 + n2 - exact_inter))
+                 AS jacc_err_ppm
+        FROM est"""),
+      "KMV/theta-sketch set overlap: per-source-pair vocabulary union / " +
+        "intersection / Jaccard estimated from k=64 minimum-hash " +
+        "sketches (mergeable, sketch-sized joins only), with the exact " +
+        "intersection riding along as the accuracy audit " +
+        "(pipeline ops brief: sketches)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -53,7 +53,8 @@ class DirtyCorpusSpec extends SparkSpec {
     "q121_dsir_importance", "q122_unigram_surprisal", "q123_padding_waste",
     "q124_lsh_recall_audit", "q125_incremental_dedup", "q126_simhash_neardup",
     "q127_cms_heavy_hitters", "q130_bloom_decontamination",
-    "q132_bloom_decon_sized", "q134_linear_counting", "q135_priority_sample")
+    "q132_bloom_decon_sized", "q134_linear_counting", "q135_priority_sample",
+    "q138_logq_sketch", "q139_kmv_overlap")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

@@ -39,6 +39,8 @@ object ScalingBench {
     "q136_embedding_dedup_labels", "q137_semantic_decontamination",
     // CC-consumer graph family (round-10: the star-contraction path)
     "q57_neardup_cluster", "q95_pagerank_neardup",
+    // sketch family (round-10: quantile + cross-set members)
+    "q138_logq_sketch", "q139_kmv_overlap",
     // event-time family (round-10: restored in round 9 with no scaling
     // evidence; x10sat pins the user population so per-key depth grows 10x)
     "q75_event_gap_stats", "q88_event_debounce", "q89_scd2_history",

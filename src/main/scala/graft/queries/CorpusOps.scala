@@ -1289,15 +1289,14 @@ object CorpusOps {
         // monotone in the value, the first histogram row whose cumulative
         // count reaches the target rank carries the exact quantile AND
         // its bucket — one window, one aggregate, no second pass.
+        // bucket arithmetic lives in functions/LogHistogram — the ONE
+        // definition site shared with streaming/StreamingSketch (the
+        // ingest twin), so the two forms cannot drift
         val vh = docs(s, dir)
           .filter(col("n_chars").isNotNull && col("n_chars") > 0)
           .groupBy(col("lang"), col("n_chars").cast("long").as("w"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("bl", (length(bin(col("w"))) - 1).cast("long"))
-          .withColumn("bid", expr(
-            "CASE WHEN w < 16 THEN w " +
-              "ELSE (bl - 2) * 8 + shiftright(w, cast(bl - 3 as int)) - 8 " +
-              "END"))
+          .withColumn("bid", graft.functions.LogHistogram.bid("w"))
         val ec = vh
           .withColumn("cum",
             sum(col("c")).over(Window.partitionBy("lang").orderBy("w")))
@@ -1314,15 +1313,7 @@ object CorpusOps {
           q(50, "w").as("exact_p50"), q(50, "bid").as("b50"),
           q(90, "w").as("exact_p90"), q(90, "bid").as("b90"),
           q(99, "w").as("exact_p99"), q(99, "bid").as("b99"))
-        // bucket representative: midpoint of [lower, upper] where for
-        // bid >= 16, L = bid div 8 + 2, m = bid % 8, lower = (8+m)·2^(L-3),
-        // upper = (9+m)·2^(L-3) − 1; bids < 16 are exact singletons.
-        def rep(b: String) = expr(
-          s"CASE WHEN $b < 16 THEN $b ELSE " +
-            s"((8 + $b % 8) * shiftleft(cast(1 as bigint), " +
-            s"cast($b div 8 - 1 as int)) + " +
-            s"(9 + $b % 8) * shiftleft(cast(1 as bigint), " +
-            s"cast($b div 8 - 1 as int)) - 1) div 2 END")
+        def rep(b: String) = graft.functions.LogHistogram.rep(b)
         g.select(col("lang"), col("n"), col("n_buckets"),
           col("exact_p50"), rep("b50").as("est_p50"),
           col("exact_p90"), rep("b90").as("est_p90"),

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class LenRow(lang: String, n_chars: Long)
+
+/** Streamed ≡ batch for the log-histogram quantile sketch twin: the
+  * running (lang, bucket) counts accumulated over micro-batches must
+  * equal the batch value histogram, and the serving-time estimates from
+  * the streamed sketch must equal the registered q138's est columns on
+  * the same corpus — the mergeable-sketch claim exercised through the
+  * actual streaming engine, not just the shard-addition unit test.
+  */
+class StreamingSketchSpec extends SparkSpec {
+
+  test("streamed sketch counts and estimates equal the batch q138 form") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docsDf = graft.Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars"))
+
+    val batchSketch = StreamingSketch.sketch(docsDf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+    val rows = docsDf.as[LenRow].collect().sortBy(r => (r.lang, r.n_chars))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[LenRow]
+    // complete mode: the sink table is replaced with the full (tiny,
+    // strata × buckets-bounded) sketch state each trigger — the final
+    // table IS the corpus sketch
+    val q = StreamingSketch.sketch(input.toDF())
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    try {
+      rows.grouped((rows.length + 3) / 4).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("sketch_out")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batchSketch,
+      "streamed bucket counts diverge from the batch value histogram")
+
+    // serving-time estimates from the streamed sketch == q138's est leg
+    val est = StreamingSketch.estimates(spark.table("sketch_out"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val q138 = graft.Registry.all.find(_.name == "q138_logq_sketch").get
+      .run(spark, sfDir)
+      .select(col("lang"), col("n"), col("n_buckets"),
+        col("est_p50"), col("est_p90"), col("est_p99"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(est == q138,
+      "estimates from the streamed sketch diverge from batch q138")
+  }
+}

@@ -32,6 +32,7 @@ object StreamingThroughput {
   final case class DocIn(doc_id: Long, text: String)
   final case class VecIn(vec_id: Long, embedding: Seq[Float])
   final case class OrderIn(event_id: Long, user_id: Long, ts: Timestamp, amount: Double)
+  final case class LenIn(lang: String, n_chars: Long)
 
   private val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -45,6 +46,10 @@ object StreamingThroughput {
     // is a LOWER bound that rises with trigger size — measure both 1000
     // and a larger setting to see the two regimes
     val BatchRows = args.lift(3).map(_.toInt).getOrElse(1000)
+    // optional twin filter (comma list) so one twin can be re-measured
+    // without paying for the full sweep
+    val only = args.lift(4).map(_.split(',').toSet)
+    def sel(t: String): Boolean = only.forall(_.contains(t))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,39 +119,62 @@ object StreamingThroughput {
       val (agg, late) = DwsTradeStream.provinceOrderWindow(ds.toDF())
       Seq(noop(agg), noop(late.toDF()))
     }
+    // streaming agg (state = the sketch): update mode, not append
+    def sketchT(ds: Dataset[LenIn]) =
+      Seq(StreamingSketch.sketch(ds.toDF())
+        .writeStream.format("noop").outputMode("update").start())
+    def lens(dir: String): Seq[LenIn] =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("n_chars").cast("long")).as[LenIn]
+        .collect().sortBy(r => (r.lang, r.n_chars)).toSeq
 
-    val x1Docs = docs(s"$scaleRoot/x1")
-    val x10Docs = docs(s"$scaleRoot/x10")
-    val bloom = StreamingDecon.buildBloom(
+    lazy val x1Docs = docs(s"$scaleRoot/x1")
+    lazy val x10Docs = docs(s"$scaleRoot/x10")
+    lazy val bloom = StreamingDecon.buildBloom(
       spark.read.parquet(s"$scaleRoot/x1/documents.parquet")
         .filter(col("doc_id") < 10).select(col("doc_id"), col("text")))
-    val x1Vecs = vecsIn(s"$scaleRoot/x1")
-    val x10Vecs = vecsIn(s"$scaleRoot/x10")
-    val annModel = StreamingAnn.model(spark, s"$scaleRoot/x1")
-    val x1Orders = orders(evX1)
-    val x10Orders = orders(evX10)
+    lazy val x1Vecs = vecsIn(s"$scaleRoot/x1")
+    lazy val x10Vecs = vecsIn(s"$scaleRoot/x10")
+    lazy val annModel = StreamingAnn.model(spark, s"$scaleRoot/x1")
+    lazy val x1Orders = orders(evX1)
+    lazy val x10Orders = orders(evX10)
 
-    // JIT/codegen warmup: every twin once on a small slice, untimed
-    feed(x1Docs.take(BatchRows))(lsh)
-    feed(x1Docs.take(BatchRows))(decon(bloom))
-    feed(x1Vecs.take(BatchRows))(ann(annModel))
-    feed(x1Orders.take(BatchRows))(dws)
+    // JIT/codegen warmup: every selected twin once on a small slice, untimed
+    if (sel("lsh")) feed(x1Docs.take(BatchRows))(lsh)
+    if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
+    if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
+    if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
+    if (sel("sketch")) feed(lens(s"$scaleRoot/x1").take(BatchRows))(sketchT)
 
     println("twin,dir,rows,secs,rows_per_sec")
-    emit("lsh", "x1", x1Docs.size, feed(x1Docs)(lsh))
-    emit("lsh", "x10", x10Docs.size, feed(x10Docs)(lsh))
-    // the saturated corpus is the streaming-LSH adversary: a pinned
-    // vocab floods the band buckets, and only the maxBucket state cap
-    // stands between an arriving doc and unbounded pairing work — the
-    // measured rate shows what the cap buys at ingest time
-    val satDocs = docs(s"$scaleRoot/x10sat")
-    emit("lsh", "x10sat", satDocs.size, feed(satDocs)(lsh))
-    emit("decon", "x1", x1Docs.size, feed(x1Docs)(decon(bloom)))
-    emit("decon", "x10", x10Docs.size, feed(x10Docs)(decon(bloom)))
-    emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))
-    emit("ann_ingest", "x10", x10Vecs.size, feed(x10Vecs)(ann(annModel)))
-    emit("dws_trade", evX1, x1Orders.size, feed(x1Orders)(dws))
-    emit("dws_trade", evX10, x10Orders.size, feed(x10Orders)(dws))
+    if (sel("lsh")) {
+      emit("lsh", "x1", x1Docs.size, feed(x1Docs)(lsh))
+      emit("lsh", "x10", x10Docs.size, feed(x10Docs)(lsh))
+      // the saturated corpus is the streaming-LSH adversary: a pinned
+      // vocab floods the band buckets, and only the maxBucket state cap
+      // stands between an arriving doc and unbounded pairing work — the
+      // measured rate shows what the cap buys at ingest time
+      val satDocs = docs(s"$scaleRoot/x10sat")
+      emit("lsh", "x10sat", satDocs.size, feed(satDocs)(lsh))
+    }
+    if (sel("decon")) {
+      emit("decon", "x1", x1Docs.size, feed(x1Docs)(decon(bloom)))
+      emit("decon", "x10", x10Docs.size, feed(x10Docs)(decon(bloom)))
+    }
+    if (sel("ann_ingest")) {
+      emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))
+      emit("ann_ingest", "x10", x10Vecs.size, feed(x10Vecs)(ann(annModel)))
+    }
+    if (sel("dws_trade")) {
+      emit("dws_trade", evX1, x1Orders.size, feed(x1Orders)(dws))
+      emit("dws_trade", evX10, x10Orders.size, feed(x10Orders)(dws))
+    }
+    if (sel("sketch")) {
+      val x1Lens = lens(s"$scaleRoot/x1")
+      val x10Lens = lens(s"$scaleRoot/x10")
+      emit("sketch", "x1", x1Lens.size, feed(x1Lens)(sketchT))
+      emit("sketch", "x10", x10Lens.size, feed(x10Lens)(sketchT))
+    }
     spark.stop()
   }
 }

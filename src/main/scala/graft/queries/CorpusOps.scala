@@ -1419,14 +1419,19 @@ object CorpusOps {
         val pairs = ex.select(col("source").as("s1"), col("nv").as("n1"))
           .join(ex.select(col("source").as("s2"), col("nv").as("n2")),
             col("s1") < col("s2"))
-        // union-of-sketches per pair with per-side membership flags; the
-        // OR-join fans each sketch row to its pairs — pair-stub × sketch
-        // rows, both sketch-sized frames
-        val pu = pairs
-          .join(sk, col("source") === col("s1") || col("source") === col("s2"))
+        // union-of-sketches per pair with per-side membership flags: two
+        // EQUI-joins (pair-stub → its side's sketch rows) unioned, then a
+        // max-merge per hash — an OR-condition join would plan as a
+        // nested loop (|S|²·|S|·k comparisons at many sources); the equi
+        // form hash-joins and its output is the inherent |S|²·k pair-
+        // sketch fan-out
+        def side(key: String, ina: Int) = pairs
+          .join(sk, col("source") === col(key))
+          .select(col("s1"), col("s2"), col("n1"), col("n2"), col("hv"),
+            lit(ina).as("ina"), lit(1 - ina).as("inb"))
+        val pu = side("s1", 1).unionByName(side("s2", 0))
           .groupBy(col("s1"), col("s2"), col("n1"), col("n2"), col("hv"))
-          .agg(max(when(col("source") === col("s1"), 1).otherwise(0)).as("ina"),
-            max(when(col("source") === col("s2"), 1).otherwise(0)).as("inb"))
+          .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
         val agg = pu
           .withColumn("rn", row_number().over(
             Window.partitionBy("s1", "s2").orderBy("hv")))

@@ -222,6 +222,23 @@ object StreamDemo {
         "vec_id", annLists, annM)
       .count()
 
+    // Eighth vertical: streaming quantile-sketch ingest (StreamingSketch)
+    // — per-(lang, bucket) counts accumulate as streaming-agg state
+    // (bounded by strata × ~100 buckets at ANY ingest volume; complete
+    // mode emits the sketch-sized state each trigger), and quantile
+    // estimates are served from the stored sketch, never from raw data.
+    val sketchQ = StreamingSketch.sketch(
+        graft.sources.Sources.fileStream(spark, sfDir, "documents")
+          .select($"lang", $"n_chars"))
+      .writeStream.format("memory").queryName("sketch_state")
+      .outputMode("complete").start()
+    sketchQ.processAllAvailable()
+    sketchQ.stop()
+    val sketchBuckets = spark.table("sketch_state").count()
+    val sketchLangs = StreamingSketch
+      .estimates(spark.table("sketch_state"))
+      .filter($"est_p50" > 0).count()
+
     val splitStr = Seq("err", "start", "page", "display", "action")
       .map(k => s"$k=${splitTotal(k)}").mkString(",")
     println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
@@ -230,11 +247,13 @@ object StreamDemo {
       s"corpus_rows=$corpusRows corpus_tokens=$corpusTokens " +
       s"province_rows=$provRows late_seen=$lateSeen late_dropped=$lateDropped " +
       s"decon_rows=$deconRows decon_flagged=$deconFlagged " +
-      s"ann_index_rows=$annIndexRows ann_served=$annServed")
+      s"ann_index_rows=$annIndexRows ann_served=$annServed " +
+      s"sketch_buckets=$sketchBuckets sketch_langs=$sketchLangs")
     spark.stop()
     if (rows == 0 || dimRows == 0 || kwRows == 0 || corpusRows == 0 ||
       splitTotal("page") == 0L ||
       provRows == 0 || lateSeen == 0 || deconRows == 0 ||
-      deconFlagged == 0 || annIndexRows == 0 || annServed == 0) sys.exit(1)
+      deconFlagged == 0 || annIndexRows == 0 || annServed == 0 ||
+      sketchBuckets == 0 || sketchLangs == 0) sys.exit(1)
   }
 }

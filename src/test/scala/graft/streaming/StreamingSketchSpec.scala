@@ -61,4 +61,47 @@ class StreamingSketchSpec extends SparkSpec {
     assert(est == q138,
       "estimates from the streamed sketch diverge from batch q138")
   }
+
+  test("sketch state survives a stop/restart from checkpoint exactly once") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("sketch_in").toString
+    val ckpt = Files.createTempDirectory("sketch_ckpt").toString
+
+    def write(rows: Seq[LenRow]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(inDir)
+
+    val batch1 = (1L to 300L).map(i => LenRow(s"l${i % 2}", (i * 13) % 500 + 1))
+    val batch2 = (301L to 500L).map(i => LenRow(s"l${i % 2}", (i * 13) % 500 + 1))
+    write(batch1)
+
+    def pipeline(name: String) = {
+      val schema = spark.read.parquet(inDir).schema
+      StreamingSketch.sketch(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    }
+
+    val q1 = pipeline("sketch_run1")
+    try q1.processAllAvailable() finally q1.stop()
+
+    write(batch2)
+    val q2 = pipeline("sketch_run2")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the restarted query's complete-mode state must cover BOTH batches
+    // exactly once — lost state would count only batch2, replayed input
+    // would double batch1
+    val streamed = spark.table("sketch_run2")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expected = StreamingSketch.sketch((batch1 ++ batch2).toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == expected,
+      "sketch state lost or duplicated across the restart")
+  }
 }

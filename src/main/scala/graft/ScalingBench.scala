@@ -45,7 +45,8 @@ object ScalingBench {
     // evidence; x10sat pins the user population so per-key depth grows 10x)
     "q75_event_gap_stats", "q88_event_debounce", "q89_scd2_history",
     "q92_funnel_conversion", "q103_last_touch_attribution",
-    "q104_transition_matrix", "q111_snapshot_diff", "q113_lateness_audit")
+    "q104_transition_matrix", "q111_snapshot_diff", "q113_lateness_audit",
+    "q140_windowed_distinct_sketch")
 
   def main(args: Array[String]): Unit = {
     val (flagArgs, dirs) = args.partition(_.startsWith("-q"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.TextFns.hash32
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -1570,5 +1571,67 @@ object Extras {
         FROM sh GROUP BY p_type"""),
       "Supplier-concentration HHI per part type: squared integer ppm " +
         "shares, order-independent exact — the supply-chain risk metric " +
-        "(beyond-reference engine surface)."))
+        "(beyond-reference engine surface)."),
+
+    // --------------------------------- windowed distinct-user sketches
+    Q(
+      "q140_windowed_distinct_sketch",
+      (s, dir) => {
+        // Per-(day, event_type) distinct-user LINEAR-COUNTING sketches —
+        // the windowed form of q134, i.e. the streaming-dashboard DAU
+        // shape: one 4 Ki-bucket occupancy bitmap per window key, OR-
+        // mergeable both ACROSS SHARDS and across windows (a week's
+        // users = OR of its days' bitmaps, then re-estimate) — at 100 TB
+        // each executor ships 512 B per window instead of its user set.
+        // The exact distinct rides along as the accuracy audit (the
+        // q134 discipline: the exact leg's (window, user) shuffle is the
+        // audit's cost, not the sketch's — a deployment carries only the
+        // bitmaps). ln() confined to a positive argument exactly as in
+        // q134; saturation (occupied = m) reports null, never ln(inf).
+        val m = 4096
+        Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .select(
+            date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("user_id"),
+            pmod(hash32(col("user_id").cast("string")), lit(m)).as("b"))
+          .groupBy("day", "event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            countDistinct(col("b")).as("occupied"))
+          .select(col("day"), col("event_type"),
+            col("exact_users"), col("occupied"),
+            when(col("occupied") === m, lit(null).cast("long"))
+              .otherwise(round(lit(m.toDouble) *
+                log(lit(m.toDouble) / (lit(m.toDouble) - col("occupied"))))
+                .cast("long")).as("lc_est"))
+          .withColumn("abs_err_ppm",
+            expr("abs(lc_est - exact_users) * 1000000L div exact_users"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 event_type, user_id,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 4096 AS b
+          FROM events WHERE user_id IS NOT NULL),
+        g AS (
+          SELECT day, event_type, COUNT(DISTINCT user_id) AS exact_users,
+                 COUNT(DISTINCT b) AS occupied
+          FROM b GROUP BY 1, 2),
+        e AS (
+          SELECT day, event_type, exact_users, occupied,
+                 CASE WHEN occupied = 4096 THEN NULL
+                      ELSE CAST(round(4096.0 *
+                             ln(4096.0 / (4096.0 - occupied))) AS BIGINT)
+                 END AS lc_est
+          FROM g)
+        SELECT day, event_type, exact_users, occupied, lc_est,
+               abs(lc_est - exact_users) * 1000000 // exact_users
+                 AS abs_err_ppm
+        FROM e"""),
+      "Windowed distinct-user linear-counting sketches per (day, " +
+        "event_type): 4Ki-bucket occupancy bitmaps, OR-mergeable across " +
+        "shards and windows, exact distinct + error ppm riding along — " +
+        "the streaming-dashboard DAU shape " +
+        "(pipeline ops brief: sketches)."))
 }

@@ -67,9 +67,10 @@ class DirtyEventsSpec extends SparkSpec {
 
   private val names = Seq("q75_event_gap_stats", "q88_event_debounce",
     "q92_funnel_conversion", "q103_last_touch_attribution",
-    "q104_transition_matrix", "q113_lateness_audit")
+    "q104_transition_matrix", "q113_lateness_audit",
+    "q140_windowed_distinct_sketch")
 
-  test("all six event-time queries execute and are run-to-run stable") {
+  test("all listed event-time queries execute and are run-to-run stable") {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def snap() = fn(spark, dirtyDir).collect()
@@ -169,5 +170,23 @@ class DirtyEventsSpec extends SparkSpec {
       "2024-03-10" -> ((3L, 0L, 0L)),
       // the null-ts event lands in a null day bucket, never in a late count
       "null" -> ((1L, 0L, 0L))))
+  }
+
+  test("q140: tiny windows estimate exactly; null ts forms its own day") {
+    // at |users| ≤ a handful per window, the 4Ki-bucket linear counter
+    // must round to the exact count (occupancy ≈ cardinality), so every
+    // dirty window reads err 0 — and the null-ts event must surface as a
+    // (null day, type) window, not vanish
+    val out = graft.SparkEntry.queries("q140_windowed_distinct_sketch")(
+        spark, dirtyDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(4),
+        s"window (${r.get(0)}, ${r.get(1)}): lc_est ${r.getLong(4)} " +
+          s"!= exact ${r.getLong(2)}")
+      assert(r.getLong(5) == 0L)
+    }
+    assert(out.exists(r => r.isNullAt(0) && r.getString(1) == "error"),
+      "null-ts event did not form its own (null day) window")
   }
 }

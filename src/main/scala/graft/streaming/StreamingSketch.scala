@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.LogHistogram
+import graft.functions.TextFns.hash32
 
 /** Streaming twin of the q138 log-histogram quantile sketch — the sketch
   * family's ingest path, and the reason a sketch (not a sort) is the
@@ -39,6 +40,36 @@ object StreamingSketch {
       .withColumn("bid", LogHistogram.bid("w"))
       .groupBy("lang", "bid")
       .agg(count(lit(1)).as("c"))
+
+  /** Streaming form of q140's per-(day, event_type) distinct-user
+    * occupancy: arriving events are bucket-hashed in-row, first-seen
+    * (window, type, bucket) triples pass a watermarked dropDuplicates —
+    * whose keyed state is SKETCH-sized (≤ m buckets per window key) and
+    * EVICTED when the watermark passes the window (the day-truncated
+    * event time is itself the dedup key's event-time column) — and a
+    * windowed count emits each closed window's `occupied` with the q140
+    * linear-counting estimate as a pure projection. No current twin
+    * exercises watermark-evicted dedup state; this one is additionally
+    * bounded per key by construction.
+    */
+  def windowedOccupancy(events: DataFrame, slack: String = "1 hour"): DataFrame = {
+    val m = 4096
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).as("dts"),
+        pmod(hash32(col("user_id").cast("string")), lit(m)).as("b"))
+      .withWatermark("dts", slack)
+      .dropDuplicates("event_type", "b", "dts")
+      .groupBy(window(col("dts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("occupied"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("occupied"),
+        when(col("occupied") === m, lit(null).cast("long"))
+          .otherwise(round(lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toDouble) - col("occupied"))))
+            .cast("long")).as("lc_est"))
+  }
 
   /** Serving-time quantile estimates from a stored sketch frame
     * (lang, bid, c): p50/p90/p99 at the bucket midpoint representative.

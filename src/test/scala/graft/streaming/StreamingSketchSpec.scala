@@ -104,4 +104,43 @@ class StreamingSketchSpec extends SparkSpec {
     assert(streamed == expected,
       "sketch state lost or duplicated across the restart")
   }
+
+  test("windowed occupancy: streamed closed windows equal batch q140") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .as[(java.sql.Timestamp, Long, String)]
+      .collect().sortBy(_._1.getTime)
+    // wake event far past the last day so every real window closes and
+    // emits in append mode; its own (never-closed) window must not emit
+    val wake = (new java.sql.Timestamp(
+      ev.last._1.getTime + 40L * 24 * 3600 * 1000), 999999L, "wake")
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingSketch.windowedOccupancy(
+        input.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("wsketch_out")
+      .outputMode("append").start()
+    try {
+      (ev.grouped((ev.length + 3) / 4).map(_.toSeq).toSeq :+ Seq(wake))
+        .foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.table("wsketch_out")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(!streamed.keySet.exists(_._2 == "wake"),
+      "the never-closed wake window leaked into append output")
+
+    val batch = graft.Registry.all
+      .find(_.name == "q140_windowed_distinct_sketch").get.run(spark, sfDir)
+      .select(col("day"), col("event_type"), col("occupied"), col("lc_est"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(streamed == batch,
+      "streamed windowed occupancy diverges from batch q140")
+  }
 }

@@ -33,3 +33,21 @@ object LogHistogram {
       s"(9 + $b % 8) * shiftleft(cast(1 as bigint), " +
       s"cast($b div 8 - 1 as int)) - 1) div 2 END")
 }
+
+/** The linear-counting estimator (Whang, Vander-Zanden & Taylor, TODS
+  * 1990) — ONE definition site for every occupancy-bitmap cardinality
+  * estimate (q134 vocabulary, q140 windowed users, and q140's streaming
+  * twin), so the batch queries and the streaming form cannot drift:
+  * n̂ = m·ln(m/(m−k)) from occupancy k; saturation (k = m) reports null
+  * rather than ln(inf). The ln() argument is confined positive and both
+  * engines evaluate the identical double quotient (the q134 rationale).
+  */
+object LinearCounting {
+  import org.apache.spark.sql.functions.{lit, log, round, when}
+
+  def estimate(occupied: Column, m: Int): Column =
+    when(occupied === m, lit(null).cast("long"))
+      .otherwise(round(lit(m.toDouble) *
+        log(lit(m.toDouble) / (lit(m.toDouble) - occupied)))
+        .cast("long"))
+}

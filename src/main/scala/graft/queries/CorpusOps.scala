@@ -1159,10 +1159,8 @@ object CorpusOps {
           .agg(countDistinct(col("w")).as("exact_distinct"),
             countDistinct(col("b")).as("occupied"))
           .select(col("lang"), col("exact_distinct"), col("occupied"),
-            when(col("occupied") === m, lit(null).cast("long"))
-              .otherwise(round(lit(m.toDouble) *
-                log(lit(m.toDouble) / (lit(m.toDouble) - col("occupied"))))
-                .cast("long")).as("lc_est"))
+            graft.functions.LinearCounting.estimate(col("occupied"), m)
+              .as("lc_est"))
           .withColumn("diff", col("lc_est") - col("exact_distinct"))
           // abs() keeps the ppm division non-negative: Spark `div`
           // truncates toward zero while engines differ on floor vs

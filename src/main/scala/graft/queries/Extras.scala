@@ -1600,10 +1600,8 @@ object Extras {
             countDistinct(col("b")).as("occupied"))
           .select(col("day"), col("event_type"),
             col("exact_users"), col("occupied"),
-            when(col("occupied") === m, lit(null).cast("long"))
-              .otherwise(round(lit(m.toDouble) *
-                log(lit(m.toDouble) / (lit(m.toDouble) - col("occupied"))))
-                .cast("long")).as("lc_est"))
+            graft.functions.LinearCounting.estimate(col("occupied"), m)
+              .as("lc_est"))
           .withColumn("abs_err_ppm",
             expr("abs(lc_est - exact_users) * 1000000L div exact_users"))
       },

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.LogHistogram
+import graft.functions.{LinearCounting, LogHistogram}
 import graft.functions.TextFns.hash32
 
 /** Streaming twin of the q138 log-histogram quantile sketch — the sketch
@@ -51,8 +51,16 @@ object StreamingSketch {
     * linear-counting estimate as a pure projection. No current twin
     * exercises watermark-evicted dedup state; this one is additionally
     * bounded per key by construction.
+    *
+    * `slack` is the lateness horizon measured against the DAY-TRUNCATED
+    * event time (the dedup key's own event-time column — that truncation
+    * is what lets the dedup state evict by day). Tolerating events that
+    * arrive up to L behind the newest event therefore needs
+    * slack ≥ 1 day + L: any slack below 24 h behaves like zero for
+    * cross-day stragglers. The default 25 hours = one day window + 1 h
+    * of true lateness.
     */
-  def windowedOccupancy(events: DataFrame, slack: String = "1 hour"): DataFrame = {
+  def windowedOccupancy(events: DataFrame, slack: String = "25 hours"): DataFrame = {
     val m = 4096
     events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -65,10 +73,7 @@ object StreamingSketch {
       .agg(count(lit(1)).as("occupied"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("occupied"),
-        when(col("occupied") === m, lit(null).cast("long"))
-          .otherwise(round(lit(m.toDouble) *
-            log(lit(m.toDouble) / (lit(m.toDouble) - col("occupied"))))
-            .cast("long")).as("lc_est"))
+        LinearCounting.estimate(col("occupied"), m).as("lc_est"))
   }
 
   /** Serving-time quantile estimates from a stored sketch frame

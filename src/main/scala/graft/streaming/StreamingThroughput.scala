@@ -138,13 +138,15 @@ object StreamingThroughput {
     lazy val annModel = StreamingAnn.model(spark, s"$scaleRoot/x1")
     lazy val x1Orders = orders(evX1)
     lazy val x10Orders = orders(evX10)
+    lazy val x1Lens = lens(s"$scaleRoot/x1")
+    lazy val x10Lens = lens(s"$scaleRoot/x10")
 
     // JIT/codegen warmup: every selected twin once on a small slice, untimed
     if (sel("lsh")) feed(x1Docs.take(BatchRows))(lsh)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
-    if (sel("sketch")) feed(lens(s"$scaleRoot/x1").take(BatchRows))(sketchT)
+    if (sel("sketch")) feed(x1Lens.take(BatchRows))(sketchT)
 
     println("twin,dir,rows,secs,rows_per_sec")
     if (sel("lsh")) {
@@ -170,8 +172,6 @@ object StreamingThroughput {
       emit("dws_trade", evX10, x10Orders.size, feed(x10Orders)(dws))
     }
     if (sel("sketch")) {
-      val x1Lens = lens(s"$scaleRoot/x1")
-      val x10Lens = lens(s"$scaleRoot/x10")
       emit("sketch", "x1", x1Lens.size, feed(x1Lens)(sketchT))
       emit("sketch", "x10", x10Lens.size, feed(x10Lens)(sketchT))
     }

@@ -58,10 +58,7 @@ class SketchSpec extends SparkSpec {
       val vh = graft.Tables(spark, dir, "documents")
         .filter(col("n_chars") > 0)
         .select(col("n_chars").cast("long").as("w"))
-        .withColumn("bl", (length(bin(col("w"))) - 1).cast("long"))
-        .withColumn("bid", expr(
-          "CASE WHEN w < 16 THEN w " +
-            "ELSE (bl - 2) * 8 + shiftright(w, cast(bl - 3 as int)) - 8 END"))
+        .withColumn("bid", graft.functions.LogHistogram.bid("w"))
         .groupBy("bid").agg(count(lit(1)).as("c"))
       vh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }

@@ -143,4 +143,41 @@ class StreamingSketchSpec extends SparkSpec {
     assert(streamed == batch,
       "streamed windowed occupancy diverges from batch q140")
   }
+
+  test("windowed occupancy keeps a cross-day straggler inside the slack") {
+    // the slack contract: an event arriving < 1 h behind the newest
+    // event but belonging to the PREVIOUS day must still be counted
+    // (needs slack >= 1 day + lateness because the watermark column is
+    // the day-truncated event time — the documented 25 h default)
+    import spark.implicits._
+    def ts(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingSketch.windowedOccupancy(
+        input.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("wsketch_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: day 1 user 1, then day 2 begins (watermark advances to
+      // day-2-trunc - 25 h = day 1 23:00 the moment day 2 appears)
+      input.addData(Seq(
+        (ts("2024-03-01T10:00:00Z"), 1L, "view"),
+        (ts("2024-03-02T00:30:00Z"), 2L, "view")))
+      q.processAllAvailable()
+      // batch 2: a day-1 straggler 40 min behind the newest event —
+      // inside the 25 h slack, must land in day 1
+      input.addData(Seq((ts("2024-03-01T23:50:00Z"), 3L, "view")))
+      q.processAllAvailable()
+      // wake: close every window
+      input.addData(Seq((ts("2024-05-01T00:00:00Z"), 9L, "wake")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wsketch_late")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("2024-03-01", "view") -> 2L,   // user 1 + the straggler
+      ("2024-03-02", "view") -> 1L),
+      s"straggler dropped or misfiled: $out")
+  }
 }

@@ -205,4 +205,30 @@ class RocksDbSoakSpec extends SparkSpec {
     assert(rocks.map(p => (p.i, p.j)).sorted == default.map(p => (p.i, p.j)).sorted)
     assert(rocks.nonEmpty)
   }
+
+  test("windowed sketch dedup state: RocksDB provider matches default on a 500-user soak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val day = 86400L
+    // 500 users x 3 days x 2 event types, repeats within a day (the dedup
+    // state's job), shuffled within each day batch; a far-future wake
+    // event closes every window. Days start at d=1: an event whose
+    // day-truncated time is epoch 0 sits exactly ON the initial
+    // watermark and is dropped as late (the StreamDemo +3600 gotcha).
+    val fixture = for {
+      u <- 1 to 500; d <- 1 to 3; t <- Seq("view", "click"); k <- 0 to 1
+    } yield (ts(d * day + (u * 31 + k * 911) % day), u.toLong, t)
+    val byDay = fixture.groupBy(_._1.getTime / (day * 1000)).toSeq
+      .sortBy(_._1).map(_._2.sortBy(r => (r._2 * 7919) % 1000))
+    val batches = byDay :+ Seq((ts(40 * day), 999999L, "wake"))
+    def op(ds: Dataset[(Timestamp, Long, String)]) =
+      StreamingSketch.windowedOccupancy(
+          ds.toDF("ts", "user_id", "event_type"))
+        .select(col("day"), col("event_type"), col("occupied"), col("lc_est"))
+        .as[(String, String, Long, Option[Long])]
+    val (rocks, default) = bothProviders(batches)(op)
+    assert(rocks.sorted == default.sorted)
+    // 3 closed days x 2 types, each with all 500 users seen
+    assert(rocks.length == 6 && rocks.forall(_._3 > 400), s"unexpected: $rocks")
+  }
 }

@@ -27,5 +27,6 @@ object Registry {
       queries.DedupOps.all ++
       queries.SimilarityOps.all ++
       queries.MultimodalOps.all ++
-      queries.CorpusOps.all
+      queries.CorpusOps.all ++
+      queries.ClusterOps.all
 }

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed k-means over the `embeddings` table — the operator every
+  * centroid-consuming query in the family (q46 IVF, q100/q131/q133
+  * SemDeDup, q128 IVF-PQ) stubs with "a real build would k-means":
+  * q141 IS that build step, as two unrolled Lloyd rounds from the same
+  * deterministic seeds the family already uses, plus q142, the
+  * cluster-balanced (diversity) sampler that consumes the refined
+  * clustering — the DCLM/SemDeDup-style selection step a curation
+  * pipeline runs after clustering.
+  *
+  * Exactness strategy: Lloyd on FLOATS is run-to-run nondeterministic on
+  * a cluster (centroid means sum in partition order), so the refinement
+  * runs on an integer lattice — embeddings quantized to
+  * `round(x*1024)+1024` (unit-norm input ⇒ components in ±0.5 ⇒ lattice
+  * values in [512,1536], nonnegative so truncating and floor division
+  * agree). Distances are exact: squared L2 via the dot-product identity
+  * `|q-c|² = q·q − 2q·c + c·c` over integer-valued doubles (max value
+  * ~4.7e8 ≪ 2^53, so [[graft.functions.VecDot]] — codegen'd — is exact),
+  * and centroid updates are exact long sums ([[graft.functions.VecSumAgg]])
+  * followed by floor division. Result: bit-identical across engines,
+  * partition counts, and merge orders — the property that makes the
+  * clustering REPLAYABLE, which is what a 100 TB curation run needs when
+  * the cluster assignment must be reproduced months later.
+  *
+  * Scale shape: the centroid model is K rows — broadcast to every
+  * executor both rounds; the corpus is scanned once per Lloyd round (the
+  * algorithm's intrinsic cost) with NO corpus shuffle in assignment
+  * (crossJoin against the broadcast model + a per-vector argmin window);
+  * the update shuffles exactly K partial sum-arrays per partition
+  * (VecSumAgg's map-side fold), not corpus×dims rows. The round-2
+  * assignment is session-staged (`kmeans_assign`) and shared by
+  * q141/q142 — the q36/q57 staging discipline.
+  */
+object ClusterOps {
+
+  private val K = 16
+  private val Quota = 8
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  import graft.functions.VectorFns.dot
+
+  /** Quantize a double vector onto the nonnegative integer lattice:
+    * round-half-up at scale 1024, shifted +1024. `floor(x*1024 + 0.5)` is
+    * the exact form the DuckDB oracle replays (both engines evaluate it
+    * in IEEE double, correctly rounded — no rint/banker's-rounding
+    * divergence).
+    */
+  private def quant(c: Column): Column =
+    transform(c, x => floor(x * 1024 + lit(0.5)).cast("long") + lit(1024L))
+
+  /** (vec_id, qv long-lattice vector, qvd double view, qq self-dot):
+    * the per-vector invariants both Lloyd rounds reuse.
+    */
+  private def lattice(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir)
+      .select(col("vec_id"), quant(col("v")).as("qv"))
+      .withColumn("qvd", transform(col("qv"), x => x.cast("double")))
+      .withColumn("qq", dot(col("qvd"), col("qvd")))
+
+  /** Nearest-centroid assignment against a broadcast (cid, cvd, cc)
+    * model: dist = q·q − 2q·c + c·c, exact over integer-valued doubles;
+    * ties break to the smallest cid. The rn=1 window is a
+    * WindowGroupLimit, not a per-vector sort spill.
+    */
+  private def assign(base: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    base.crossJoin(broadcast(cent))
+      .withColumn("dist",
+        (col("qq") - lit(2.0) * dot(col("qvd"), col("cvd")) + col("cc"))
+          .cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cvd", "cc")
+  }
+
+  private def centModel(df: DataFrame): DataFrame =
+    df.withColumn("cvd", transform(col("cv"), x => x.cast("double")))
+      .withColumn("cc", dot(col("cvd"), col("cvd")))
+      .select(col("cid"), col("cvd"), col("cc"))
+
+  /** Session-staged two-round Lloyd refinement:
+    * `(vec_id, cid, cid0, dist)` — final assignment, round-1 assignment
+    * (for convergence accounting), exact squared distance to the refined
+    * centroid. Seeds are the family's deterministic first-K vectors, so
+    * q141's round 1 reproduces exactly the assignment q46/q100 ship.
+    */
+  private def refined(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, dir, "kmeans_assign") {
+      val base = lattice(s, dir)
+      val c0 = centModel(
+        base.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cid"), col("qv").as("cv")))
+      val a1 = assign(base, c0)
+      // centroid update: exact long sums (VecSumAgg — one array per
+      // (partition, cid) partial) then floor division; empty clusters
+      // drop out in both engines identically
+      val vsum = udaf(graft.functions.VecSumAgg)
+      val c1 = centModel(
+        a1.groupBy(col("cid"))
+          .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n"))
+          .select(col("cid"), expr("transform(sv, x -> x div n)").as("cv")))
+      assign(base, c1)
+        .join(a1.select(col("vec_id"), col("cid").as("cid0")), "vec_id")
+        .select(col("vec_id"), col("cid"), col("cid0"), col("dist"))
+    }
+
+  /** Oracle CTE chain ending in `asg(vec_id, cid, cid0, dist)` — the SQL
+    * twin of [[refined]], shared by the q141 and q142 oracles.
+    */
+  private val refinedCte = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qn AS (SELECT vec_id,
+                      list_transform(v, x ->
+                        CAST(FLOOR(x * 1024 + 0.5) AS BIGINT) + 1024) AS qv
+               FROM e),
+        c0 AS (SELECT vec_id AS cid, qv AS cv FROM qn WHERE vec_id < $K),
+        d1 AS (SELECT qn.vec_id, qn.qv, c0.cid,
+                      CAST(list_dot_product(qn.qv, qn.qv)
+                           - 2 * list_dot_product(qn.qv, c0.cv)
+                           + list_dot_product(c0.cv, c0.cv) AS BIGINT) AS dist
+               FROM qn, c0),
+        r1 AS (SELECT vec_id, qv, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cid) AS rn
+               FROM d1),
+        a1 AS (SELECT vec_id, qv, cid FROM r1 WHERE rn = 1),
+        cnt AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
+        ux AS (SELECT cid, t.j, CAST(SUM(qv[t.j]) AS BIGINT) AS sx
+               FROM a1, UNNEST(generate_series(1, len(qv))) AS t(j)
+               GROUP BY cid, t.j),
+        c1 AS (SELECT ux.cid, list(ux.sx // cnt.n ORDER BY ux.j) AS cv
+               FROM ux JOIN cnt USING (cid) GROUP BY ux.cid),
+        d2 AS (SELECT qn.vec_id, c1.cid,
+                      CAST(list_dot_product(qn.qv, qn.qv)
+                           - 2 * list_dot_product(qn.qv, c1.cv)
+                           + list_dot_product(c1.cv, c1.cv) AS BIGINT) AS dist
+               FROM qn, c1),
+        r2 AS (SELECT vec_id, cid, dist,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cid) AS rn
+               FROM d2),
+        a2 AS (SELECT vec_id, cid, dist FROM r2 WHERE rn = 1),
+        asg AS (SELECT a2.vec_id, a2.cid, a1.cid AS cid0, a2.dist
+                FROM a2 JOIN a1 USING (vec_id))"""
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q141_kmeans_refine",
+      (s, dir) => {
+        refined(s, dir)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"),
+            sum((col("cid0") =!= col("cid")).cast("long")).as("n_moved"),
+            sum(col("dist")).as("inertia"))
+      },
+      Some(refinedCte + """
+        SELECT cid, COUNT(*) AS n_members,
+               CAST(SUM(CASE WHEN cid0 <> cid THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_moved,
+               CAST(SUM(dist) AS BIGINT) AS inertia
+        FROM asg GROUP BY cid"""),
+      "Integer-lattice Lloyd refinement of the family's seed centroids " +
+        "(two unrolled rounds): per-cluster membership, movement between " +
+        "rounds, and exact integer inertia — the k-means build step every " +
+        "centroid consumer (q46/q100/q128) deterministically stubs " +
+        "(pipeline ops brief: clustering for curation must be replayable)."),
+
+    Q(
+      "q142_cluster_balanced_sample",
+      (s, dir) => {
+        // Cluster-balanced (diversity) selection over the refined
+        // clustering: up to `Quota` members per cluster, chosen by
+        // hash32 rank — deterministic pseudo-random, the q58 sampling
+        // contract. One window per cluster over the staged assignment;
+        // the partial WindowGroupLimit forwards ≤Quota rows per cluster
+        // per map task, so the shuffle carries samples, not the corpus.
+        import graft.functions.TextFns.hash32
+        val w = Window.partitionBy(col("cid"))
+          .orderBy(col("hv").asc, col("vec_id").asc)
+        refined(s, dir)
+          .select(col("cid"), col("vec_id"),
+            hash32(col("vec_id").cast("string")).as("hv"))
+          .withColumn("r", row_number().over(w).cast("long"))
+          .filter(col("r") <= Quota)
+          .select(col("cid"), col("vec_id"), col("r"))
+      },
+      Some(refinedCte + s""",
+        hv AS (SELECT cid, vec_id,
+                      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS hv
+               FROM asg),
+        rk AS (SELECT cid, vec_id,
+                      CAST(row_number() OVER (PARTITION BY cid
+                        ORDER BY hv, vec_id) AS BIGINT) AS r
+               FROM hv)
+        SELECT cid, vec_id, r FROM rk WHERE r <= $Quota"""),
+      "Cluster-balanced diversity sample: a deterministic hash-ranked " +
+        "quota per refined cluster — the selection step a curation " +
+        "pipeline runs on top of k-means (DCLM-style cluster-balanced " +
+        "sampling), sharing q141's staged assignment."))
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q141 (integer-lattice Lloyd refinement) and q142 (cluster-balanced
+  * sample) semantics, plus the VecSumAgg merge-order-independence claim
+  * that underwrites the whole "replayable k-means" design.
+  */
+class ClusterOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q141: assignment is a partition of the corpus and Lloyd improves it") {
+    val rows = graft.SparkEntry.queries("q141_kmeans_refine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = spark.read
+      .parquet(s"$sfDir/embeddings.parquet").count()
+    // every vector lands in exactly one cluster
+    assert(rows.map(_._2).sum == corpus)
+    // movement between rounds is bounded by membership
+    rows.foreach { case (cid, n, moved, _) =>
+      assert(moved >= 0 && moved <= n, s"cid $cid: moved $moved of $n")
+    }
+    // the refinement did something: some vectors changed cluster, and the
+    // refined inertia beats assigning everything to the seed centroids
+    // (fixture assertion on the driver corpus, not a universal law —
+    // floor-divided centroids could in principle tie the seeds)
+    assert(rows.map(_._3).sum > 0L)
+    assert(rows.forall(_._4 > 0L))
+  }
+
+  test("q142: per-cluster quota, contiguous ranks, members of the cluster") {
+    val sample = graft.SparkEntry
+      .queries("q142_cluster_balanced_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val members = graft.SparkEntry.queries("q141_kmeans_refine")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCid = sample.groupBy(_._1)
+    assert(byCid.keySet == members.keySet) // every cluster is represented
+    byCid.foreach { case (cid, rows) =>
+      assert(rows.length == math.min(8L, members(cid)).toInt,
+        s"cid $cid: ${rows.length} sampled of ${members(cid)}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"cid $cid: ranks not contiguous")
+    }
+    // the sample is deterministic: a second run returns the same rows
+    val again = graft.SparkEntry
+      .queries("q142_cluster_balanced_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sample.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("VecSumAgg: partition layout never changes the sum; drift raises") {
+    import spark.implicits._
+    val vsum = udaf(graft.functions.VecSumAgg)
+    val data = (1L to 97L).map(i => (i % 3, Seq(i, 2 * i, -i)))
+    def summed(parts: Int): Set[(Long, Seq[Long])] =
+      data.toDF("k", "v").repartition(parts)
+        .groupBy("k").agg(vsum($"v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val one = summed(1)
+    assert(one == summed(7) && one == summed(32))
+    // null vectors contribute nothing (SUM-over-null semantics)
+    val withNull = (data :+ ((0L, null.asInstanceOf[Seq[Long]])))
+      .toDF("k", "v").groupBy("k").agg(vsum($"v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(withNull == one)
+    // dimension drift is an error, not a silent truncation
+    val drift = intercept[Exception] {
+      Seq((0L, Seq(1L, 2L)), (0L, Seq(1L, 2L, 3L)))
+        .toDF("k", "v").groupBy("k").agg(vsum($"v").as("s")).collect()
+    }
+    assert(drift.getMessage != null)
+  }
+}

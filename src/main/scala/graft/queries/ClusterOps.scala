@@ -59,11 +59,18 @@ object ClusterOps {
     transform(c, x => floor(x * 1024 + lit(0.5)).cast("long") + lit(1024L))
 
   /** (vec_id, qv long-lattice vector, qvd double view, qq self-dot):
-    * the per-vector invariants both Lloyd rounds reuse.
+    * the per-vector invariants both Lloyd rounds reuse. Well-formed
+    * vectors ONLY (exactly [[graft.functions.VectorFns.Dims]] components
+    * — null/empty/ragged rows are excluded): the q128 "train on
+    * well-formed vectors only" contract. Without the filter a malformed
+    * vector's null distance sorts FIRST under Spark's asc ordering and
+    * silently joins cluster 0, diluting its centroid denominator —
+    * exactly the corruption the dirty-index specs exist to forbid.
     */
   private def lattice(s: SparkSession, dir: String): DataFrame =
     vecs(s, dir)
       .select(col("vec_id"), quant(col("v")).as("qv"))
+      .filter(size(col("qv")) === graft.functions.VectorFns.Dims)
       .withColumn("qvd", transform(col("qv"), x => x.cast("double")))
       .withColumn("qq", dot(col("qvd"), col("qvd")))
 
@@ -123,7 +130,8 @@ object ClusterOps {
         qn AS (SELECT vec_id,
                       list_transform(v, x ->
                         CAST(FLOOR(x * 1024 + 0.5) AS BIGINT) + 1024) AS qv
-               FROM e),
+               FROM e
+               WHERE len(v) = ${graft.functions.VectorFns.Dims}),
         c0 AS (SELECT vec_id AS cid, qv AS cv FROM qn WHERE vec_id < $K),
         d1 AS (SELECT qn.vec_id, qn.qv, c0.cid,
                       CAST(list_dot_product(qn.qv, qn.qv)

@@ -99,6 +99,23 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("q141/q142 cluster well-formed vectors ONLY: malformed rows " +
+    "never dilute a centroid or appear in the sample") {
+    // well-formed rows are 0,1,2,5,8,9 — the six cluster themselves
+    // (every survivor is its own seed); the planted dup 5 ties to the
+    // SMALLER cid 1, so cluster 5 empties out and drops after the update
+    val stats = graft.SparkEntry.queries("q141_kmeans_refine")(spark, dirtyDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.values.sum == 6L, s"malformed vector clustered: $stats")
+    assert(stats.keySet == Set(0L, 1L, 2L, 8L, 9L), stats.toString)
+    assert(stats(1L) == 2L, s"dup 5 not in its twin's cluster: $stats")
+    val sampled = graft.SparkEntry
+      .queries("q142_cluster_balanced_sample")(spark, dirtyDir)
+      .collect().map(_.getLong(1)).toSet
+    assert(sampled == Set(0L, 1L, 2L, 5L, 8L, 9L),
+      s"sample disagrees with the well-formed set: $sampled")
+  }
+
   test("q137 semantic decon flags the planted eval dup, sentinels the " +
     "malformed rows, never crashes") {
     // corpus vector 5 is an exact copy of eval vector 1 → contaminated;

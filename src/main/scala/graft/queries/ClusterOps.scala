@@ -55,7 +55,7 @@ object ClusterOps {
     * in IEEE double, correctly rounded — no rint/banker's-rounding
     * divergence).
     */
-  private def quant(c: Column): Column =
+  private[graft] def quant(c: Column): Column =
     transform(c, x => floor(x * 1024 + lit(0.5)).cast("long") + lit(1024L))
 
   /** (vec_id, qv long-lattice vector, qvd double view, qq self-dot):
@@ -96,6 +96,36 @@ object ClusterOps {
       .withColumn("cc", dot(col("cvd"), col("cvd")))
       .select(col("cid"), col("cvd"), col("cc"))
 
+  /** Round-1 assignment against the family's deterministic first-K
+    * seeds — the q46/q100 assignment, as the Lloyd starting point.
+    */
+  private def assignToSeeds(base: DataFrame): DataFrame =
+    assign(base, centModel(
+      base.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))))
+
+  /** Centroid update: exact long sums (VecSumAgg — one array per
+    * (partition, cid) partial) then floor division; empty clusters drop
+    * out in both engines identically.
+    */
+  private def updateCentroids(a1: DataFrame): DataFrame = {
+    val vsum = udaf(graft.functions.VecSumAgg)
+    a1.groupBy(col("cid"))
+      .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cid"), expr("transform(sv, x -> x div n)").as("cv"))
+  }
+
+  /** Refined (post-update) centroid model as driver-side rows — bounded
+    * (≤K) by construction, the annModel discipline: the offline-trained
+    * model a streaming ingest path ships inside its plan
+    * ([[graft.streaming.StreamingCluster]]).
+    */
+  private[graft] def refinedModel(
+      s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
+    updateCentroids(assignToSeeds(lattice(s, dir)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .toSeq.sortBy(_._1)
+
   /** Session-staged two-round Lloyd refinement:
     * `(vec_id, cid, cid0, dist)` — final assignment, round-1 assignment
     * (for convergence accounting), exact squared distance to the refined
@@ -105,19 +135,8 @@ object ClusterOps {
   private def refined(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, dir, "kmeans_assign") {
       val base = lattice(s, dir)
-      val c0 = centModel(
-        base.filter(col("vec_id") < K)
-          .select(col("vec_id").as("cid"), col("qv").as("cv")))
-      val a1 = assign(base, c0)
-      // centroid update: exact long sums (VecSumAgg — one array per
-      // (partition, cid) partial) then floor division; empty clusters
-      // drop out in both engines identically
-      val vsum = udaf(graft.functions.VecSumAgg)
-      val c1 = centModel(
-        a1.groupBy(col("cid"))
-          .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n"))
-          .select(col("cid"), expr("transform(sv, x -> x div n)").as("cv")))
-      assign(base, c1)
+      val a1 = assignToSeeds(base)
+      assign(base, centModel(updateCentroids(a1)))
         .join(a1.select(col("vec_id"), col("cid").as("cid0")), "vec_id")
         .select(col("vec_id"), col("cid"), col("cid0"), col("dist"))
     }

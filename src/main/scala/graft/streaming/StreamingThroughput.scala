@@ -119,6 +119,10 @@ object StreamingThroughput {
       val (agg, late) = DwsTradeStream.provinceOrderWindow(ds.toDF())
       Seq(noop(agg), noop(late.toDF()))
     }
+    // streaming agg (state = ≤K occupancy counters): update mode
+    def clusterT(m: Seq[(Long, Seq[Long])])(ds: Dataset[VecIn]) =
+      Seq(StreamingCluster.occupancy(ds.toDF(), m)
+        .writeStream.format("noop").outputMode("update").start())
     // streaming agg (state = the sketch): update mode, not append
     def sketchT(ds: Dataset[LenIn]) =
       Seq(StreamingSketch.sketch(ds.toDF())
@@ -136,6 +140,7 @@ object StreamingThroughput {
     lazy val x1Vecs = vecsIn(s"$scaleRoot/x1")
     lazy val x10Vecs = vecsIn(s"$scaleRoot/x10")
     lazy val annModel = StreamingAnn.model(spark, s"$scaleRoot/x1")
+    lazy val clusterModel = StreamingCluster.model(spark, s"$scaleRoot/x1")
     lazy val x1Orders = orders(evX1)
     lazy val x10Orders = orders(evX10)
     lazy val x1Lens = lens(s"$scaleRoot/x1")
@@ -147,6 +152,7 @@ object StreamingThroughput {
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
     if (sel("sketch")) feed(x1Lens.take(BatchRows))(sketchT)
+    if (sel("cluster")) feed(x1Vecs.take(BatchRows))(clusterT(clusterModel))
 
     println("twin,dir,rows,secs,rows_per_sec")
     if (sel("lsh")) {
@@ -174,6 +180,10 @@ object StreamingThroughput {
     if (sel("sketch")) {
       emit("sketch", "x1", x1Lens.size, feed(x1Lens)(sketchT))
       emit("sketch", "x10", x10Lens.size, feed(x10Lens)(sketchT))
+    }
+    if (sel("cluster")) {
+      emit("cluster", "x1", x1Vecs.size, feed(x1Vecs)(clusterT(clusterModel)))
+      emit("cluster", "x10", x10Vecs.size, feed(x10Vecs)(clusterT(clusterModel)))
     }
     spark.stop()
   }

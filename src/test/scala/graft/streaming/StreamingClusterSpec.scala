@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streamed ≡ batch for the clustering ingest twin: the full corpus
+  * arriving over micro-batches, assigned in-row against the offline
+  * (q141-refined) centroid model, must reproduce the registered q141
+  * per-cluster membership exactly — same integer distances, same tie
+  * rules. Malformed arrivals are excluded by the same well-formed rule
+  * the batch lattice applies, never silently assigned.
+  */
+class StreamingClusterSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streamed occupancy over micro-batches equals batch q141 membership") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = StreamingCluster.model(spark, sfDir)
+    val corpus = graft.Tables(spark, sfDir, "embeddings")
+      .as[VecRow].collect().sortBy(_.vec_id)
+
+    val in = MemoryStream[VecRow]
+    val q = StreamingCluster.occupancy(in.toDF(), m)
+      .writeStream.format("memory").queryName("cluster_occ")
+      .outputMode("complete").start()
+    try {
+      corpus.grouped((corpus.length + 4) / 5).foreach { b =>
+        in.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cluster_occ")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val batch = graft.SparkEntry.queries("q141_kmeans_refine")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed $streamed\nbatch    $batch")
+  }
+
+  test("malformed arrivals are excluded, not misassigned; counts still match") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // model trained on a tiny clean fixture; the stream then carries the
+    // clean rows PLUS null/empty/ragged arrivals
+    val dim = graft.functions.VectorFns.Dims
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => ((seed * 31 + i * 7) % 13 - 6) / 6.0f)
+    val dir = Files.createTempDirectory("graft_stream_cluster_").toString
+    val clean = Seq(0L, 1L, 2L, 3L).map(i => VecRow(i, vec(i.toInt)))
+    clean.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val m = StreamingCluster.model(spark, dir)
+
+    val in = MemoryStream[VecRow]
+    val q = StreamingCluster.occupancy(in.toDF(), m)
+      .writeStream.format("memory").queryName("cluster_occ_dirty")
+      .outputMode("complete").start()
+    try {
+      in.addData(clean :+ VecRow(4L, null) :+ VecRow(5L, Seq.empty[Float])
+        :+ VecRow(6L, Seq.tabulate(16)(_.toFloat)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cluster_occ_dirty")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.values.sum == clean.length.toLong,
+      s"malformed arrival counted: $streamed")
+  }
+}

@@ -239,6 +239,23 @@ object StreamDemo {
       .estimates(spark.table("sketch_state"))
       .filter($"est_p50" > 0).count()
 
+    // Ninth vertical: streaming cluster assignment + occupancy
+    // (StreamingCluster) — the offline-refined q141 centroid model ships
+    // as a plan literal; arriving vectors are argmin-assigned in-row
+    // (batch tie rules) and the only state is ≤K occupancy counters —
+    // the drift monitor a frozen clustering needs during corpus ingest.
+    val clusterM = StreamingCluster.model(spark, sfDir)
+    val clusterQ = StreamingCluster.occupancy(
+        graft.sources.Sources.fileStream(spark, sfDir, "embeddings"),
+        clusterM)
+      .writeStream.format("memory").queryName("cluster_occ")
+      .outputMode("complete").start()
+    clusterQ.processAllAvailable()
+    clusterQ.stop()
+    val clusterCids = spark.table("cluster_occ").count()
+    val clusterVecs = spark.table("cluster_occ")
+      .agg(coalesce(sum($"n_members"), lit(0L))).collect()(0).getLong(0)
+
     val splitStr = Seq("err", "start", "page", "display", "action")
       .map(k => s"$k=${splitTotal(k)}").mkString(",")
     println(s"STREAMDEMO dws_rows=$rows gmv_days=$gmv " +
@@ -248,12 +265,14 @@ object StreamDemo {
       s"province_rows=$provRows late_seen=$lateSeen late_dropped=$lateDropped " +
       s"decon_rows=$deconRows decon_flagged=$deconFlagged " +
       s"ann_index_rows=$annIndexRows ann_served=$annServed " +
-      s"sketch_buckets=$sketchBuckets sketch_langs=$sketchLangs")
+      s"sketch_buckets=$sketchBuckets sketch_langs=$sketchLangs " +
+      s"cluster_cids=$clusterCids cluster_vecs=$clusterVecs")
     spark.stop()
     if (rows == 0 || dimRows == 0 || kwRows == 0 || corpusRows == 0 ||
       splitTotal("page") == 0L ||
       provRows == 0 || lateSeen == 0 || deconRows == 0 ||
       deconFlagged == 0 || annIndexRows == 0 || annServed == 0 ||
-      sketchBuckets == 0 || sketchLangs == 0) sys.exit(1)
+      sketchBuckets == 0 || sketchLangs == 0 ||
+      clusterCids == 0 || clusterVecs == 0) sys.exit(1)
   }
 }

@@ -51,6 +51,43 @@ class ClusterOpsSpec extends SparkSpec {
     assert(sample.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("q141/q142 separate well-separated planted blobs: no cluster mixes") {
+    // three tight blobs on disjoint dimension bands (cross-blob L2² ≈ 1.8,
+    // intra-blob jitter ≈ 0.006): every seed lies inside a blob, so no
+    // vector may ever assign across blobs, in either Lloyd round — the
+    // semantic claim behind using the clustering for curation, not just
+    // the mechanical partition-of-corpus invariant
+    import spark.implicits._
+    val dim = graft.functions.VectorFns.Dims
+    def blobVec(id: Long): Seq[Float] = {
+      val b = (id % 3).toInt
+      Seq.tabulate(dim) { d =>
+        val base = if (d >= b * 20 && d < b * 20 + 10) 0.3f else 0.0f
+        base + (((id * 31 + d * 7) % 11).toInt - 5) * 0.002f
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_blobs_").toString
+    (0L until 60L).map(i => (i, blobVec(i)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val stats = graft.SparkEntry.queries("q141_kmeans_refine")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.values.sum == 60L)
+    // every surviving cluster id is a seed id — its blob is cid % 3; all
+    // sampled members must share it (quota 8 ≥ any per-cluster size here
+    // would not hold, but a MIXED cluster would surface in any sample
+    // of its hash-ranked members with overwhelming probability; the
+    // deterministic fixture makes this exact: check what we sampled)
+    val sample = graft.SparkEntry
+      .queries("q142_cluster_balanced_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    sample.foreach { case (cid, vid) =>
+      assert(cid % 3 == vid % 3,
+        s"vector $vid (blob ${vid % 3}) landed in cluster $cid " +
+          s"(blob ${cid % 3})")
+    }
+  }
+
   test("VecSumAgg: partition layout never changes the sum; drift raises") {
     import spark.implicits._
     val vsum = udaf(graft.functions.VecSumAgg)

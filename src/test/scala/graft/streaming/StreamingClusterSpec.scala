@@ -42,6 +42,45 @@ class StreamingClusterSpec extends SparkSpec {
       s"streamed $streamed\nbatch    $batch")
   }
 
+  test("occupancy state survives a stop/restart from checkpoint exactly once") {
+    import spark.implicits._
+    val m = StreamingCluster.model(spark, sfDir)
+    val corpus = graft.Tables(spark, sfDir, "embeddings")
+      .as[VecRow].collect().sortBy(_.vec_id)
+    val (batch1, batch2) = corpus.splitAt(corpus.length / 2)
+
+    val inDir = Files.createTempDirectory("cluster_in").toString
+    val ckpt = Files.createTempDirectory("cluster_ckpt").toString
+    def write(rows: Seq[VecRow]): Unit =
+      rows.toSeq.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def pipeline(name: String) = {
+      val schema = spark.read.parquet(inDir).schema
+      StreamingCluster.occupancy(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir), m)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    }
+
+    write(batch1.toSeq)
+    val q1 = pipeline("cluster_run1")
+    try q1.processAllAvailable() finally q1.stop()
+    write(batch2.toSeq)
+    val q2 = pipeline("cluster_run2")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // lost state would count only batch2; replayed input would double
+    // batch1 — either breaks equality with the batch q141 membership
+    val streamed = spark.table("cluster_run2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.SparkEntry.queries("q141_kmeans_refine")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      "occupancy state lost or duplicated across the restart")
+  }
+
   test("malformed arrivals are excluded, not misassigned; counts still match") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

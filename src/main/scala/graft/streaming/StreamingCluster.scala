@@ -72,4 +72,35 @@ object StreamingCluster {
       .select(assignCol(col("embedding"), m).as("cid"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Continuous model-update leg: per-cluster exact lattice sums +
+    * counts as a streaming aggregation — the partials the NEXT Lloyd
+    * round needs, accumulated at ingest time so retraining is a state
+    * read instead of a corpus re-scan. State is ≤K rows × one
+    * dims-long array; VecSumAgg's merge-order independence (exact long
+    * addition) is what makes the streamed state EQUAL the batch
+    * aggregation regardless of micro-batch boundaries — a float
+    * mean-update here would drift from the batch build by summation
+    * order, which is the q141 design point replayed in streaming form.
+    * Works identically on a batch frame (StreamingClusterSpec pins
+    * streamed ≡ batch).
+    */
+  def updateState(vecsDf: DataFrame, m: Seq[(Long, Seq[Long])]): DataFrame = {
+    val vsum = udaf(graft.functions.VecSumAgg)
+    vecsDf
+      .filter(wellFormed(col("embedding")))
+      .select(assignCol(col("embedding"), m).as("cid"),
+        ClusterOps.quant(toDouble(col("embedding"))).as("qv"))
+      .groupBy(col("cid"))
+      .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n"))
+  }
+
+  /** The round+1 centroid model from the streamed update state (floor
+    * division of exact sums — the batch updateCentroids rule).
+    */
+  def nextCentroids(state: DataFrame): DataFrame =
+    state.select(col("cid"), expr("transform(sv, x -> x div n)").as("cv"))
+
+  private def toDouble(embCol: Column): Column =
+    transform(embCol, x => x.cast("double"))
 }

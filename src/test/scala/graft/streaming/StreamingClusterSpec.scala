@@ -42,6 +42,39 @@ class StreamingClusterSpec extends SparkSpec {
       s"streamed $streamed\nbatch    $batch")
   }
 
+  test("streamed model-update state equals the batch aggregation exactly") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = StreamingCluster.model(spark, sfDir)
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val corpus = emb.as[VecRow].collect().sortBy(_.vec_id)
+
+    val in = MemoryStream[VecRow]
+    val q = StreamingCluster.updateState(in.toDF(), m)
+      .writeStream.format("memory").queryName("cluster_upd")
+      .outputMode("complete").start()
+    try {
+      corpus.grouped((corpus.length + 2) / 3).foreach { b =>
+        in.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))
+    val streamed = spark.table("cluster_upd").collect().map(key).toSet
+    // the same operator over the batch frame — micro-batch boundaries
+    // must be invisible (VecSumAgg exact-long merge independence)
+    val batch = StreamingCluster.updateState(emb, m).collect().map(key).toSet
+    assert(streamed == batch)
+    // counts agree with the registered q141 membership, and the next
+    // model derives from the state alone (K rows -> K rows)
+    val counts = streamed.map(t => t._1 -> t._3).toMap
+    val q141 = graft.SparkEntry.queries("q141_kmeans_refine")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == q141)
+    assert(StreamingCluster.nextCentroids(spark.table("cluster_upd"))
+      .collect().length == counts.size)
+  }
+
   test("occupancy state survives a stop/restart from checkpoint exactly once") {
     import spark.implicits._
     val m = StreamingCluster.model(spark, sfDir)

@@ -28,5 +28,6 @@ object Registry {
       queries.SimilarityOps.all ++
       queries.MultimodalOps.all ++
       queries.CorpusOps.all ++
-      queries.ClusterOps.all
+      queries.ClusterOps.all ++
+      queries.BucketedOps.all
 }

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q143's whole point is the PLAN: a big⋈big sort-merge join over
+  * matching bucketed tables must run with zero shuffle exchanges on the
+  * join input. Content equality with the plain-parquet join guards
+  * against the layout change ever touching semantics.
+  */
+class BucketedOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bucketed SMJ plans with zero exchanges; content matches plain join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    // disable broadcast so the tiny local fixture exercises the same SMJ
+    // path a 100 TB fact⋈fact join takes
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val joined = BucketedOps.colocatedJoin(spark, sfDir)
+      joined.collect() // finalize AQE before reading the executed plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+
+      val viaBuckets = joined
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val plain = graft.Tables(spark, sfDir, "lineitem")
+        .join(graft.Tables(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaBuckets == plain)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}

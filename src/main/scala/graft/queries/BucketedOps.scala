@@ -1,6 +1,5 @@
 package graft.queries
 
-import scala.collection.concurrent.TrieMap
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -25,30 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object BucketedOps {
 
-  private val made = TrieMap.empty[(SparkSession, String), (String, String)]
-
   /** Bucketed lineitem/orders table names for (session, dir), writing
-    * them on first use. Synchronized like Staging: a lost
-    * getOrElseUpdate race would have two writers on one table path.
+    * them on first use. The write rides Staging.stage (the thunk runs
+    * once per (session, dir), serialized) with a marker frame, so the
+    * one-time layout cost is a first-class bench staging line item
+    * (`bucketed_facts`) instead of hiding inside whichever q143 run
+    * comes first — the round-8 staging-attribution discipline.
     */
-  private def bucketedNames(s: SparkSession, dir: String): (String, String) =
-    synchronized {
-      made.getOrElseUpdate((s, dir), {
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
-        val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_bucketed_").toString
-        Tables(s, dir, "lineitem")
-          .write.mode("overwrite").bucketBy(8, "l_orderkey")
-          .sortBy("l_orderkey").option("path", s"$base/lineitem")
-          .saveAsTable(lt)
-        Tables(s, dir, "orders")
-          .write.mode("overwrite").bucketBy(8, "o_orderkey")
-          .sortBy("o_orderkey").option("path", s"$base/orders")
-          .saveAsTable(ot)
-        (lt, ot)
-      })
+  private def bucketedNames(s: SparkSession, dir: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+    graft.Staging.stage(s, dir, "bucketed_facts") {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_").toString
+      Tables(s, dir, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$base/lineitem")
+        .saveAsTable(lt)
+      Tables(s, dir, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$base/orders")
+        .saveAsTable(ot)
+      s.range(1).toDF("bucketed_facts_ready")
     }
+    (lt, ot)
+  }
 
   /** The co-located join, pre-aggregation — exposed for the spec's plan
     * assertion (SortMergeJoin, zero exchanges below it).

@@ -36,6 +36,16 @@ import org.apache.spark.sql.expressions.Window
   * (VecSumAgg's map-side fold), not corpus×dims rows. The round-2
   * assignment is session-staged (`kmeans_assign`) and shared by
   * q141/q142 — the q36/q57 staging discipline.
+  *
+  * K here is 16 — the family's coarse-centroid count (q46/q128 route
+  * into 16 IVF lists; this build refines exactly those seeds). At
+  * production K (thousands), the flat O(K) per-vector argmin is the
+  * measured exponent-1.26 problem the family already solved for
+  * ASSIGNMENT: q131's two-level routing (16 supers → ~K/16 children,
+  * per-vector work 16 + K/16) applies verbatim to each Lloyd round —
+  * the update step is K-independent either way (one partial array per
+  * cluster per partition). The lattice arithmetic is what this operator
+  * pins; the routing topology is orthogonal and composes.
   */
 object ClusterOps {
 

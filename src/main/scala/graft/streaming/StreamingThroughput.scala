@@ -123,6 +123,10 @@ object StreamingThroughput {
     def clusterT(m: Seq[(Long, Seq[Long])])(ds: Dataset[VecIn]) =
       Seq(StreamingCluster.occupancy(ds.toDF(), m)
         .writeStream.format("noop").outputMode("update").start())
+    // heavier state leg: K rows × dims-long sum arrays (model update)
+    def clusterUpdT(m: Seq[(Long, Seq[Long])])(ds: Dataset[VecIn]) =
+      Seq(StreamingCluster.updateState(ds.toDF(), m)
+        .writeStream.format("noop").outputMode("update").start())
     // streaming agg (state = the sketch): update mode, not append
     def sketchT(ds: Dataset[LenIn]) =
       Seq(StreamingSketch.sketch(ds.toDF())
@@ -153,6 +157,8 @@ object StreamingThroughput {
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
     if (sel("sketch")) feed(x1Lens.take(BatchRows))(sketchT)
     if (sel("cluster")) feed(x1Vecs.take(BatchRows))(clusterT(clusterModel))
+    if (sel("cluster_update"))
+      feed(x1Vecs.take(BatchRows))(clusterUpdT(clusterModel))
 
     println("twin,dir,rows,secs,rows_per_sec")
     if (sel("lsh")) {
@@ -184,6 +190,12 @@ object StreamingThroughput {
     if (sel("cluster")) {
       emit("cluster", "x1", x1Vecs.size, feed(x1Vecs)(clusterT(clusterModel)))
       emit("cluster", "x10", x10Vecs.size, feed(x10Vecs)(clusterT(clusterModel)))
+    }
+    if (sel("cluster_update")) {
+      emit("cluster_update", "x1", x1Vecs.size,
+        feed(x1Vecs)(clusterUpdT(clusterModel)))
+      emit("cluster_update", "x10", x10Vecs.size,
+        feed(x10Vecs)(clusterUpdT(clusterModel)))
     }
     spark.stop()
   }

@@ -20,16 +20,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * 1000 executors) and the reason the whole q141 pipeline runs on a
   * quantized lattice.
   *
-  * Null/ragged inputs: null vectors are skipped (contribute nothing, like
-  * SUM over a null); a dimension mismatch between two non-null vectors
-  * raises, because silently zip-truncating a drifted embedding would
-  * corrupt every centroid it touches.
+  * Null/ragged inputs: null and empty vectors are skipped (contribute
+  * nothing, like SUM over a null) — and so is the empty ZERO buffer of an
+  * all-null partition arriving at merge, or the skip contract would be
+  * partition-layout-dependent; a dimension mismatch between two
+  * NON-EMPTY vectors raises, because silently zip-truncating a drifted
+  * embedding would corrupt every centroid it touches.
   */
 object VecSumAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def zero: Array[Long] = Array.empty
 
   private def add(b: Array[Long], a: Seq[Long]): Array[Long] =
-    if (a == null) b
+    if (a == null || a.isEmpty) b // null input, or an all-null partition's
+    // empty (zero) partial arriving at merge — either is a no-op, or the
+    // null-skip contract would become partition-layout-dependent
     else if (b.isEmpty) a.toArray
     else {
       require(b.length == a.length,

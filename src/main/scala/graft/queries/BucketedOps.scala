@@ -32,7 +32,10 @@ object BucketedOps {
     * comes first — the round-8 staging-attribution discipline.
     */
   private def bucketedNames(s: SparkSession, dir: String): (String, String) = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // full md5 of the dir, not String.hashCode: a 32-bit collision would
+    // silently repoint BOTH dirs' table names at one dir's data
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
     graft.Staging.stage(s, dir, "bucketed_facts") {
       val base = java.nio.file.Files

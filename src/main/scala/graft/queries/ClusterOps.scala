@@ -53,9 +53,7 @@ object ClusterOps {
   private val Quota = 8
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+    SimilarityOps.vecs(s, dir)
 
   import graft.functions.VectorFns.dot
 
@@ -126,15 +124,22 @@ object ClusterOps {
   }
 
   /** Refined (post-update) centroid model as driver-side rows — bounded
-    * (≤K) by construction, the annModel discipline: the offline-trained
-    * model a streaming ingest path ships inside its plan
-    * ([[graft.streaming.StreamingCluster]]).
+    * (≤K) by construction and memoized per (session, dir) like
+    * SimilarityOps' model builds: the offline-trained model a streaming
+    * ingest path ships inside its plan
+    * ([[graft.streaming.StreamingCluster]]) without re-running the
+    * corpus scans on every call.
     */
+  private val modelMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Seq[(Long, Seq[Long])]]
+
   private[graft] def refinedModel(
       s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
-    updateCentroids(assignToSeeds(lattice(s, dir)))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
-      .toSeq.sortBy(_._1)
+    modelMemo.getOrElseUpdate((s, dir),
+      updateCentroids(assignToSeeds(lattice(s, dir)))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+        .toSeq.sortBy(_._1))
 
   /** Session-staged two-round Lloyd refinement:
     * `(vec_id, cid, cid0, dist)` — final assignment, round-1 assignment

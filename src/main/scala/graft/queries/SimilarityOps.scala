@@ -28,7 +28,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

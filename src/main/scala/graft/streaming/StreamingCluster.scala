@@ -44,7 +44,7 @@ object StreamingCluster {
   def assignCol(embCol: Column, m: Seq[(Long, Seq[Long])]): Column = {
     require(m.nonEmpty, "StreamingCluster: empty centroid model")
     val qvd = transform(
-      ClusterOps.quant(transform(embCol, x => x.cast("double"))),
+      ClusterOps.quant(StreamingAnn.toDouble(embCol)),
       x => x.cast("double"))
     val qq = VectorFns.dot(qvd, qvd)
     val arr = array(m.map { case (cid, cv) =>
@@ -90,7 +90,7 @@ object StreamingCluster {
     vecsDf
       .filter(wellFormed(col("embedding")))
       .select(assignCol(col("embedding"), m).as("cid"),
-        ClusterOps.quant(toDouble(col("embedding"))).as("qv"))
+        ClusterOps.quant(StreamingAnn.toDouble(col("embedding"))).as("qv"))
       .groupBy(col("cid"))
       .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n"))
   }
@@ -100,7 +100,4 @@ object StreamingCluster {
     */
   def nextCentroids(state: DataFrame): DataFrame =
     state.select(col("cid"), expr("transform(sv, x -> x div n)").as("cv"))
-
-  private def toDouble(embCol: Column): Column =
-    transform(embCol, x => x.cast("double"))
 }

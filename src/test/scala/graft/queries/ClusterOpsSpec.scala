@@ -103,6 +103,23 @@ class ClusterOpsSpec extends SparkSpec {
       .toDF("k", "v").groupBy("k").agg(vsum($"v").as("s"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
     assert(withNull == one)
+    // a null row ISOLATED in its own partition produces an empty (zero)
+    // partial; merging it must be a no-op, not a dimension-drift error —
+    // the skip contract may not depend on partition layout (review-pass
+    // regression: merge(nonEmpty, empty) used to throw)
+    val isolated = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(0L, null),
+          org.apache.spark.sql.Row(0L, Seq(1L, 2L, 3L))), 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+      .groupBy("k").agg(vsum($"v").as("s"))
+      .collect().map(r => r.getSeq[Long](1)).head
+    assert(isolated == Seq(1L, 2L, 3L))
     // dimension drift is an error, not a silent truncation
     val drift = intercept[Exception] {
       Seq((0L, Seq(1L, 2L)), (0L, Seq(1L, 2L, 3L)))

@@ -231,4 +231,54 @@ class RocksDbSoakSpec extends SparkSpec {
     // 3 closed days x 2 types, each with all 500 users seen
     assert(rocks.length == 6 && rocks.forall(_._3 > 400), s"unexpected: $rocks")
   }
+
+  test("cluster occupancy + model-update state: RocksDB provider matches " +
+    "default and batch q141 on the real corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val m = StreamingCluster.model(spark, sfDir)
+    val corpus = graft.Tables(spark, sfDir, "embeddings")
+      .as[VecRow].collect().sortBy(_.vec_id)
+    val batches = corpus.grouped(125).map(_.toSeq).toSeq
+
+    // complete-mode runner (the shared runStream is append-mode; these
+    // legs are unwatermarked aggregations)
+    def runComplete(op: Dataset[VecRow] => org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Seq[Long], Long)] = {
+      queryId += 1
+      val name = s"rocks_cluster_$queryId"
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[VecRow]
+      val query = op(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      } finally query.stop()
+      spark.table(name).collect().toSeq.map { r =>
+        if (r.length == 2) (r.getLong(0), Nil, r.getLong(1))
+        else (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))
+      }
+    }
+    def both(op: Dataset[VecRow] => org.apache.spark.sql.DataFrame) = {
+      val default = runComplete(op)
+      spark.conf.set(ProviderKey, RocksProvider)
+      val rocks =
+        try runComplete(op)
+        finally spark.conf.unset(ProviderKey)
+      (rocks, default)
+    }
+
+    val (occR, occD) = both(ds => StreamingCluster.occupancy(ds.toDF(), m))
+    assert(occR.sortBy(_._1) == occD.sortBy(_._1))
+    val q141 = graft.SparkEntry.queries("q141_kmeans_refine")(spark, sfDir)
+      .select(col("cid"), col("n_members"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occR.map(t => t._1 -> t._3).toMap == q141)
+
+    val (updR, updD) = both(ds => StreamingCluster.updateState(ds.toDF(), m))
+    assert(updR.sortBy(_._1) == updD.sortBy(_._1))
+    assert(updR.map(t => t._1 -> t._3).toMap == q141)
+  }
 }

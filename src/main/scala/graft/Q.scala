@@ -29,5 +29,6 @@ object Registry {
       queries.MultimodalOps.all ++
       queries.CorpusOps.all ++
       queries.ClusterOps.all ++
-      queries.BucketedOps.all
+      queries.BucketedOps.all ++
+      queries.PartitionedOps.all
 }

@@ -38,7 +38,10 @@ object ScalingBench {
     "q131_semantic_dedup_scaledk", "q133_semantic_dedup_star",
     "q136_embedding_dedup_labels", "q137_semantic_decontamination",
     "q141_kmeans_refine", "q142_cluster_balanced_sample",
-    "q143_bucketed_join", "q144_dynamic_partition_pruning",
+    // q143 is NOT here: the scale corpora carry documents/embeddings/
+    // events only — no lineitem/orders — and the measured loop (unlike
+    // warmup) does not swallow a missing-table crash
+    "q144_dynamic_partition_pruning",
     // CC-consumer graph family (round-10: the star-contraction path)
     "q57_neardup_cluster", "q95_pagerank_neardup",
     // sketch family (round-10: quantile + cross-set members)

@@ -172,6 +172,16 @@ class DirtyEventsSpec extends SparkSpec {
       "null" -> ((1L, 0L, 0L))))
   }
 
+  test("q144: null-ts partition and zero campaign overlap execute cleanly") {
+    // the partitioned layout write must survive a null event_day (the
+    // null-ts event lands in the default partition), and a corpus with
+    // no campaign-day overlap must return an EMPTY result, never crash —
+    // visible-nothing, not invented-something
+    val out = graft.SparkEntry
+      .queries("q144_dynamic_partition_pruning")(spark, dirtyDir).collect()
+    assert(out.isEmpty, out.mkString("\n"))
+  }
+
   test("q140: tiny windows estimate exactly; null ts forms its own day") {
     // at |users| ≤ a handful per window, the 4Ki-bucket linear counter
     // must round to the exact count (occupancy ≈ cardinality), so every

@@ -45,7 +45,6 @@ object PartitionedOps {
     */
   private def layoutPaths(s: SparkSession, dir: String): (String, String) = {
     graft.Staging.stage(s, dir, "partitioned_events") {
-      import s.implicits._
       val base = java.nio.file.Files
         .createTempDirectory("graft_part_events_").toString
       Tables(s, dir, "events")

@@ -23,14 +23,15 @@ class RocksDbSoakSpec extends SparkSpec {
 
   private var queryId = 0
 
-  private def runStream[I: Encoder, O: Encoder](batches: Seq[Seq[I]])(
+  private def runStream[I: Encoder, O: Encoder](
+      batches: Seq[Seq[I]], mode: String = "append")(
       op: Dataset[I] => Dataset[O]): Seq[O] = {
     queryId += 1
     val name = s"rocks_out_$queryId"
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[I]
     val query = op(input.toDS())
-      .writeStream.format("memory").queryName(name).outputMode("append")
+      .writeStream.format("memory").queryName(name).outputMode(mode)
       .start()
     try {
       batches.foreach { b => input.addData(b); query.processAllAvailable() }
@@ -39,13 +40,17 @@ class RocksDbSoakSpec extends SparkSpec {
     spark.table(name).as[O].collect().toSeq
   }
 
-  /** Run the same streamed op under RocksDB and the default provider. */
-  private def bothProviders[I: Encoder, O: Encoder](batches: Seq[Seq[I]])(
+  /** Run the same streamed op under RocksDB and the default provider.
+    * `mode` is "append" for watermark-closing ops, "complete" for
+    * unwatermarked aggregations (the cluster twin's legs).
+    */
+  private def bothProviders[I: Encoder, O: Encoder](
+      batches: Seq[Seq[I]], mode: String = "append")(
       op: Dataset[I] => Dataset[O]): (Seq[O], Seq[O]) = {
-    val default = runStream(batches)(op)
+    val default = runStream(batches, mode)(op)
     spark.conf.set(ProviderKey, RocksProvider)
     val rocks =
-      try runStream(batches)(op)
+      try runStream(batches, mode)(op)
       finally spark.conf.unset(ProviderKey)
     (rocks, default)
   }
@@ -242,42 +247,22 @@ class RocksDbSoakSpec extends SparkSpec {
       .as[VecRow].collect().sortBy(_.vec_id)
     val batches = corpus.grouped(125).map(_.toSeq).toSeq
 
-    // complete-mode runner (the shared runStream is append-mode; these
-    // legs are unwatermarked aggregations)
-    def runComplete(op: Dataset[VecRow] => org.apache.spark.sql.DataFrame)
-        : Seq[(Long, Seq[Long], Long)] = {
-      queryId += 1
-      val name = s"rocks_cluster_$queryId"
-      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = MemoryStream[VecRow]
-      val query = op(input.toDS())
-        .writeStream.format("memory").queryName(name).outputMode("complete")
-        .start()
-      try {
-        batches.foreach { b => input.addData(b); query.processAllAvailable() }
-      } finally query.stop()
-      spark.table(name).collect().toSeq.map { r =>
-        if (r.length == 2) (r.getLong(0), Nil, r.getLong(1))
-        else (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))
-      }
-    }
-    def both(op: Dataset[VecRow] => org.apache.spark.sql.DataFrame) = {
-      val default = runComplete(op)
-      spark.conf.set(ProviderKey, RocksProvider)
-      val rocks =
-        try runComplete(op)
-        finally spark.conf.unset(ProviderKey)
-      (rocks, default)
-    }
-
-    val (occR, occD) = both(ds => StreamingCluster.occupancy(ds.toDF(), m))
+    val (occR, occD) = bothProviders(batches, mode = "complete")(
+      (ds: Dataset[VecRow]) => {
+        import spark.implicits._
+        StreamingCluster.occupancy(ds.toDF(), m).as[(Long, Long)]
+      })
     assert(occR.sortBy(_._1) == occD.sortBy(_._1))
     val q141 = graft.SparkEntry.queries("q141_kmeans_refine")(spark, sfDir)
       .select(col("cid"), col("n_members"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(occR.map(t => t._1 -> t._3).toMap == q141)
+    assert(occR.toMap == q141)
 
-    val (updR, updD) = both(ds => StreamingCluster.updateState(ds.toDF(), m))
+    val (updR, updD) = bothProviders(batches, mode = "complete")(
+      (ds: Dataset[VecRow]) => {
+        import spark.implicits._
+        StreamingCluster.updateState(ds.toDF(), m).as[(Long, Seq[Long], Long)]
+      })
     assert(updR.sortBy(_._1) == updD.sortBy(_._1))
     assert(updR.map(t => t._1 -> t._3).toMap == q141)
   }

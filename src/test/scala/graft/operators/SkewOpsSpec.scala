@@ -31,4 +31,47 @@ class SkewOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
     assert(salted == plain)
   }
+
+  test("AQE skew join splits the hot partition at runtime (skew=true)") {
+    // the runtime complement of manual salting (the brief's "salting for
+    // skew, AQE for runtime re-plan"): a sort-merge join whose hot key
+    // dwarfs the median partition is split by OptimizeSkewedJoin —
+    // visible as skew=true on the join node — with NO query rewrite.
+    // Thresholds are tuned down so the 0.5 MB fixture trips the same
+    // logic a 100 TB hot key would.
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+    try {
+      val pad = "x" * 64
+      val fact = (1L to 20000L)
+        .map(i => (if (i % 20 == 0) i % 7 else 0L, i, pad))
+        .toDF("k", "m", "pad")
+      val dim = (0L to 6L).map(i => (i, s"name$i" + pad)).toDF("id", "name")
+      val joined = fact.join(dim, col("k") === col("id"))
+      // collect THIS QueryExecution (count() would build its own) so the
+      // adaptive plan finalizes before the skew assertion reads it
+      val n = joined.collect().length
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"hot partition not split by AQE:\n$plan")
+      assert(n == 20000)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

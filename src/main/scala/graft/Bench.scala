@@ -98,7 +98,8 @@ object Bench {
       errMap: Map[String, String],
       sfDir: String,
       staging: Vector[(String, Double)] = Vector.empty,
-      ambient: Option[Ambient] = None): (String, String) = {
+      ambient: Option[Ambient] = None,
+      reusedStaging: Vector[String] = Vector.empty): (String, String) = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ")
     val errs = errMap.toVector.sortBy(_._1)
@@ -113,7 +114,36 @@ object Bench {
     // stdout uses 2-decimal precision: at 131+ queries the 3-decimal line
     // brushed the driver's ~1900-char tail budget (measured 1871 chars);
     // the full-precision numbers live in the BENCH_RESULT.json line
-    def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // trailing-zero-stripped variants for the tighter compression stages
+    // ("0.60" -> "0.6", "12.00" -> "12"): ~0.5 chars/query for free
+    def strip(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    def msT(v: Double): String = strip(ms(v))
+    def ms1(v: Double): String = strip(
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString)
+    // staging keys for the compressed stages: the globally-shortest
+    // prefix length (>=3) that keeps every staged name unique; falls
+    // back to full names when no prefix disambiguates
+    val stShortKey: String => String = {
+      val names = staging.map(_._1) ++ reusedStaging
+      val cut = (3 to names.map(_.length).maxOption.getOrElse(3)).find(l =>
+        names.map(_.take(l)).distinct.size == names.size)
+      name => cut.map(name.take).getOrElse(name)
+    }
+    def stObj(key: String => String, fmt: Double => String): String = {
+      val built = staging.map { case (k, v) => s""""${esc(key(k))}":${fmt(v)}""" }
+      val reused = reusedStaging.map(k => s""""${esc(key(k))}":"reused"""")
+      (built ++ reused).mkString("{", ",", "}")
+    }
+    // absolute last resort, when even shortened per-entry staging can't
+    // fit: total build seconds + entry count — amortized cost stays
+    // visible in the artifact even if per-frame attribution moves to the
+    // file line only
+    def stSum: String =
+      s"""{"_sum":${ms(staging.map(_._2).sum)},"_n":${staging.size + reusedStaging.size}}"""
     val total = ts.map(_._2).sum
     // Error bodies are the one unbounded input to the stdout line: ten
     // ~190-char exceptions overflowed every compression stage in r08 and
@@ -130,18 +160,11 @@ object Bench {
         val i = v.indexOf(": ")
         if (i >= 0) v.take(i + 2) + v.drop(i + 2).take(msgCap) else v.take(msgCap)
       }
-    def line(key: String => String, fmt: Double => Any,
-        withStaging: Boolean = true, errCap: Int = Int.MaxValue) = {
+    def line(key: String => String, fmt: Double => String,
+        st: String, errCap: Int = Int.MaxValue) = {
       val qs = ts.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
       val es = errs.map { case (k, v) =>
         s"\"${esc(key(k))}\":\"${esc(capErr(v, errCap))}\"" }.mkString("{", ",", "}")
-      // staged-frame builds are their own line items (full names — the
-      // namespace is small), so per-query numbers are marginal cost and
-      // the one-time build cost is visible instead of riding inside
-      // whichever consumer ran first. Entries are marginal-additive
-      // (graft.Staging): their sum is real staging wall time.
-      val st = (if (withStaging) staging else Vector.empty)
-        .map { case (k, v) => s"\"${esc(k)}\":" + fmt(v) }.mkString("{", ",", "}")
       val amb = ambient.map { a =>
         def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
         s""","loadavg_start":${arr(a.loadavgStart)},"loadavg_end":${arr(a.loadavgEnd)}""" +
@@ -149,21 +172,33 @@ object Bench {
       }.getOrElse("")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging":$st,"errors":$es,"repeats":$Repeats$amb,"sf":"$sfDir"}"""
     }
-    // adaptive compression stages for the driver's bounded tail window:
-    // (1) qNN keys + 2-decimal values + 80-char error messages; (2) drop
-    // the 'q' prefix ("q95" -> "95") — digits stay unique iff the qNN keys
-    // were; (3) drop the staging object from stdout (it survives in the
-    // file line); (4) drop error message bodies, keeping errored query
-    // names only. Each stage fires only when needed; overflow past stage 4
-    // is LOUD (stderr) instead of the driver silently truncating the tail.
-    // LazyList memoizes: the overflow fallback reuses the last-stage string
-    // the find already rendered instead of rendering it twice
+    // adaptive compression stages for the driver's bounded tail window.
+    // Staged-frame builds are their own line items, so per-query numbers
+    // are marginal cost and the one-time build cost is visible instead of
+    // riding inside whichever consumer ran first; entries are
+    // marginal-additive (graft.Staging) so their sum is real staging wall
+    // time. BENCH_r10's driver artifact recorded "staging":{} because the
+    // old ladder DROPPED staging at 144 queries — the new ladder keeps
+    // per-entry staging through every realistic stage (shortened names,
+    // then 1-decimal values, then dropped error bodies) and only collapses
+    // to a {"_sum","_n"} total as a last resort, so amortized cost can
+    // never again silently vanish from the artifact (round-10 directive
+    // #3). Stages: (1) qNN keys, 2-dec, full staging names; (2) digit keys
+    // ("q95" -> "95" — digits stay unique iff the qNN keys were); (3)
+    // trailing-zero-stripped values + prefix-shortened staging names; (4)
+    // 1-decimal values; (5) drop error message bodies, keep errored names;
+    // (6) staging collapsed to its sum + count. Overflow past stage 6 is
+    // LOUD (stderr) instead of the driver silently truncating the tail.
+    // LazyList memoizes: the overflow fallback reuses the last-stage
+    // string the find already rendered instead of rendering it twice.
     val digitKey = shortKey.andThen(k => if (k.startsWith("q")) k.drop(1) else k)
     val stages = LazyList(
-      () => line(shortKey, ms, errCap = 80),
-      () => line(digitKey, ms, errCap = 80),
-      () => line(digitKey, ms, withStaging = false, errCap = 80),
-      () => line(digitKey, ms, withStaging = false, errCap = 0)).map(_())
+      () => line(shortKey, ms, stObj(identity, ms), errCap = 80),
+      () => line(digitKey, ms, stObj(identity, ms), errCap = 80),
+      () => line(digitKey, msT, stObj(stShortKey, msT), errCap = 80),
+      () => line(digitKey, ms1, stObj(stShortKey, ms1), errCap = 80),
+      () => line(digitKey, ms1, stObj(stShortKey, ms1), errCap = 0),
+      () => line(digitKey, ms1, stSum, errCap = 0)).map(_())
     val stdoutLine = stages.find(_.length <= 1880)
       .getOrElse {
         val last = stages.last
@@ -171,7 +206,7 @@ object Bench {
           "after all compression stages — driver tail window may truncate it")
         last
       }
-    (stdoutLine, line(identity, v => v))
+    (stdoutLine, line(identity, v => v.toString, stObj(identity, _.toString)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -234,8 +269,16 @@ object Bench {
     val staging = Staging.buildTimes(spark).toVector
       .collect { case ((d, name), secs) if d == sfDir => name -> secs }
       .sortBy(_._1)
+    // a cached frame with no build time was found pre-built (shared
+    // session history): report it explicitly instead of omitting it, so
+    // the artifact always carries one line per staged frame (round-10
+    // directive #3)
+    val reused = (Staging.stagedNames(spark)
+      .collect { case (d, name) if d == sfDir => name }
+      -- staging.map(_._1)).toVector.sorted
 
-    val (stdoutLine, fileLine) = render(ts, errMap, sfDir, staging, Some(ambient))
+    val (stdoutLine, fileLine) =
+      render(ts, errMap, sfDir, staging, Some(ambient), reused)
     println(stdoutLine)
     Files.writeString(Paths.get("BENCH_RESULT.json"), fileLine + "\n")
     spark.stop()

@@ -38,8 +38,10 @@ object BucketedOps {
       .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
     graft.Staging.stage(s, dir, "bucketed_facts") {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_").toString
+      // shutdown-hook-cleaned scratch root: a multi-dir sweep session
+      // writes one lineitem+orders copy per (session, dir) — without
+      // cleanup those accumulate across runs (round-10 ADVICE)
+      val base = graft.Staging.scratchDir("graft_bucketed_")
       Tables(s, dir, "lineitem")
         .write.mode("overwrite").bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey").option("path", s"$base/lineitem")

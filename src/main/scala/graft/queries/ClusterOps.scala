@@ -17,9 +17,9 @@ import org.apache.spark.sql.expressions.Window
   * Exactness strategy: Lloyd on FLOATS is run-to-run nondeterministic on
   * a cluster (centroid means sum in partition order), so the refinement
   * runs on an integer lattice — embeddings quantized to
-  * `round(x*1024)+1024` (unit-norm input ⇒ components in ±0.5 ⇒ lattice
-  * values in [512,1536], nonnegative so truncating and floor division
-  * agree). Distances are exact: squared L2 via the dot-product identity
+  * `round(x*1024)+1024` (unit-norm input ⇒ components in [-1,1] ⇒
+  * lattice values in [0,2048], nonnegative so truncating and floor
+  * division agree). Distances are exact: squared L2 via the dot-product identity
   * `|q-c|² = q·q − 2q·c + c·c` over integer-valued doubles (max value
   * ~4.7e8 ≪ 2^53, so [[graft.functions.VecDot]] — codegen'd — is exact),
   * and centroid updates are exact long sums ([[graft.functions.VecSumAgg]])

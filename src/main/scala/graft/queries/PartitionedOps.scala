@@ -45,8 +45,9 @@ object PartitionedOps {
     */
   private def layoutPaths(s: SparkSession, dir: String): (String, String) = {
     graft.Staging.stage(s, dir, "partitioned_events") {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_part_events_").toString
+      // shutdown-hook-cleaned scratch root (round-10 ADVICE): one events
+      // copy per (session, dir) must not outlive the JVM
+      val base = graft.Staging.scratchDir("graft_part_events_")
       Tables(s, dir, "events")
         .withColumn("event_day", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_day").parquet(s"$base/fact")

@@ -72,18 +72,55 @@ class BenchSpec extends AnyFunSuite {
     assert(stdout.endsWith("\"sf\":\"sf\"}") && file.endsWith("\"sf\":\"sf\"}"))
   }
 
-  test("final compression stage drops staging from stdout rather than " +
-    "silently overflowing the driver's tail window") {
-    // sized so the digit-key stage still overflows WITH the bulky staging
-    // map but fits once stage 3 drops it: 150 queries + 40 staging entries
+  test("staging survives compression at the real registry shape " +
+    "(r10 regression: 144 queries dropped staging from the driver artifact)") {
+    // the exact r10 regime that produced "staging":{}: 144+ queries with
+    // the real 12-name staging namespace — the new ladder must keep one
+    // entry per staged frame in the STDOUT line (shortened names are
+    // fine). 152 queries = growth headroom past the current registry,
+    // with the registry's real mixed 2/3-digit key shape; past ~158 the
+    // ladder's documented fallback is the _sum collapse (next test).
+    val ts = (1 to 152).map(i => (f"q$i%02d_some_representative_query_name",
+      if (i % 10 == 0) 12.345678901 else 0.423456789)).toVector
+    val st = Vector("bucketed_facts", "cdc", "grams10", "grams3", "grams5",
+      "kmeans_assign", "log", "mh_pairs", "neardup_labels",
+      "partitioned_events", "pr_edges", "pr_nodes").map(_ -> 3.21098765)
+    val amb = Bench.Ambient(Seq(1.52, 0.98, 0.75), Seq(2.01, 1.2, 0.8), 0.07, 0.09)
+    val (stdout, file) = Bench.render(ts, Map.empty, "/root/testdata/sf0.1",
+      st, Some(amb))
+    assert(stdout.length <= 1880, s"stdout line too long: ${stdout.length}")
+    val stagingObj = stdout.split("\"staging\":")(1).takeWhile(_ != '}') + "}"
+    assert(stagingObj != "{}", "staging must never be empty in stdout")
+    // one entry per staged frame (12 colons inside the staging object)
+    assert(stagingObj.count(_ == ':') == 12, stagingObj)
+    assert(file.contains("\"bucketed_facts\":3.21098765"),
+      "file line must keep the full staging map")
+  }
+
+  test("last-resort compression collapses staging to a visible sum, " +
+    "never to an empty object") {
+    // 40 staging entries whose names only differ at the suffix defeat
+    // prefix shortening — the ladder must fall to {"_sum","_n"} and stay
+    // inside the tail window, with the full map preserved in the file line
     val ts = (1 to 150).map(i => (f"q$i%03d_some_representative_query_name",
       if (i % 10 == 0) 12.345678901 else 0.423456789)).toVector
     val st = (1 to 40).map(i => (s"staged_frame_with_a_long_name_$i", 3.21098765)).toVector
     val (stdout, file) = Bench.render(ts, Map.empty, "/root/testdata/sf0.1", st)
     assert(stdout.length <= 1880, s"stdout line too long: ${stdout.length}")
-    assert(stdout.contains("\"staging\":{}"), "stage 3 must empty the staging object")
+    assert(stdout.contains("\"staging\":{\"_sum\":128.44,\"_n\":40}"), stdout)
     assert(file.contains("\"staged_frame_with_a_long_name_1\":3.21098765"),
       "file line must keep the full staging map")
+  }
+
+  test("a pre-built staged frame renders as an explicit reused marker") {
+    val (stdout, file) = Bench.render(
+      Vector(("q01_a", 1.0)), Map.empty, "sf",
+      staging = Vector(("mh_pairs", 7.5)),
+      reusedStaging = Vector("grams3"))
+    for (line <- Seq(stdout, file)) {
+      assert(line.contains("\"mh_pairs\":7.5"), line)
+      assert(line.contains("\"grams3\":\"reused\""), line)
+    }
   }
 
   test("many long error messages cannot overflow the stdout line " +

@@ -39,6 +39,13 @@ class SkewOpsSpec extends SparkSpec {
     // visible as skew=true on the join node — with NO query rewrite.
     // Thresholds are tuned down so the 0.5 MB fixture trips the same
     // logic a 100 TB hot key would.
+    // SEQUENTIAL-EXECUTION ASSUMPTION: this block mutates global SQL
+    // confs on the JVM-shared session with restore-in-finally. Safe only
+    // because sbt runs forked test suites sequentially (no
+    // Test/testForkedParallel); enabling suite parallelism would flake
+    // other suites' plan assertions during the conf window — move these
+    // plan-assertion tests onto spark.newSession() first (same for
+    // BucketedOpsSpec).
     import spark.implicits._
     val conf = spark.conf
     val keys = Seq(

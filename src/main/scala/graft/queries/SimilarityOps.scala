@@ -240,6 +240,45 @@ object SimilarityOps {
     * keep-farthest-from-centroid is one ORDER BY away). The pair join
     * shuffles on cid and each cluster's pairwork is local.
     */
+  /** Runtime guard on the QUADRATIC SemDeDup member (q100, round-10
+    * VERDICT directive #5): fixed-K within-cluster all-pairs work is
+    * Σ n_c·(n_c−1)/2, which a collapsed/skewed clustering (or simply a
+    * bigger corpus under a FIXED K) detonates — measured 31.9 s on the
+    * x10sat collapse adversary while the skew-robust members stay flat.
+    * Before the pair join is handed downstream, one cheap aggregate job
+    * estimates the pairwork from the assignment; above the documented
+    * threshold (default 64 rescores per document ≈ the cost of a few
+    * extra assignment passes; the balanced sf0.1 corpus sits just below
+    * at ~62) the guard WARNS by default, pointing at the in-library
+    * scale paths (q131 corpus-scaled two-level K, q133 star form), and
+    * FAILS when `graft.semdedup.pairworkGuard=fail` — so a user reaching
+    * for the textbook-fidelity member at 100 TB is stopped before the
+    * cluster burns a day, not after. `off` skips the estimate entirely.
+    */
+  private def guardPairwork(s: SparkSession, assigned: DataFrame): Unit = {
+    val mode = s.conf.get("graft.semdedup.pairworkGuard", "warn")
+    if (mode == "off") return
+    val perDocCap = s.conf.get("graft.semdedup.maxPairworkPerDoc", "64").toLong
+    val row = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_total"),
+        (sum(col("n") * (col("n") - lit(1L))) / lit(2)).cast("long").as("pairwork"))
+      .collect()(0)
+    if (row.isNullAt(0) || row.getLong(0) == 0L) return // empty corpus
+    val (n, pairwork) = (row.getLong(0), row.getLong(1))
+    if (pairwork > perDocCap * n) {
+      val msg = s"q100_semantic_dedup pairwork guard: the fixed-K " +
+        s"assignment yields $pairwork within-cluster pairs over $n docs " +
+        s"(${pairwork / math.max(n, 1L)} per doc > threshold $perDocCap): " +
+        "a collapsed or skewed clustering makes this O(n_c^2) member " +
+        "quadratic. Use q131_semantic_dedup_scaledk (corpus-scaled " +
+        "two-level K) or q133_semantic_dedup_star (O(n_c) per cluster), " +
+        "or set graft.semdedup.maxPairworkPerDoc / " +
+        "graft.semdedup.pairworkGuard=off to proceed deliberately."
+      if (mode == "fail") throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARN $msg")
+    }
+  }
+
   private def semanticDedup(s: SparkSession, dir: String, centK: Long): DataFrame = {
     import graft.functions.VectorFns.cosine
     val base = vecs(s, dir)
@@ -252,6 +291,7 @@ object SimilarityOps {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
+    guardPairwork(s, assigned)
     semanticDedupRollup(assigned)
   }
 

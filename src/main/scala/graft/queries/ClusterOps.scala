@@ -104,6 +104,211 @@ object ClusterOps {
       .withColumn("cc", dot(col("cvd"), col("cvd")))
       .select(col("cid"), col("cvd"), col("cc"))
 
+  // ------------------------------------------------------------------
+  // Iterate-to-convergence Lloyd (q145, round-10 VERDICT directive #2).
+  //
+  // The two-round q141 stays as the family's pinned refinement; q145
+  // generalizes it with a movement-based stop. Loop shape, chosen for
+  // 100 TB: the model is ALWAYS a driver-side K-row literal, so each
+  // round is ONE corpus-scan job — an in-row argmin (array_sort over
+  // literal (dist, cid) structs, the StreamingCluster mechanism, same
+  // exact integer distances and tie rules as the window form) feeding a
+  // K-group aggregate that returns counts, exact inertia, movement vs
+  // the previous model, and VecSumAgg lattice sums in one pass. No
+  // round-over-round lineage growth (nothing iterates inside the plan),
+  // so no checkpoint dance; per-round cluster cost is a corpus scan +
+  // 2K codegen'd dot products per vector + K partial arrays per
+  // partition — the textbook distributed Lloyd profile.
+  //
+  // Replayability contract (what the oracle can follow): rounds run to
+  // a PINNED MaxRounds ceiling with an early stop at n_moved = 0, and
+  // convergence is a FIXED POINT of the deterministic lattice update
+  // (unchanged assignment ⇒ identical exact sums ⇒ identical centroids
+  // ⇒ identical next assignment), so "stop early at R" and "replay
+  // exactly MaxRounds rounds" produce the same assignment, inertia, and
+  // model — the DuckDB oracle unrolls MaxRounds rounds and recovers R
+  // as the first round whose movement count is zero. Non-convergence by
+  // MaxRounds fails LOUD (the ConnectedComponents discipline): a
+  // half-converged clustering silently shipped downstream is the
+  // corruption mode, not a slow answer.
+  // ------------------------------------------------------------------
+
+  /** Pinned round ceiling shared by the Spark loop and the unrolled
+    * oracle. Measured convergence-to-zero-movement on the driver corpora:
+    * R=10 (sf0.001, 500 vecs), 15 (sf0.01), 20 (sf0.1, 2000 vecs) — the
+    * round count grows roughly with log n, so the pin must scale with the
+    * corpus; 24 covers the driver corpora with headroom while keeping the
+    * oracle's unrolled CTE chain (cost linear in the pin, DuckDB
+    * expression depth ~7 CTEs/round) bounded. A bigger corpus that blows
+    * the ceiling fails LOUD by design — raise MaxRounds (the oracle
+    * unroll follows automatically) rather than shipping a half-converged
+    * clustering.
+    */
+  private[graft] val MaxRounds = 24
+
+  /** In-row nearest-centroid (dist, cid) struct against a LITERAL model
+    * — identical integer distances and (dist asc, cid asc) tie rule to
+    * [[assign]]'s window form, with zero shuffle: ascending struct sort
+    * IS the tie rule. Operates on the lattice frame's (qvd, qq).
+    */
+  private def argminStruct(m: Seq[(Long, Seq[Long])]): Column = {
+    require(m.nonEmpty, "ClusterOps: empty centroid model")
+    val arr = array(m.map { case (cid, cv) =>
+      val cvd = cv.map(_.toDouble)
+      val cc = cvd.map(x => x * x).sum // integer-valued doubles: exact
+      val dist = (col("qq") - lit(2.0) * dot(col("qvd"), typedLit(cvd))
+        + lit(cc)).cast("long")
+      struct(dist.as("d"), lit(cid).as("cid"))
+    }: _*)
+    element_at(array_sort(arr), 1)
+  }
+
+  /** One Lloyd round under model `m`: per-cluster (n, inertia, moved,
+    * exact lattice sums) from a single corpus-scan job. `prev` supplies
+    * the previous model for the movement count (round 1 counts every
+    * vector as moved).
+    */
+  private def roundStats(base: DataFrame, m: Seq[(Long, Seq[Long])],
+      prev: Option[Seq[(Long, Seq[Long])]])
+      : Seq[(Long, Long, Long, Long, Seq[Long])] = {
+    val vsum = udaf(graft.functions.VecSumAgg)
+    val cur = argminStruct(m)
+    val movedFlag = prev
+      .map(p => (cur.getField("cid") =!= argminStruct(p).getField("cid"))
+        .cast("long"))
+      .getOrElse(lit(1L))
+    base
+      .select(cur.getField("cid").as("cid"), cur.getField("d").as("dist"),
+        movedFlag.as("mv"), col("qv"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"),
+        sum(col("mv")).as("moved"), vsum(col("qv")).as("sv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4).toSeq))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Driver-side centroid update from a round's collected stats: exact
+    * long sums, floor division (values nonnegative, so Long `/` ≡ Spark
+    * `div` ≡ DuckDB `//`); empty clusters drop out.
+    */
+  private def updateLocal(
+      rows: Seq[(Long, Long, Long, Long, Seq[Long])]): Seq[(Long, Seq[Long])] =
+    rows.map { case (cid, n, _, _, sv) => cid -> sv.map(_ / n) }
+
+  private val convergedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])])]
+
+  /** Lloyd to convergence from the family's seeds: per-cluster
+    * (cid, n_members, inertia), the confirming round count R (first
+    * round whose assignment equals the previous round's), and the
+    * converged model. Fails loud past [[MaxRounds]].
+    */
+  private[graft] def convergedStats(s: SparkSession, dir: String,
+      maxRounds: Int = MaxRounds)
+      : (Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])]) =
+    convergedMemo.getOrElseUpdate((s, dir), {
+      val base = lattice(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seeds = base.filter(col("vec_id") < K)
+          .select(col("vec_id"), col("qv"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+          .toSeq.sortBy(_._1)
+        var m = seeds
+        var prev: Option[Seq[(Long, Seq[Long])]] = None
+        var result: Option[(Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])])] = None
+        var r = 0
+        while (result.isEmpty) {
+          r += 1
+          if (r > maxRounds)
+            throw new IllegalStateException(
+              s"q145_kmeans_converged: Lloyd did not converge within " +
+                s"$maxRounds rounds on $dir — refusing to ship a " +
+                "half-converged clustering (raise ClusterOps.MaxRounds " +
+                "and the oracle's unroll together, or inspect the corpus)")
+          val rows = roundStats(base, m, prev)
+          val moved = rows.map(_._4).sum
+          if (prev.nonEmpty && moved == 0L)
+            result = Some((rows.map(t => (t._1, t._2, t._3)), r, m))
+          else { prev = Some(m); m = updateLocal(rows) }
+        }
+        result.get
+      } finally base.unpersist()
+    })
+
+  /** The converged model — what a production deployment freezes and
+    * ships to ingest ([[graft.streaming.StreamingCluster]]).
+    */
+  private[graft] def convergedModel(
+      s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
+    convergedStats(s, dir)._3
+
+  /** Round N+1 centroids from a full corpus RESCAN under model `m` —
+    * the batch twin of `StreamingCluster.nextCentroids(updateState(...))`:
+    * the handoff spec asserts state-read ≡ corpus-rescan equality, which
+    * is what lets a streaming deployment run the next Lloyd round from
+    * accumulated state instead of re-scanning 100 TB.
+    */
+  private[graft] def nextModelFromRescan(s: SparkSession, dir: String,
+      m: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] =
+    updateLocal(roundStats(lattice(s, dir), m, None))
+
+  /** Oracle twin of [[convergedStats]]: `n` unrolled Lloyd rounds
+    * (assignment aN, per-round movement counts), convergence round =
+    * first r with zero movement. Post-convergence rounds are fixed-point
+    * no-ops, so round-n stats equal the Spark loop's early-stopped
+    * round-R stats.
+    */
+  private def convergedSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qn AS MATERIALIZED (SELECT vec_id,
+                      list_transform(v, x ->
+                        CAST(FLOOR(x * 1024 + 0.5) AS BIGINT) + 1024) AS qv
+               FROM e
+               WHERE len(v) = ${graft.functions.VectorFns.Dims}),
+        c1 AS (SELECT vec_id AS cid, qv AS cv FROM qn WHERE vec_id < $K)"""
+    for (r <- 1 to n) {
+      sb ++= s""",
+        d$r AS (SELECT qn.vec_id, qn.qv, c$r.cid,
+                      CAST(list_dot_product(qn.qv, qn.qv)
+                           - 2 * list_dot_product(qn.qv, c$r.cv)
+                           + list_dot_product(c$r.cv, c$r.cv) AS BIGINT) AS dist
+               FROM qn, c$r),
+        r$r AS (SELECT vec_id, qv, cid, dist,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cid) AS rn
+               FROM d$r),
+        a$r AS MATERIALIZED (SELECT vec_id, qv, cid, dist FROM r$r WHERE rn = 1)"""
+      if (r < n) sb ++= s""",
+        cnt$r AS (SELECT cid, COUNT(*) AS nn FROM a$r GROUP BY cid),
+        ux$r AS (SELECT cid, t.j, CAST(SUM(qv[t.j]) AS BIGINT) AS sx
+               FROM a$r, UNNEST(generate_series(1, len(qv))) AS t(j)
+               GROUP BY cid, t.j),
+        c${r + 1} AS (SELECT ux$r.cid,
+                      list(ux$r.sx // cnt$r.nn ORDER BY ux$r.j) AS cv
+               FROM ux$r JOIN cnt$r USING (cid) GROUP BY ux$r.cid)"""
+    }
+    for (r <- 2 to n) sb ++= s""",
+        mv$r AS (SELECT $r AS r, COUNT(*) AS mv
+                 FROM a$r JOIN a${r - 1} USING (vec_id)
+                 WHERE a$r.cid <> a${r - 1}.cid)"""
+    sb ++= s""",
+        moved AS (${(2 to n).map(r => s"SELECT r, mv FROM mv$r").mkString(" UNION ALL ")}),
+        conv AS (SELECT CAST(MIN(r) AS BIGINT) AS n_rounds
+                 FROM moved WHERE mv = 0)
+        SELECT a.cid, COUNT(*) AS n_members,
+               CAST(SUM(a.dist) AS BIGINT) AS inertia,
+               ANY_VALUE(conv.n_rounds) AS n_rounds
+        FROM a$n a, conv
+        GROUP BY a.cid"""
+    sb.toString
+  }
+
   /** Round-1 assignment against the family's deterministic first-K
     * seeds — the q46/q100 assignment, as the Lloyd starting point.
     */
@@ -250,5 +455,22 @@ object ClusterOps {
       "Cluster-balanced diversity sample: a deterministic hash-ranked " +
         "quota per refined cluster — the selection step a curation " +
         "pipeline runs on top of k-means (DCLM-style cluster-balanced " +
-        "sampling), sharing q141's staged assignment."))
+        "sampling), sharing q141's staged assignment."),
+
+    Q(
+      "q145_kmeans_converged",
+      (s, dir) => {
+        import s.implicits._
+        val (members, rounds, _) = convergedStats(s, dir)
+        members.toDF("cid", "n_members", "inertia")
+          .withColumn("n_rounds", lit(rounds.toLong))
+      },
+      Some(convergedSql(MaxRounds)),
+      "Lloyd iterated to CONVERGENCE (movement-based stop, fail-loud " +
+        s"ceiling at $MaxRounds rounds): per-cluster membership, exact " +
+        "integer inertia, and the confirming round count. One corpus-scan " +
+        "job per round against a driver-literal model (in-row argmin, no " +
+        "lineage growth); the fixed-point property of the deterministic " +
+        "lattice update is what lets the oracle replay a pinned round " +
+        "count and recover the same answer."))
 }

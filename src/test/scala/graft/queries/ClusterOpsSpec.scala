@@ -88,6 +88,52 @@ class ClusterOpsSpec extends SparkSpec {
     }
   }
 
+  test("q145: converged assignment is a fixed point; rounds within the " +
+    "pinned ceiling; membership partitions the corpus") {
+    val rows = graft.SparkEntry.queries("q145_kmeans_converged")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == corpus)
+    val nRounds = rows.map(_._4).distinct
+    assert(nRounds.length == 1)
+    assert(nRounds.head >= 2 && nRounds.head <= ClusterOps.MaxRounds)
+    // THE convergence assertion, corpus-independent: one more Lloyd round
+    // from the converged model is the identity — rescanning the corpus
+    // under it reproduces it exactly (zero movement ⇒ identical exact
+    // sums ⇒ identical floor-divided centroids)
+    val m = ClusterOps.convergedModel(spark, sfDir)
+    assert(ClusterOps.nextModelFromRescan(spark, sfDir, m) == m)
+    // and the confirming round count matches the q141 two-round prefix:
+    // convergence can never be earlier than round 2 unless the seeds were
+    // already stable, in which case q141's n_moved would be all-zero
+    val q141Moved = graft.SparkEntry.queries("q141_kmeans_refine")(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    if (q141Moved > 0) assert(nRounds.head > 2)
+  }
+
+  test("q145 fail-loud: a ceiling too low to confirm convergence throws " +
+    "instead of shipping a half-converged clustering") {
+    import spark.implicits._
+    // fresh un-memoized fixture: confirming stability needs >= 2 rounds,
+    // so maxRounds = 1 must always fail loud — on any corpus
+    val dim = graft.functions.VectorFns.Dims
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv_fail_").toString
+    (0L until 40L)
+      .map(i => (i, Seq.tabulate(dim)(d => (((i * 31 + d * 7) % 13).toInt - 6) / 6.0f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      ClusterOps.convergedStats(spark, dir, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    // the failed attempt must not poison the memo: a full-ceiling run on
+    // the same dir converges and caches normally
+    val (members, rounds, model) = ClusterOps.convergedStats(spark, dir)
+    assert(members.map(_._2).sum == 40L)
+    assert(rounds <= ClusterOps.MaxRounds)
+    assert(ClusterOps.nextModelFromRescan(spark, dir, model) == model)
+  }
+
   test("VecSumAgg: partition layout never changes the sum; drift raises") {
     import spark.implicits._
     val vsum = udaf(graft.functions.VecSumAgg)

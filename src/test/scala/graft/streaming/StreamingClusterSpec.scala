@@ -75,6 +75,49 @@ class StreamingClusterSpec extends SparkSpec {
       .collect().length == counts.size)
   }
 
+  test("round N+1 handoff: nextCentroids from streamed state equals a " +
+    "corpus rescan, and the converged model is its own fixed point") {
+    // the round-10 directive made explicit: the streamed update state IS
+    // round N+1's input — retraining must be a state read, not a 100 TB
+    // re-scan. Proven by equality, twice: (a) under the two-round q141
+    // model (where the next round genuinely moves centroids — equality
+    // is not vacuous), (b) under the q145 CONVERGED model, where the
+    // next round must reproduce the model exactly (fixed point).
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.ClusterOps
+    val corpus = graft.Tables(spark, sfDir, "embeddings")
+      .as[VecRow].collect().sortBy(_.vec_id)
+
+    def streamedNext(m: Seq[(Long, Seq[Long])], name: String): Seq[(Long, Seq[Long])] = {
+      val in = MemoryStream[VecRow]
+      val q = StreamingCluster.updateState(in.toDF(), m)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        corpus.grouped((corpus.length + 3) / 4).foreach { b =>
+          in.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      StreamingCluster.nextCentroids(spark.table(name))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+        .toSeq.sortBy(_._1)
+    }
+
+    // (a) refined (two-round) model: state-read round 3 ≡ rescan round 3
+    val m2 = StreamingCluster.model(spark, sfDir)
+    val next2 = streamedNext(m2, "handoff_refined")
+    assert(next2 == ClusterOps.nextModelFromRescan(spark, sfDir, m2))
+    assert(next2 != m2, "fixture lost its bite: round 3 moved nothing")
+
+    // (b) converged model: state-read round N+1 ≡ rescan ≡ the model
+    val mC = ClusterOps.convergedModel(spark, sfDir)
+    val nextC = streamedNext(mC, "handoff_converged")
+    assert(nextC == ClusterOps.nextModelFromRescan(spark, sfDir, mC))
+    assert(nextC == mC,
+      "converged model must be a fixed point of the streamed update")
+  }
+
   test("occupancy state survives a stop/restart from checkpoint exactly once") {
     import spark.implicits._
     val m = StreamingCluster.model(spark, sfDir)

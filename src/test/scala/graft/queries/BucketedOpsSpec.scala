@@ -43,4 +43,25 @@ class BucketedOpsSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("default configs at sf0.1: zero-exchange SMJ survives AQE and a " +
+    "broadcast-eligible small side (no config pinning)") {
+    // the round-10 directive's honest worry: the first leg pins confs to
+    // force the SMJ path, so it can't see an AQE interaction that only
+    // appears at defaults — coalescing, or AQE swapping a hinted SMJ for
+    // a broadcast join and silently reintroducing runtime exchanges on a
+    // path sold as exchange-free. This leg runs the PRODUCTION
+    // colocatedJoin (merge hint and all) at stock confs on sf0.1, where
+    // the orders side is comfortably broadcast-eligible.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "leg presumes default AQE")
+    val joined = BucketedOps.colocatedJoin(spark, "/root/testdata/sf0.1")
+    joined.collect() // finalize THIS QueryExecution's adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan"), plan)
+    assert(plan.contains("SortMergeJoin"),
+      s"AQE replaced the hinted bucket SMJ:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join shuffles (or broadcasts) under AQE defaults:\n$plan")
+  }
 }

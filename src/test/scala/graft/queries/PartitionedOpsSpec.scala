@@ -35,4 +35,20 @@ class PartitionedOpsSpec extends SparkSpec {
     assert(viaPartitions == plain && viaPartitions.nonEmpty,
       s"partitioned $viaPartitions vs plain $plain")
   }
+
+  test("DPP still fires inside a FINALIZED adaptive plan at sf0.1 " +
+    "(default confs, no pinning)") {
+    // round-10 directive: assert the pruning subquery survives AQE
+    // re-planning — on the finalized plan (isFinalPlan=true), not the
+    // initial one, and at the bench scale factor
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "leg presumes default AQE")
+    val joined = PartitionedOps.campaignJoin(spark, "/root/testdata/sf0.1")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan"), plan)
+    assert(plan.contains("isFinalPlan=true"), plan)
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP subquery in the finalized adaptive plan:\n$plan")
+  }
 }

@@ -208,8 +208,21 @@ object ClusterOps {
     */
   private[graft] def convergedStats(s: SparkSession, dir: String,
       maxRounds: Int = MaxRounds)
-      : (Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])]) =
-    convergedMemo.getOrElseUpdate((s, dir), {
+      : (Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])]) = {
+    // the loop rides Staging.stage with a marker frame (the
+    // bucketed_facts/partitioned_events pattern) so its one-time cost is
+    // an attributed `kmeans_converged` staging line in the bench artifact
+    // instead of hiding in whichever q145 sample runs first; the memo
+    // holds the actual result (bounded: K rows + a round count)
+    graft.Staging.stage(s, dir, "kmeans_converged") {
+      convergedMemo((s, dir)) = runLloydLoop(s, dir, maxRounds)
+      s.range(1).toDF("kmeans_converged_ready")
+    }
+    convergedMemo((s, dir))
+  }
+
+  private def runLloydLoop(s: SparkSession, dir: String, maxRounds: Int)
+      : (Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])]) = {
       val base = lattice(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -237,7 +250,7 @@ object ClusterOps {
         }
         result.get
       } finally base.unpersist()
-    })
+  }
 
   /** The converged model — what a production deployment freezes and
     * ships to ingest ([[graft.streaming.StreamingCluster]]).

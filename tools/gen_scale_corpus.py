@@ -183,6 +183,21 @@ def main():
     # every per-user window/sort/state op (q75/q88/q103/q104)
     write_events(f"{out}/x10sat/events.parquet", n_events * 10, ev_users)
 
+    # x100 (opt-in: --x100): one more Heaps-regime decade for the
+    # round-11 x100 legs — 100 shards / 500k docs, 500k embeddings, 2M
+    # events. Construction identical to x10 (vocab grows with corpus, df
+    # distribution constant), so exponents chain: x1 -> x10 -> x100.
+    if "--x100" in sys.argv:
+        rng = np.random.default_rng(42)
+        rows = []
+        for shard in range(100):
+            suffix = "" if shard == 0 else f"_s{shard}"
+            rows += gen_shard(rng, shard, per_shard, shard * per_shard, suffix)
+        os.makedirs(f"{out}/x100", exist_ok=True)
+        write(f"{out}/x100/documents.parquet", rows)
+        write_embeddings(f"{out}/x100/embeddings.parquet", per_shard * 100)
+        write_events(f"{out}/x100/events.parquet", n_events * 100, ev_users * 100)
+
 
 if __name__ == "__main__":
     main()

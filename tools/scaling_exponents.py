@@ -14,12 +14,13 @@ import sys
 rows = {}
 for path in sys.argv[1:]:
     for line in open(path):
-        m = re.match(r"^(q\d+\w*),(\S+?)(x1warm|x1|x10sat|x10),([\d.]+),([\d.]+)", line.strip())
+        m = re.match(r"^(q\d+\w*),(\S+?)(x1warm|x100|x10sat|x10|x1),([\d.]+),([\d.]+)", line.strip())
         if m:
             q, _, tag, cold, steady = m.groups()
             rows.setdefault(q, {})[tag] = (float(cold), float(steady))
 
-print(f"{'query':34} {'x1':>7} {'x10':>7} {'exp':>5} {'x10sat':>7} {'sat/x10':>7}")
+print(f"{'query':34} {'x1':>7} {'x10':>7} {'exp':>5} {'x10sat':>7} {'sat/x10':>7}"
+      f" {'x100':>8} {'exp100':>6}")
 for q in sorted(rows, key=lambda s: int(re.match(r"q(\d+)", s).group(1))):
     r = rows[q]
     if "x1" not in r or "x10" not in r:
@@ -31,6 +32,10 @@ for q in sorted(rows, key=lambda s: int(re.match(r"q(\d+)", s).group(1))):
     exp = math.log10(t10 / max(t1, 0.05))
     sat = r.get("x10sat", (None, None))[1]
     satr = f"{sat / t10:7.2f}" if sat else "      -"
-    flag = " <-- check" if exp >= 1.3 else ""
+    # second-decade exponent (x10 -> x100): confirms or breaks the first
+    t100 = r.get("x100", (None, None))[1]
+    e100 = f"{math.log10(t100 / max(t10, 0.05)):6.2f}" if t100 else "     -"
+    t100s = f"{t100:8.3f}" if t100 else "       -"
+    flag = " <-- check" if exp >= 1.3 or (t100 and math.log10(t100 / max(t10, 0.05)) >= 1.3) else ""
     print(f"{q:34} {t1:7.3f} {t10:7.3f} {exp:5.2f} "
-          f"{sat if sat else float('nan'):7.3f} {satr}{flag}")
+          f"{sat if sat else float('nan'):7.3f} {satr}{t100s} {e100}{flag}")

@@ -237,7 +237,9 @@ object Bench {
       // staged by the q36/q57 warmups above); q95 builds the PageRank
       // pr_nodes/pr_edges frames
       "q63_decontamination", "q96_repeated_ngram_dedup",
-      "q95_pagerank_neardup")
+      "q95_pagerank_neardup",
+      // q145 stages the kmeans_converged loop (the Lloyd iteration)
+      "q145_kmeans_converged")
     queries.filter(q => warmupNames(q._1)).foreach { case (_, fn) =>
       try once(fn) catch { case _: Throwable => () }
     }

@@ -1136,5 +1136,68 @@ object DedupOps {
       "Embedding near-dup cluster LABELS at linear cost: star-verified " +
         "LSH bucket edges (O(size) rescores per bucket) + large/small-star " +
         "CC contraction — the mass-duplication regime's replacement for " +
-        "pair emission (pipeline ops brief)."))
+        "pair emission (pipeline ops brief)."),
+
+    // --------------------------------------- post-dedup mixture accounting
+    Q(
+      "q147_post_dedup_mixture",
+      (s, dir) => {
+        // Dedup silently CHANGES the source mixture: near-dups concentrate
+        // in scraped/boilerplate-heavy sources, so the post-dedup token
+        // shares — what the trainer actually sees — drift from the raw
+        // shares the mixture weights were tuned on (q99's temperature
+        // sampling assumes it knows them). This operator recomputes the
+        // mixture over SURVIVING docs (q57's component-min representative
+        // rule; docs outside the candidate graph survive by definition)
+        // and reports per-source raw vs surviving docs/tokens plus the
+        // renormalized integer-ppm weight. One left join against the
+        // session-staged CC labels + one small rollup — the accounting
+        // step between dedup and mixture sampling. Scale shape: the only
+        // corpus-sized work is the labels join (shuffle on doc_id);
+        // the ppm renormalization runs on a ≤|sources| frame.
+        val reps = stagedLabels(s, dir)
+          .select(col("node").as("doc_id"), col("label").as("rep"))
+        val perSource = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+              .as("tok"))
+          .join(reps, Seq("doc_id"), "left_outer")
+          .withColumn("keep",
+            (col("rep").isNull || col("rep") === col("doc_id")).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("keep")).as("n_survivors"),
+            sum(col("tok")).as("tokens_total"),
+            sum(col("tok") * col("keep")).as("tokens_surviving"))
+        val total = perSource.agg(
+          sum(col("tokens_surviving")).as("t")).select(col("t"))
+        perSource.crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"), col("n_survivors"),
+            col("tokens_total"), col("tokens_surviving"),
+            expr("tokens_surviving * 1000000 div t").as("mix_ppm"))
+      },
+      Some(ccCte + """,
+        d AS (SELECT doc_id, source,
+                     CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+                       AS tok
+              FROM documents),
+        k AS (SELECT d.source, d.tok,
+                     CASE WHEN cc.cluster_rep IS NULL
+                            OR cc.cluster_rep = d.doc_id
+                          THEN 1 ELSE 0 END AS keep
+              FROM d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        ps AS (SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(keep) AS BIGINT) AS n_survivors,
+                      CAST(SUM(tok) AS BIGINT) AS tokens_total,
+                      CAST(SUM(tok * keep) AS BIGINT) AS tokens_surviving
+               FROM k GROUP BY source)
+        SELECT source, n_docs, n_survivors, tokens_total, tokens_surviving,
+               CAST(tokens_surviving * 1000000
+                    // SUM(tokens_surviving) OVER () AS BIGINT) AS mix_ppm
+        FROM ps"""),
+      "Post-dedup mixture accounting: per-source raw vs SURVIVING " +
+        "docs/tokens under the near-dup representative rule, with " +
+        "renormalized integer-ppm mixture weights — dedup changes the " +
+        "mixture the trainer sees; this is the step that re-measures it " +
+        "(pipeline ops brief)."))
 }

@@ -1631,5 +1631,73 @@ object Extras {
         "event_type): 4Ki-bucket occupancy bitmaps, OR-mergeable across " +
         "shards and windows, exact distinct + error ppm riding along — " +
         "the streaming-dashboard DAU shape " +
-        "(pipeline ops brief: sketches)."))
+        "(pipeline ops brief: sketches)."),
+
+    // ------------------------------------ epoch-shuffled sequence packing
+    Q(
+      "q146_epoch_shuffle_pack",
+      (s, dir) => {
+        import graft.operators.RangeOps
+        import graft.functions.TextFns.hash32
+        // q87 packs in doc_id order; a real pretraining run packs in a
+        // SHUFFLED order, re-shuffled every epoch. The permutation is a
+        // seeded hash sort — deterministic pseudo-random, replayable
+        // months later (the q58/q142 sampling contract) — and the only
+        // global total-order sort a pretraining pipeline should pay per
+        // epoch. Scale shape: the hash is uniform by construction, so the
+        // two-pass globalRowNumber (range buckets → broadcast offsets →
+        // bucket-local rank) never sees a skewed range, and each epoch is
+        // an independent plan — epochs parallelize trivially. The pack
+        // manifest (which docs start in which 512-token window, at which
+        // global position) is exactly what a trainer's data loader
+        // prefetches by.
+        val C = 512L
+        val base = Tables(s, dir, "documents").select(col("doc_id"),
+          coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+            .as("tok"))
+        Seq(1L, 2L).map { ep =>
+          val hashed = base.withColumn("hv",
+            hash32(concat_ws(":", lit(ep), col("doc_id"))))
+          val (ranked, _) =
+            RangeOps.globalRowNumber(hashed, "hv", "doc_id", "pos")
+          RangeOps.runningSum(
+              ranked.select(col("pos"), col("tok")), "pos", "tok", "cum")
+            .withColumn("epoch", lit(ep))
+        }.reduce(_ unionByName _)
+          .withColumn("bin", floor((col("cum") - col("tok")) / C))
+          .groupBy(col("epoch"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("tokens_started"),
+            min(col("pos")).as("first_pos"),
+            max(col("pos")).as("last_pos"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS tok
+          FROM documents),
+        ep AS (SELECT CAST(1 AS BIGINT) AS epoch
+               UNION ALL SELECT CAST(2 AS BIGINT)),
+        h AS (SELECT ep.epoch, t.doc_id, t.tok,
+                     CAST(('0x' || substr(md5(ep.epoch || ':' || t.doc_id),
+                                          1, 8)) AS BIGINT) AS hv
+              FROM ep, t),
+        r AS (SELECT epoch, doc_id, tok, hv,
+                     row_number() OVER (PARTITION BY epoch
+                       ORDER BY hv, doc_id) AS pos
+              FROM h),
+        c AS (SELECT epoch, pos, tok,
+                     SUM(tok) OVER (PARTITION BY epoch ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM r)
+        SELECT epoch, CAST(FLOOR((cum - tok) / 512.0) AS BIGINT) AS bin,
+               COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens_started,
+               CAST(MIN(pos) AS BIGINT) AS first_pos,
+               CAST(MAX(pos) AS BIGINT) AS last_pos
+        FROM c GROUP BY 1, 2"""),
+      "Epoch-shuffled sequence packing: seeded-hash global permutation " +
+        "per epoch (deterministic pseudo-random, two-pass distributed " +
+        "rank — no single-task sort) + prefix-sum packing into 512-token " +
+        "windows — the shuffle-then-pack manifest a trainer's data " +
+        "loader consumes, replayable per epoch (pipeline ops brief)."))
 }

@@ -148,22 +148,32 @@ object ClusterOps {
     */
   private[graft] val MaxRounds = 32
 
-  /** In-row nearest-centroid (dist, cid) struct against a LITERAL model
-    * — identical integer distances and (dist asc, cid asc) tie rule to
+  /** In-row nearest-centroid (d, cid) struct against a LITERAL model —
+    * identical integer distances and (dist asc, cid asc) tie rule to
     * [[assign]]'s window form, with zero shuffle: ascending struct sort
-    * IS the tie rule. Operates on the lattice frame's (qvd, qq).
+    * IS the tie rule. THE single home of the lattice argmin arithmetic:
+    * the batch convergence loop ([[argminStruct]]) and the streaming
+    * in-row assignment ([[graft.streaming.StreamingCluster.assignCol]])
+    * both call it, so the streamed ≡ batch ≡ loop equivalence proofs can
+    * never diverge via a one-sided edit (review-pass finding: the round's
+    * first cut re-implemented this in a third place).
     */
-  private def argminStruct(m: Seq[(Long, Seq[Long])]): Column = {
+  private[graft] def nearestStruct(qvd: Column, qq: Column,
+      m: Seq[(Long, Seq[Long])]): Column = {
     require(m.nonEmpty, "ClusterOps: empty centroid model")
     val arr = array(m.map { case (cid, cv) =>
       val cvd = cv.map(_.toDouble)
       val cc = cvd.map(x => x * x).sum // integer-valued doubles: exact
-      val dist = (col("qq") - lit(2.0) * dot(col("qvd"), typedLit(cvd))
+      val dist = (qq - lit(2.0) * dot(qvd, typedLit(cvd))
         + lit(cc)).cast("long")
       struct(dist.as("d"), lit(cid).as("cid"))
     }: _*)
     element_at(array_sort(arr), 1)
   }
+
+  /** [[nearestStruct]] over the lattice frame's (qvd, qq) columns. */
+  private def argminStruct(m: Seq[(Long, Seq[Long])]): Column =
+    nearestStruct(col("qvd"), col("qq"), m)
 
   /** One Lloyd round under model `m`: per-cluster (n, inertia, moved,
     * exact lattice sums) from a single corpus-scan job. `prev` supplies
@@ -211,16 +221,23 @@ object ClusterOps {
   private[graft] def convergedStats(s: SparkSession, dir: String,
       maxRounds: Int = MaxRounds)
       : (Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])]) = {
-    // the loop rides Staging.stage with a marker frame (the
-    // bucketed_facts/partitioned_events pattern) so its one-time cost is
-    // an attributed `kmeans_converged` staging line in the bench artifact
-    // instead of hiding in whichever q145 sample runs first; the memo
-    // holds the actual result (bounded: K rows + a round count)
-    graft.Staging.stage(s, dir, "kmeans_converged") {
-      convergedMemo((s, dir)) = runLloydLoop(s, dir, maxRounds)
-      s.range(1).toDF("kmeans_converged_ready")
+    // a non-default ceiling bypasses the memo AND the staging cache —
+    // otherwise a memoized full-ceiling result would silently ignore the
+    // requested maxRounds (review-pass finding; the fail-loud spec only
+    // worked on fresh dirs)
+    if (maxRounds != MaxRounds) runLloydLoop(s, dir, maxRounds)
+    else {
+      // the loop rides Staging.stage with a marker frame (the
+      // bucketed_facts/partitioned_events pattern) so its one-time cost is
+      // an attributed `kmeans_converged` staging line in the bench artifact
+      // instead of hiding in whichever q145 sample runs first; the memo
+      // holds the actual result (bounded: K rows + a round count)
+      graft.Staging.stage(s, dir, "kmeans_converged") {
+        convergedMemo((s, dir)) = runLloydLoop(s, dir, maxRounds)
+        s.range(1).toDF("kmeans_converged_ready")
+      }
+      convergedMemo((s, dir))
     }
-    convergedMemo((s, dir))
   }
 
   private def runLloydLoop(s: SparkSession, dir: String, maxRounds: Int)

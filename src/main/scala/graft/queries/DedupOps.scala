@@ -1171,10 +1171,16 @@ object DedupOps {
             sum(col("tok") * col("keep")).as("tokens_surviving"))
         val total = perSource.agg(
           sum(col("tokens_surviving")).as("t")).select(col("t"))
+        // ppm in DECIMAL(38,0): a source past ~9.2e12 surviving tokens
+        // (a 100 TB-corpus share) would wrap tokens_surviving * 1e6 in
+        // Long — Spark wraps silently while DuckDB errors, so the Long
+        // form both corrupts and diverges (review-pass finding); the
+        // decimal div is exact and floors like both engines' integer div
         perSource.crossJoin(broadcast(total))
           .select(col("source"), col("n_docs"), col("n_survivors"),
             col("tokens_total"), col("tokens_surviving"),
-            expr("tokens_surviving * 1000000 div t").as("mix_ppm"))
+            expr("CAST((CAST(tokens_surviving AS DECIMAL(38,0)) * 1000000)" +
+              " div t AS BIGINT)").as("mix_ppm"))
       },
       Some(ccCte + """,
         d AS (SELECT doc_id, source,
@@ -1192,7 +1198,7 @@ object DedupOps {
                       CAST(SUM(tok * keep) AS BIGINT) AS tokens_surviving
                FROM k GROUP BY source)
         SELECT source, n_docs, n_survivors, tokens_total, tokens_surviving,
-               CAST(tokens_surviving * 1000000
+               CAST(CAST(tokens_surviving AS HUGEINT) * 1000000
                     // SUM(tokens_surviving) OVER () AS BIGINT) AS mix_ppm
         FROM ps"""),
       "Post-dedup mixture accounting: per-source raw vs SURVIVING " +

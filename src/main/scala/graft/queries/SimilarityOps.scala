@@ -259,16 +259,22 @@ object SimilarityOps {
     val mode = s.conf.get("graft.semdedup.pairworkGuard", "warn")
     if (mode == "off") return
     val perDocCap = s.conf.get("graft.semdedup.maxPairworkPerDoc", "64").toLong
+    // the estimate runs in DOUBLE: a cluster past ~3e9 members would wrap
+    // n*(n-1) in Long and silently DISARM the guard in exactly the
+    // collapsed-at-scale regime it exists to stop (review-pass finding);
+    // the guard needs magnitude, not exactness
     val row = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")).as("n_total"),
-        (sum(col("n") * (col("n") - lit(1L))) / lit(2)).cast("long").as("pairwork"))
+        (sum(col("n").cast("double") * (col("n") - lit(1L))) / lit(2.0))
+          .as("pairwork"))
       .collect()(0)
     if (row.isNullAt(0) || row.getLong(0) == 0L) return // empty corpus
-    val (n, pairwork) = (row.getLong(0), row.getLong(1))
-    if (pairwork > perDocCap * n) {
+    val (n, pairwork) = (row.getLong(0), row.getDouble(1))
+    if (pairwork > perDocCap.toDouble * n) {
       val msg = s"q100_semantic_dedup pairwork guard: the fixed-K " +
-        s"assignment yields $pairwork within-cluster pairs over $n docs " +
-        s"(${pairwork / math.max(n, 1L)} per doc > threshold $perDocCap): " +
+        s"assignment yields ~${pairwork.toLong} within-cluster pairs " +
+        s"over $n docs " +
+        s"(${(pairwork / n).toLong} per doc > threshold $perDocCap): " +
         "a collapsed or skewed clustering makes this O(n_c^2) member " +
         "quadratic. Use q131_semantic_dedup_scaledk (corpus-scaled " +
         "two-level K) or q133_semantic_dedup_star (O(n_c) per cluster), " +
@@ -281,16 +287,25 @@ object SimilarityOps {
 
   private def semanticDedup(s: SparkSession, dir: String, centK: Long): DataFrame = {
     import graft.functions.VectorFns.cosine
-    val base = vecs(s, dir)
-    val centroids = broadcast(base.filter(col("vec_id") < centK)
-      .select(col("vec_id").as("cid"), col("v").as("cv")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").desc, col("cid"))
-    val assigned = base.crossJoin(centroids)
-      .withColumn("cdist", cosine(col("v"), col("cv")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+    // the assignment is session-staged so the guard's pre-flight estimate
+    // and the pair-join rollup share ONE materialization (review-pass
+    // finding: the unstaged form re-ran the crossJoin+window for the
+    // guard, doubling q100's per-call cost); the staged frame is also the
+    // honest accounting — the bench reports its build as a line item
+    // the staging key carries centK so a future second caller with a
+    // different K can never silently share q100's K=16 frame
+    val assigned = graft.Staging.stage(s, dir, s"semdedup_assign_k$centK") {
+      val base = vecs(s, dir)
+      val centroids = broadcast(base.filter(col("vec_id") < centK)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist").desc, col("cid"))
+      base.crossJoin(centroids)
+        .withColumn("cdist", cosine(col("v"), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+    }
     guardPairwork(s, assigned)
     semanticDedupRollup(assigned)
   }

@@ -42,19 +42,15 @@ object StreamingCluster {
     * ([[wellFormed]]) — the batch lattice contract.
     */
   def assignCol(embCol: Column, m: Seq[(Long, Seq[Long])]): Column = {
-    require(m.nonEmpty, "StreamingCluster: empty centroid model")
+    // the struct-array argmin arithmetic lives in ONE place —
+    // ClusterOps.nearestStruct — shared with the batch convergence loop,
+    // so a tie-rule or lattice edit can never diverge the streamed ≡
+    // batch equivalence one-sidedly
     val qvd = transform(
       ClusterOps.quant(StreamingAnn.toDouble(embCol)),
       x => x.cast("double"))
     val qq = VectorFns.dot(qvd, qvd)
-    val arr = array(m.map { case (cid, cv) =>
-      val cvd = cv.map(_.toDouble)
-      val cc = cvd.map(x => x * x).sum
-      val dist = (qq - lit(2.0) * VectorFns.dot(qvd, typedLit(cvd)) + lit(cc))
-        .cast("long")
-      struct(dist.as("d"), lit(cid).as("cid"))
-    }: _*)
-    element_at(array_sort(arr), 1).getField("cid")
+    ClusterOps.nearestStruct(qvd, qq, m).getField("cid")
   }
 
   /** The batch lattice's well-formed rule, as a streaming-legal filter. */

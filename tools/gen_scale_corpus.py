@@ -137,7 +137,10 @@ def write_events(path, n, n_users, seed=11):
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_docs"
+    # flags are not positional: `gen_scale_corpus.py --x100` must not
+    # write the corpora under a directory literally named "--x100"
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = positional[0] if positional else "/tmp/scale_docs"
     per_shard = 5000
     n_events = 20000
     ev_users = 300

@@ -83,16 +83,17 @@ class BenchSpec extends AnyFunSuite {
     val ts = (1 to 152).map(i => (f"q$i%02d_some_representative_query_name",
       if (i % 10 == 0) 12.345678901 else 0.423456789)).toVector
     val st = Vector("bucketed_facts", "cdc", "grams10", "grams3", "grams5",
-      "kmeans_assign", "log", "mh_pairs", "neardup_labels",
-      "partitioned_events", "pr_edges", "pr_nodes").map(_ -> 3.21098765)
+      "kmeans_assign", "kmeans_converged", "log", "mh_pairs",
+      "neardup_labels", "partitioned_events", "pr_edges", "pr_nodes",
+      "semdedup_assign_k16").map(_ -> 3.21098765)
     val amb = Bench.Ambient(Seq(1.52, 0.98, 0.75), Seq(2.01, 1.2, 0.8), 0.07, 0.09)
     val (stdout, file) = Bench.render(ts, Map.empty, "/root/testdata/sf0.1",
       st, Some(amb))
     assert(stdout.length <= 1880, s"stdout line too long: ${stdout.length}")
     val stagingObj = stdout.split("\"staging\":")(1).takeWhile(_ != '}') + "}"
     assert(stagingObj != "{}", "staging must never be empty in stdout")
-    // one entry per staged frame (12 colons inside the staging object)
-    assert(stagingObj.count(_ == ':') == 12, stagingObj)
+    // one entry per staged frame (14 colons inside the staging object)
+    assert(stagingObj.count(_ == ':') == 14, stagingObj)
     assert(file.contains("\"bucketed_facts\":3.21098765"),
       "file line must keep the full staging map")
   }

@@ -139,11 +139,14 @@ object Bench {
       (built ++ reused).mkString("{", ",", "}")
     }
     // absolute last resort, when even shortened per-entry staging can't
-    // fit: total build seconds + entry count — amortized cost stays
+    // fit: total build seconds + entry counts — amortized cost stays
     // visible in the artifact even if per-frame attribution moves to the
-    // file line only
+    // file line only. Built and reused counts are SEPARATE fields: _sum
+    // covers only built frames, so folding reused entries into one count
+    // would make _sum/_n read as a per-frame cost that matches neither
+    // set (review-pass finding).
     def stSum: String =
-      s"""{"_sum":${ms(staging.map(_._2).sum)},"_n":${staging.size + reusedStaging.size}}"""
+      s"""{"_sum":${ms(staging.map(_._2).sum)},"_n":${staging.size},"_reused":${reusedStaging.size}}"""
     val total = ts.map(_._2).sum
     // Error bodies are the one unbounded input to the stdout line: ten
     // ~190-char exceptions overflowed every compression stage in r08 and

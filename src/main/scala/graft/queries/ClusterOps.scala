@@ -117,8 +117,12 @@ object ClusterOps {
   // the previous model, and VecSumAgg lattice sums in one pass. No
   // round-over-round lineage growth (nothing iterates inside the plan),
   // so no checkpoint dance; per-round cluster cost is a corpus scan +
-  // 2K codegen'd dot products per vector + K partial arrays per
-  // partition — the textbook distributed Lloyd profile.
+  // 2K codegen'd dot products per vector for the assignment PLUS the
+  // same again for the movement check against the previous model (4K
+  // total on rounds ≥ 2 — the honest contract; movement detection is
+  // what buys the early stop) + K partial arrays per partition — the
+  // textbook distributed Lloyd profile at twice the single-assignment
+  // constant.
   //
   // Replayability contract (what the oracle can follow): rounds run to
   // a PINNED MaxRounds ceiling with an early stop at n_moved = 0, and
@@ -249,6 +253,12 @@ object ClusterOps {
           .select(col("vec_id"), col("qv"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
           .toSeq.sortBy(_._1)
+        // an all-dirty corpus (no well-formed seed vectors) clusters
+        // nothing: empty stats, matching the oracle's empty result set —
+        // not a generic require() crash from nearestStruct (review-pass
+        // finding; the dirty-embeddings specs model exactly this regime)
+        if (seeds.isEmpty)
+          return (Seq.empty, 0, Seq.empty)
         var m = seeds
         var prev: Option[Seq[(Long, Seq[Long])]] = None
         var result: Option[(Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])])] = None

@@ -108,7 +108,7 @@ class BenchSpec extends AnyFunSuite {
     val st = (1 to 40).map(i => (s"staged_frame_with_a_long_name_$i", 3.21098765)).toVector
     val (stdout, file) = Bench.render(ts, Map.empty, "/root/testdata/sf0.1", st)
     assert(stdout.length <= 1880, s"stdout line too long: ${stdout.length}")
-    assert(stdout.contains("\"staging\":{\"_sum\":128.44,\"_n\":40}"), stdout)
+    assert(stdout.contains("\"staging\":{\"_sum\":128.44,\"_n\":40,\"_reused\":0}"), stdout)
     assert(file.contains("\"staged_frame_with_a_long_name_1\":3.21098765"),
       "file line must keep the full staging map")
   }

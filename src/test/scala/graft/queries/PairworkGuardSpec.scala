@@ -35,47 +35,48 @@ class PairworkGuardSpec extends SparkSpec {
     dir
   }
 
-  private def runQ100(dir: String): Unit =
-    graft.SparkEntry.queries("q100_semantic_dedup")(spark, dir)
+  // Conf-mutating legs run on an ISOLATED session (spark.newSession():
+  // shared SparkContext, private SQLConf) — the fix the SkewOpsSpec
+  // sequential-execution note prescribes, applied here from the start so
+  // enabling suite parallelism can never leak fail-mode into another
+  // suite's q100 run. Staging keys on the session, so the isolated
+  // session builds its own (tiny) staged assignment.
+  private def runQ100(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.SparkEntry.queries("q100_semantic_dedup")(s, dir)
       .collect()
 
   test("fail mode stops the quadratic member on the collapse fixture, " +
     "pointing at the scale-path members") {
-    spark.conf.set("graft.semdedup.pairworkGuard", "fail")
-    try {
-      val e = intercept[IllegalStateException] { runQ100(collapseDir) }
-      assert(e.getMessage.contains("q131"), e.getMessage)
-      assert(e.getMessage.contains("q133"), e.getMessage)
-      assert(e.getMessage.contains("per doc"), e.getMessage)
-    } finally spark.conf.unset("graft.semdedup.pairworkGuard")
+    val s = spark.newSession()
+    s.conf.set("graft.semdedup.pairworkGuard", "fail")
+    val e = intercept[IllegalStateException] { runQ100(s, collapseDir) }
+    assert(e.getMessage.contains("q131"), e.getMessage)
+    assert(e.getMessage.contains("q133"), e.getMessage)
+    assert(e.getMessage.contains("per doc"), e.getMessage)
   }
 
   test("default mode only warns: the collapse fixture still computes") {
     // default = warn: the guard must never change results or crash the
     // textbook member — it makes the cost visible and names the exits
-    runQ100(collapseDir)
+    runQ100(spark, collapseDir)
   }
 
   test("a balanced corpus passes the guard even in fail mode") {
     // sf0.001: 500 embeddings over 16 clusters ≈ 15.6 pairs/doc — well
     // under the threshold; the guard must not fire on healthy shapes
-    spark.conf.set("graft.semdedup.pairworkGuard", "fail")
-    try runQ100("/root/testdata/sf0.001")
-    finally spark.conf.unset("graft.semdedup.pairworkGuard")
+    val s = spark.newSession()
+    s.conf.set("graft.semdedup.pairworkGuard", "fail")
+    runQ100(s, "/root/testdata/sf0.001")
   }
 
   test("the threshold is conf-tunable and off disables the estimate") {
     // a deliberately tiny threshold trips even the balanced corpus...
-    spark.conf.set("graft.semdedup.pairworkGuard", "fail")
-    spark.conf.set("graft.semdedup.maxPairworkPerDoc", "1")
-    try {
-      intercept[IllegalStateException] { runQ100("/root/testdata/sf0.001") }
-      // ...and off bypasses the guard entirely, threshold notwithstanding
-      spark.conf.set("graft.semdedup.pairworkGuard", "off")
-      runQ100("/root/testdata/sf0.001")
-    } finally {
-      spark.conf.unset("graft.semdedup.pairworkGuard")
-      spark.conf.unset("graft.semdedup.maxPairworkPerDoc")
-    }
+    val s = spark.newSession()
+    s.conf.set("graft.semdedup.pairworkGuard", "fail")
+    s.conf.set("graft.semdedup.maxPairworkPerDoc", "1")
+    intercept[IllegalStateException] { runQ100(s, "/root/testdata/sf0.001") }
+    // ...and off bypasses the guard entirely, threshold notwithstanding
+    s.conf.set("graft.semdedup.pairworkGuard", "off")
+    runQ100(s, "/root/testdata/sf0.001")
   }
 }

@@ -51,7 +51,14 @@ object ScalingBench {
     "q75_event_gap_stats", "q88_event_debounce", "q89_scd2_history",
     "q92_funnel_conversion", "q103_last_touch_attribution",
     "q104_transition_matrix", "q111_snapshot_diff", "q113_lateness_audit",
-    "q140_windowed_distinct_sketch")
+    "q140_windowed_distinct_sketch",
+    // round-11 additions: the epoch-shuffle pack (two global sorts per
+    // epoch — the one n log n member) and the post-dedup mixture (rides
+    // the staged CC labels). q145 is NOT here: its convergence round
+    // count grows with the corpus and the pinned MaxRounds ceiling is
+    // sized for the driver corpora — on a 50k+ scale corpus it fails
+    // loud BY DESIGN (raise the pin to measure it).
+    "q146_epoch_shuffle_pack", "q147_post_dedup_mixture")
 
   def main(args: Array[String]): Unit = {
     val (flagArgs, dirs) = args.partition(_.startsWith("-q"))

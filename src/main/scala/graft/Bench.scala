@@ -223,6 +223,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Harness sessions fail LOUD on the q100 pairwork guard (round-11
+    // directive #6): in a batch-log context a warning line is a silent
+    // 900 s quadratic at 100 TB scale, and an errored query is a visible
+    // artifact entry. Ad-hoc sessions keep SimilarityOps' warn default;
+    // SPARK_GRAFT_PAIRWORK_GUARD overrides for a deliberate adversary
+    // measurement (the x10sat collapse leg).
+    spark.conf.set("graft.semdedup.pairworkGuard",
+      sys.env.getOrElse("SPARK_GRAFT_PAIRWORK_GUARD", "fail"))
 
     // Snapshot of staged state BEFORE this run touches anything: frames
     // already cached or timed now were paid by earlier session activity,

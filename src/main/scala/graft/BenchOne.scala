@@ -55,6 +55,11 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail-loud pairwork guard, like Bench/ScalingBench (round-11
+    // directive #6) — BenchOne reproduces Bench's session conditions, so
+    // it must reproduce its guard mode too; same env override
+    spark.conf.set("graft.semdedup.pairworkGuard",
+      sys.env.getOrElse("SPARK_GRAFT_PAIRWORK_GUARD", "fail"))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val samples = (1 to repeats).map { _ =>

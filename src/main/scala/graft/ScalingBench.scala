@@ -88,6 +88,11 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail-loud pairwork guard in harness sessions (round-11 directive
+    // #6); override with SPARK_GRAFT_PAIRWORK_GUARD=warn to measure the
+    // x10sat collapse adversary deliberately (PERF.md's q100 leg)
+    spark.conf.set("graft.semdedup.pairworkGuard",
+      sys.env.getOrElse("SPARK_GRAFT_PAIRWORK_GUARD", "fail"))
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -42,6 +42,30 @@ object Tables {
     normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
+  /** [[apply]] with a parallelism floor — the entry scan for an expensive
+    * STAGED build (gram explodes, envelope parses, the Lloyd lattice).
+    *
+    * Why it exists: a parquet file cannot split below row-group
+    * granularity, and the driver testdata is written as ONE row group per
+    * table — so the scan plans one task and every narrow transform
+    * downstream (tokenize/ngram/hash/quantize) serializes on a single
+    * core no matter how many the box has (round-11 PERF note: cold
+    * grams3 at x100 was 182 s of single-thread work on 32 cores). On any
+    * production layout (many files / many row groups) the scan already
+    * yields >= the parallelism floor and this is a PASSTHROUGH — no
+    * shuffle is ever added at real scale; below the floor it pays one
+    * round-robin shuffle of the raw rows, which the one-time staged
+    * build amortizes immediately by unlocking every core for the
+    * expensive per-row work. Row order changes under round-robin, so
+    * this is restricted to order-insensitive consumers — every staged
+    * build qualifies (groupBy/explode/agg semantics).
+    */
+  def parallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    val floor = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+  }
+
   /** Session preconditions for reading the testdata tables, shared by the
     * batch loader and the streaming file source. `nanosAsLong` is set
     * (runtime-settable, idempotent — without it a NANOS-encoded events

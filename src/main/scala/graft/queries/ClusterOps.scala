@@ -20,8 +20,9 @@ import org.apache.spark.sql.expressions.Window
   * `round(x*1024)+1024` (unit-norm input ⇒ components in [-1,1] ⇒
   * lattice values in [0,2048], nonnegative so truncating and floor
   * division agree). Distances are exact: squared L2 via the dot-product identity
-  * `|q-c|² = q·q − 2q·c + c·c` over integer-valued doubles (max value
-  * ~4.7e8 ≪ 2^53, so [[graft.functions.VecDot]] — codegen'd — is exact),
+  * `|q-c|² = q·q − 2q·c + c·c` over integer-valued doubles (the 2q·c term
+  * dominates at ~5.4e8 = 2·Dims·2048² with Dims=64, ≪ 2^53, so
+  * [[graft.functions.VecDot]] — codegen'd — is exact),
   * and centroid updates are exact long sums ([[graft.functions.VecSumAgg]])
   * followed by floor division. Result: bit-identical across engines,
   * partition counts, and merge orders — the property that makes the
@@ -52,9 +53,6 @@ object ClusterOps {
   private val K = 16
   private val Quota = 8
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.vecs(s, dir)
-
   import graft.functions.VectorFns.dot
 
   /** Quantize a double vector onto the nonnegative integer lattice:
@@ -76,7 +74,12 @@ object ClusterOps {
     * exactly the corruption the dirty-index specs exist to forbid.
     */
   private def lattice(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir)
+    // parallelism-floored scan: every lattice consumer is a staged build
+    // or the Lloyd loop's persisted base — per-round cost is 2K codegen'd
+    // dot products per vector, which must use all cores even when the
+    // embeddings file is a single row group (Tables.parallel passthrough
+    // on production layouts)
+    SimilarityOps.vecsParallel(s, dir)
       .select(col("vec_id"), quant(col("v")).as("qv"))
       .filter(size(col("qv")) === graft.functions.VectorFns.Dims)
       .withColumn("qvd", transform(col("qv"), x => x.cast("double")))
@@ -244,41 +247,74 @@ object ClusterOps {
     }
   }
 
+  private def notConverged(maxRounds: Int, dir: String): Nothing =
+    throw new IllegalStateException(
+      s"q145_kmeans_converged: Lloyd did not converge within " +
+        s"$maxRounds rounds on $dir — refusing to ship a " +
+        "half-converged clustering (raise ClusterOps.MaxRounds " +
+        "and the oracle's unroll together, or inspect the corpus)")
+
+  /** WARM START (round-11 directive #2): rounds 1–2 of the trajectory are
+    * exactly q141's staged two-round refinement, whose frame now carries
+    * `qv`. Two small aggregates over that frame recover (a) the round-2
+    * per-cluster stats and movement (cid vs cid0 — a2 vs a1 by
+    * construction), (b) the round-1 model m1 (floor-mean of qv by cid0),
+    * and (c) the round-2 model m2 (floor-mean by cid) — so the
+    * convergence loop pays ZERO corpus argmin scans for its first two
+    * rounds and enters at round 3. When q141/q142 already ran in the
+    * session the staged frame is free and the `kmeans_converged` staging
+    * line shrinks by two rounds' scans; cold, the rounds-1–2 work is
+    * attributed to the `kmeans_assign` line it genuinely belongs to
+    * (Staging's marginal accounting). The lattice update is
+    * deterministic, so stats, the confirming round count R, and the
+    * converged model are bit-identical to the from-seeds unroll the
+    * DuckDB oracle replays — the fixed-point contract is unchanged.
+    */
   private def runLloydLoop(s: SparkSession, dir: String, maxRounds: Int)
       : (Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])]) = {
-      val base = lattice(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val seeds = base.filter(col("vec_id") < K)
-          .select(col("vec_id"), col("qv"))
-          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
-          .toSeq.sortBy(_._1)
-        // an all-dirty corpus (no well-formed seed vectors) clusters
-        // nothing: empty stats, matching the oracle's empty result set —
-        // not a generic require() crash from nearestStruct (review-pass
-        // finding; the dirty-embeddings specs model exactly this regime)
-        if (seeds.isEmpty)
-          return (Seq.empty, 0, Seq.empty)
-        var m = seeds
-        var prev: Option[Seq[(Long, Seq[Long])]] = None
-        var result: Option[(Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])])] = None
-        var r = 0
-        while (result.isEmpty) {
-          r += 1
-          if (r > maxRounds)
-            throw new IllegalStateException(
-              s"q145_kmeans_converged: Lloyd did not converge within " +
-                s"$maxRounds rounds on $dir — refusing to ship a " +
-                "half-converged clustering (raise ClusterOps.MaxRounds " +
-                "and the oracle's unroll together, or inspect the corpus)")
-          val rows = roundStats(base, m, prev)
-          val moved = rows.map(_._4).sum
-          if (prev.nonEmpty && moved == 0L)
-            result = Some((rows.map(t => (t._1, t._2, t._3)), r, m))
-          else { prev = Some(m); m = updateLocal(rows) }
-        }
-        result.get
-      } finally base.unpersist()
+    val vsum = udaf(graft.functions.VecSumAgg)
+    val staged = refined(s, dir)
+    val rows2 = staged.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"),
+        sum((col("cid") =!= col("cid0")).cast("long")).as("moved"),
+        vsum(col("qv")).as("sv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4).toSeq))
+      .toSeq.sortBy(_._1)
+    // an all-dirty corpus (no well-formed seed vectors) clusters nothing:
+    // the staged refinement is empty exactly when the seed set is (an
+    // empty centroid model assigns no rows), so empty round-2 stats mean
+    // empty result — matching the oracle's empty set, before the ceiling
+    // check (the cold loop returned before any round too)
+    if (rows2.isEmpty) return (Seq.empty, 0, Seq.empty)
+    if (2 > maxRounds) notConverged(maxRounds, dir)
+    val m1 = staged.groupBy(col("cid0"))
+      .agg(count(lit(1)).as("n"), vsum(col("qv")).as("sv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).map(_ / r.getLong(1)).toSeq)
+      .toSeq.sortBy(_._1)
+    val moved2 = rows2.map(_._4).sum
+    if (moved2 == 0L)
+      return (rows2.map(t => (t._1, t._2, t._3)), 2, m1)
+    val base = lattice(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var prev = m1
+      var m = updateLocal(rows2)
+      var result: Option[(Seq[(Long, Long, Long)], Int, Seq[(Long, Seq[Long])])] = None
+      var r = 2
+      while (result.isEmpty) {
+        r += 1
+        if (r > maxRounds) notConverged(maxRounds, dir)
+        val rows = roundStats(base, m, Some(prev))
+        val moved = rows.map(_._4).sum
+        if (moved == 0L)
+          result = Some((rows.map(t => (t._1, t._2, t._3)), r, m))
+        else { prev = m; m = updateLocal(rows) }
+      }
+      result.get
+    } finally base.unpersist()
   }
 
   /** The converged model — what a production deployment freezes and
@@ -389,10 +425,17 @@ object ClusterOps {
         .toSeq.sortBy(_._1))
 
   /** Session-staged two-round Lloyd refinement:
-    * `(vec_id, cid, cid0, dist)` — final assignment, round-1 assignment
-    * (for convergence accounting), exact squared distance to the refined
-    * centroid. Seeds are the family's deterministic first-K vectors, so
-    * q141's round 1 reproduces exactly the assignment q46/q100 ship.
+    * `(vec_id, cid, cid0, dist, qv)` — final assignment, round-1
+    * assignment (for convergence accounting), exact squared distance to
+    * the refined centroid, and the lattice vector. Seeds are the family's
+    * deterministic first-K vectors, so q141's round 1 reproduces exactly
+    * the assignment q46/q100 ship. `qv` rides along so the q145
+    * convergence loop can WARM-START from this frame: one aggregate over
+    * (cid0, qv) recovers the round-1 model and one over (cid, qv) the
+    * round-2 stats and model — no corpus argmin rescan for rounds 1–2
+    * (round-11 directive #2). At a written-table deployment qv roughly
+    * doubles the assignment table's footprint; that is the documented
+    * trade for the downstream convergence run skipping two corpus scans.
     */
   private def refined(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, dir, "kmeans_assign") {
@@ -400,7 +443,8 @@ object ClusterOps {
       val a1 = assignToSeeds(base)
       assign(base, centModel(updateCentroids(a1)))
         .join(a1.select(col("vec_id"), col("cid").as("cid0")), "vec_id")
-        .select(col("vec_id"), col("cid"), col("cid0"), col("dist"))
+        .select(col("vec_id"), col("cid"), col("cid0"), col("dist"),
+          col("qv"))
     }
 
   /** Oracle CTE chain ending in `asg(vec_id, cid, cid0, dist)` — the SQL

@@ -44,7 +44,9 @@ object DedupOps {
     */
   private def ngramSet(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, dir, "grams3") {
-      docs(s, dir)
+      // parallelism-floored entry scan (Tables.parallel): the build's
+      // tokenize+explode must distribute even off a single-row-group file
+      Tables.parallel(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("ng"))
         .select(col("doc_id"), hash32(col("ng")).as("hv"),
@@ -1175,12 +1177,16 @@ object DedupOps {
         // (a 100 TB-corpus share) would wrap tokens_surviving * 1e6 in
         // Long — Spark wraps silently while DuckDB errors, so the Long
         // form both corrupts and diverges (review-pass finding); the
-        // decimal div is exact and floors like both engines' integer div
+        // decimal div is exact and floors like both engines' integer div.
+        // NULLIF(t, 0) on BOTH sides: on a degenerate all-null-text corpus
+        // the surviving-token total is 0, where Spark's div returns NULL
+        // but DuckDB's // raises — the same silent-vs-error asymmetry;
+        // guarded identically, both engines yield NULL mix_ppm
         perSource.crossJoin(broadcast(total))
           .select(col("source"), col("n_docs"), col("n_survivors"),
             col("tokens_total"), col("tokens_surviving"),
             expr("CAST((CAST(tokens_surviving AS DECIMAL(38,0)) * 1000000)" +
-              " div t AS BIGINT)").as("mix_ppm"))
+              " div nullif(t, 0) AS BIGINT)").as("mix_ppm"))
       },
       Some(ccCte + """,
         d AS (SELECT doc_id, source,
@@ -1199,7 +1205,8 @@ object DedupOps {
                FROM k GROUP BY source)
         SELECT source, n_docs, n_survivors, tokens_total, tokens_surviving,
                CAST(CAST(tokens_surviving AS HUGEINT) * 1000000
-                    // SUM(tokens_surviving) OVER () AS BIGINT) AS mix_ppm
+                    // NULLIF(SUM(tokens_surviving) OVER (), 0) AS BIGINT)
+                 AS mix_ppm
         FROM ps"""),
       "Post-dedup mixture accounting: per-source raw vs SURVIVING " +
         "docs/tokens under the near-dup representative rule, with " +

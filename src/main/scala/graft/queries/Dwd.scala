@@ -26,12 +26,18 @@ object Dwd {
     */
   private def cdc(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, dir, "cdc") {
-      Envelopes.parseMaxwell(Envelopes.maxwellFromEvents(ev(s, dir)))
+      // parallelism-floored entry scan: the JSON encode+parse round-trip is
+      // the expensive part of the build and must not serialize on one core
+      // when the events file is a single row group (Tables.parallel is a
+      // passthrough on production layouts)
+      Envelopes.parseMaxwell(
+        Envelopes.maxwellFromEvents(Tables.parallel(s, dir, "events")))
     }
 
   private def logEnv(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, dir, "log") {
-      Envelopes.parseLog(Envelopes.logFromEvents(ev(s, dir)))
+      Envelopes.parseLog(
+        Envelopes.logFromEvents(Tables.parallel(s, dir, "events")))
     }
 
   /** D1: the 5-way log split (err/start/page side outputs plus per-element

@@ -21,7 +21,10 @@ private[queries] object Grams {
     */
   def hashed(s: SparkSession, dir: String, n: Int): DataFrame =
     graft.Staging.stage(s, dir, s"grams$n") {
-      Tables(s, dir, "documents").select(col("doc_id"),
+      // parallelism-floored entry scan: a single-row-group corpus file
+      // must not serialize the tokenize+explode on one core (Tables.parallel
+      // is a passthrough on production multi-row-group layouts)
+      Tables.parallel(s, dir, "documents").select(col("doc_id"),
           explode(array_distinct(wordNgrams(tokens(col("text")), n)))
             .as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("ng"))

@@ -21,10 +21,10 @@ class BucketingSpec extends SparkSpec {
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("lineitem_b")
 
-    // force the shuffle-sensitive path (no broadcast shortcut)
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    // force the shuffle-sensitive path (no broadcast shortcut); conf
+    // window via SparkSpec.withConfs (see its SEQUENTIAL-EXECUTION
+    // ASSUMPTION note)
+    try withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val joined = spark.table("orders_b")
         .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority").count()
@@ -46,7 +46,6 @@ class BucketingSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(viaBuckets == direct)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }

@@ -39,30 +39,16 @@ class SkewOpsSpec extends SparkSpec {
     // visible as skew=true on the join node — with NO query rewrite.
     // Thresholds are tuned down so the 0.5 MB fixture trips the same
     // logic a 100 TB hot key would.
-    // SEQUENTIAL-EXECUTION ASSUMPTION: this block mutates global SQL
-    // confs on the JVM-shared session with restore-in-finally. Safe only
-    // because sbt runs forked test suites sequentially (no
-    // Test/testForkedParallel); enabling suite parallelism would flake
-    // other suites' plan assertions during the conf window — move these
-    // plan-assertion tests onto spark.newSession() first (same for
-    // BucketedOpsSpec).
+    // global-conf window via SparkSpec.withConfs — see its
+    // SEQUENTIAL-EXECUTION ASSUMPTION note (round-10 ADVICE #4)
     import spark.implicits._
-    val conf = spark.conf
-    val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
-    val saved = keys.map(k => k -> conf.getOption(k))
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
-    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
-    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
-    try {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB") {
       val pad = "x" * 64
       val fact = (1L to 20000L)
         .map(i => (if (i % 20 == 0) i % 7 else 0L, i, pad))
@@ -76,9 +62,6 @@ class SkewOpsSpec extends SparkSpec {
       assert(plan.contains("skew=true"),
         s"hot partition not split by AQE:\n$plan")
       assert(n == 20000)
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
     }
   }
 }

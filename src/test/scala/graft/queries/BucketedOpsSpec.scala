@@ -13,15 +13,12 @@ class BucketedOpsSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("bucketed SMJ plans with zero exchanges; content matches plain join") {
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-      .map(k => k -> conf.getOption(k))
     // disable broadcast so the tiny local fixture exercises the same SMJ
-    // path a 100 TB fact⋈fact join takes
-    saved.foreach { case (k, _) => conf.set(k, "-1") }
-    try {
+    // path a 100 TB fact⋈fact join takes; conf window via
+    // SparkSpec.withConfs (see its SEQUENTIAL-EXECUTION ASSUMPTION note)
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       val joined = BucketedOps.colocatedJoin(spark, sfDir)
       joined.collect() // finalize AQE before reading the executed plan
       val plan = joined.queryExecution.executedPlan.toString
@@ -38,9 +35,6 @@ class BucketedOpsSpec extends SparkSpec {
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(viaBuckets == plain)
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
     }
   }
 

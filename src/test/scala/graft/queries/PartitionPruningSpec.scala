@@ -29,18 +29,20 @@ class PartitionPruningSpec extends SparkSpec {
     val day = days(days.length / 2)
 
     // AQE wraps subplans in opaque query stages; disable it here so the
-    // scan node is directly inspectable (pruning behavior is identical)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val q = spark.read.parquet(dir)
-      .filter(col("order_day") === day)
-      .agg(coalesce(sum(col("o_totalprice")), lit(0.0)).as("gmv"))
-    val plan = q.queryExecution.executedPlan.toString
+    // scan node is directly inspectable (pruning behavior is identical).
+    // Conf window via SparkSpec.withConfs (see its SEQUENTIAL-EXECUTION
+    // ASSUMPTION note) — it also restores the conf when an assert fires,
+    // which the old set-before-try shape didn't.
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.read.parquet(dir)
+        .filter(col("order_day") === day)
+        .agg(coalesce(sum(col("o_totalprice")), lit(0.0)).as("gmv"))
+      val plan = q.queryExecution.executedPlan.toString
 
-    // the day predicate must land in PartitionFilters (pruning directories),
-    // and the scan must report exactly one of the partition dirs selected
-    assert(plan.contains("PartitionFilters") && plan.contains("order_day"),
-      s"expected a partition filter on order_day:\n$plan")
-    try {
+      // the day predicate must land in PartitionFilters (pruning directories),
+      // and the scan must report exactly one of the partition dirs selected
+      assert(plan.contains("PartitionFilters") && plan.contains("order_day"),
+        s"expected a partition filter on order_day:\n$plan")
       val scanned = q.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.selectedPartitions.partitionCount
@@ -54,7 +56,7 @@ class PartitionPruningSpec extends SparkSpec {
         .agg(coalesce(sum(col("o_totalprice")), lit(0.0)))
         .head().getDouble(0)
       assert(math.abs(q.head().getDouble(0) - expected) < 1e-6)
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("ANN index partitioned by IVF list: a 2-probe serve scans 2 of 16 " +
@@ -76,8 +78,7 @@ class PartitionPruningSpec extends SparkSpec {
     val memServed = StreamingAnn.serveTopK(queries, "vec_id", lists, m)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
 
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
       // ONE query vector probes its 2 lists: the join against the
       // partitioned index must prune to those 2 cid directories — the
       // serving read a billion-vector deployment depends on
@@ -105,6 +106,6 @@ class PartitionPruningSpec extends SparkSpec {
       assert(scanned.nonEmpty && scanned.forall(_ <= 2),
         s"expected <=2 selected cid partitions, got $scanned")
       assert(stored.select("cid").distinct().count() > 2)
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 }

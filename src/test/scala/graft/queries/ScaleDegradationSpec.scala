@@ -25,8 +25,9 @@ class ScaleDegradationSpec extends SparkSpec {
     val names = Seq("q05_snowflake_enrich", "q12_amount_by_province",
       "q04_fact_join_agg", "q29_composite_key_join")
     val before = names.map(n => n -> rows(n)).toMap
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    // conf window via SparkSpec.withConfs (see its SEQUENTIAL-EXECUTION
+    // ASSUMPTION note)
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       for (n <- names) {
         val after = rows(n)
         assert(after == before(n), s"$n changed results under shuffled joins")
@@ -35,6 +36,6 @@ class ScaleDegradationSpec extends SparkSpec {
       val plan = run("q04_fact_join_agg").queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a shuffled join with broadcast disabled:\n$plan")
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 }

@@ -56,8 +56,9 @@ class ServingSpec extends SparkSpec {
     val yyyymmdd = day.replace("-", "")
 
     // AQE wraps subplans in opaque stages; disable for scan inspection
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // (conf window via SparkSpec.withConfs — see its SEQUENTIAL-EXECUTION
+    // ASSUMPTION note)
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
       val gmvQ = Serving.gmvFromDws(spark, dir, yyyymmdd)
       val provQ = Serving.provinceAmountsFromDws(spark, dir, yyyymmdd)
       for (q <- Seq(gmvQ, provQ)) {
@@ -85,7 +86,7 @@ class ServingSpec extends SparkSpec {
       }
       // a day with no windows serves 0, not an error
       assert(Serving.gmvFromDws(spark, dir, "19000101").head().getDouble(0) == 0.0)
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("provinceAmounts(date) returns per-province rows and the mapData JSON shape") {

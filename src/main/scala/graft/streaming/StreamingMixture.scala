@@ -1,0 +1,281 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Incremental post-dedup mixture accounting — batch q147's streaming twin
+  * (round-11 VERDICT directive #5). q125 proves an arriving batch can be
+  * DEDUPED against the corpus without reprocessing it; this operator goes
+  * one step further: each arriving batch also UPDATES the per-source
+  * surviving-docs/tokens mixture (q147's exact output — the accounting a
+  * continuously ingesting curation pipeline feeds its sampler) without a
+  * corpus rescan.
+  *
+  * Semantics are EXACTLY batch q147's: a document survives iff it is the
+  * minimum doc_id of its connected component over the MinHash band-collision
+  * pair graph (q57's representative rule; band assignments are the in-row
+  * [[graft.functions.MinHash]] form, proven ≡ the batch bands by
+  * StreamingLshSpec). That rule is retroactive: a late arrival can BRIDGE
+  * two components, flipping a previously-surviving doc to duplicate — so
+  * exact incremental accounting requires retraction, not just
+  * first-seen-wins. The state design delivers it:
+  *
+  *   - `bands` index: (band, bkey, doc_id) for every ingested doc — the
+  *     same bucket index the batch pipeline groups; an arriving batch
+  *     joins it by (band, bkey), touching only colliding buckets.
+  *   - `ledger`: (doc_id, source, tok, rep) — each doc's current component
+  *     representative (min id). Only docs in TOUCHED components (their
+  *     current rep appears among the new edges' endpoints' reps) are ever
+  *     re-labeled: the batch's new edges plus the touched components'
+  *     (rep → member) star edges preserve exactly their connectivity, so
+  *     one [[graft.operators.ConnectedComponents]] run over that small
+  *     subgraph yields the new min labels (standard union-find argument —
+  *     untouched components cannot change).
+  *   - per-source aggregates: updated by DELTAS only — new docs add, and
+  *     docs whose rep flips away from themselves retract. Because labels
+  *     only ever DECREASE (component minima are monotone under edge
+  *     additions), survivor flips are one-directional: survivor →
+  *     duplicate, never back. The ingest fails loud if a label ever
+  *     increases (that would be a bug, and silently corrupted mixture
+  *     weights are the worst failure mode).
+  *
+  * Per-batch cost ∝ batch size + touched-component size — never the
+  * corpus. [[MixtureState.mixture]] itself reads a ≤|sources| driver map.
+  * At 100 TB the two stores are keyed tables (bands bucketed by
+  * (band, bkey); ledger keyed by doc_id and partitioned by rep so the
+  * touched-component fetch prunes) updated per-key via MERGE / a state
+  * store; the local harness emulates them with localCheckpoint'd frames —
+  * an emulation cost, not an algorithmic one. Bucket membership is
+  * UNCAPPED here because batch q147's pair graph is uncapped (exact
+  * equivalence); a production ingest may cap per-bucket members with
+  * exactly [[StreamingLsh]]'s documented recall trade.
+  *
+  * Ingest contract: doc_ids are unique across the stream (an ingest id);
+  * re-delivery belongs to the exactly-once layer upstream.
+  *
+  * StreamingMixtureSpec proves: streamed mixture ≡ batch q147 after every
+  * prefix (in-order feed), final equality under ADVERSARIAL (descending)
+  * arrival where every component's min arrives last — maximal retraction,
+  * and the foreachBatch wiring under a real StreamingQuery.
+  */
+object StreamingMixture {
+
+  /** Mutable per-stream state; one instance per logical ingest pipeline. */
+  final class MixtureState(spark: SparkSession) {
+    import spark.implicits._
+
+    private val bandsSchema = StructType(Seq(
+      StructField("band", IntegerType), StructField("bkey", StringType),
+      StructField("doc_id", LongType)))
+    private val ledgerSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("tok", LongType), StructField("rep", LongType)))
+
+    private var bands: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
+    private var ledger: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](), ledgerSchema)
+
+    // per-source [n_docs, n_survivors, tokens_total, tokens_surviving]:
+    // bounded by |sources| — the one driver-side piece, same contract as
+    // the family's ≤K centroid models
+    private val agg = mutable.Map.empty[Option[String], Array[Long]]
+
+    private def bump(src: Option[String], d: Array[Long]): Unit = {
+      val a = agg.getOrElseUpdate(src, Array.fill(4)(0L))
+      var i = 0; while (i < 4) { a(i) += d(i); i += 1 }
+    }
+
+    /** Exposed for the spec's doc-level monotonicity assertions. */
+    private[streaming] def ledgerFrame: DataFrame = ledger
+
+    /** Exposed so a checkpointing deployment can persist the band index
+      * alongside the ledger (the two stores [[StreamingMixture.restore]]
+      * rebuilds from).
+      */
+    private[streaming] def bandsFrame: DataFrame = bands
+
+    private[streaming] def loadFrom(bandsStore: DataFrame,
+        ledgerStore: DataFrame): Unit = {
+      bands = bandsStore
+        .select(col("band").cast("int"), col("bkey"), col("doc_id"))
+        .localCheckpoint(true)
+      ledger = ledgerStore
+        .select(col("doc_id"), col("source"), col("tok"), col("rep"))
+        .localCheckpoint(true)
+      agg.clear()
+      ledger.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rep") === col("doc_id")).cast("long")).as("s"),
+          sum(col("tok")).as("t"),
+          sum(when(col("rep") === col("doc_id"), col("tok"))
+            .otherwise(0L)).as("ts"))
+        .collect()
+        .foreach(r => bump(Option(r.getString(0)),
+          Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    }
+
+    /** Ingest one batch of (doc_id, source, text) rows: dedup it against
+      * everything seen so far, re-label exactly the touched components,
+      * and apply the mixture deltas. Batch-internal collisions count too
+      * (two near-dup docs arriving together pair immediately).
+      */
+    def ingest(batch: DataFrame): Unit = {
+      // tok EXACTLY as q147 computes it (whitespace token count, null → 0)
+      val newDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
+          col("source"),
+          coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+            .as("tok"))
+        .localCheckpoint(true)
+      val newBands = StreamingLsh
+        .bandAssignments(batch.select(col("doc_id"), col("text")))
+        .toDF().select(col("band"), col("bkey"), col("docId").as("doc_id"))
+        .localCheckpoint(true)
+
+      // candidate pairs: new docs vs (stored ∪ new) — every pair involves
+      // a new doc; old-old connectivity already lives in the ledger's reps
+      val edges = newBands.as("a")
+        .join(bands.unionByName(newBands).as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("u"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      val (newRows, affLabeled, touchedReps) =
+        if (edges.isEmpty) {
+          (newDocs.withColumn("rep", col("doc_id")), None, None)
+        } else {
+          val endpoints = edges.select(col("u").as("doc_id"))
+            .union(edges.select(col("v").as("doc_id"))).distinct()
+          // components being merged = current reps of OLD endpoint docs
+          val touched = endpoints.join(ledger, "doc_id")
+            .select(col("rep")).distinct().localCheckpoint(true)
+          val affected = ledger.join(touched, "rep")
+          // the touched components' connectivity, as (rep → member) stars
+          val star = affected
+            .select(col("rep").as("u"), col("doc_id").as("v"))
+            .filter(col("u") =!= col("v"))
+          val labels = graft.operators.ConnectedComponents
+            .run(edges.unionByName(star))._1
+            .withColumnRenamed("node", "doc_id")
+            .localCheckpoint(true)
+          val aff = affected
+            .join(labels, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("source"), col("tok"), col("rep"),
+              coalesce(col("label"), col("rep")).as("newRep"))
+            .localCheckpoint(true)
+          val nr = newDocs.join(labels, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("source"), col("tok"),
+              coalesce(col("label"), col("doc_id")).as("rep"))
+          (nr, Some(aff), Some(touched))
+        }
+      val newLedgerRows = newRows.localCheckpoint(true)
+
+      // fail LOUD if a label ever increased: component minima are monotone
+      // under edge additions, so this can only be a bug — and a silently
+      // wrong mixture weight is this operator's worst failure mode
+      affLabeled.foreach { aff =>
+        val bad = aff.filter(col("newRep") > col("rep")).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"StreamingMixture: $bad re-labeled docs INCREASED their rep — " +
+            "monotonicity violated, refusing to ship corrupted mixture " +
+            "accounting")
+      }
+
+      // mixture deltas: new docs add; one-directional survivor flips retract
+      newLedgerRows.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rep") === col("doc_id")).cast("long")).as("s"),
+          sum(col("tok")).as("t"),
+          sum(when(col("rep") === col("doc_id"), col("tok"))
+            .otherwise(0L)).as("ts"))
+        .collect()
+        .foreach(r => bump(Option(r.getString(0)),
+          Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      affLabeled.foreach { aff =>
+        aff.filter(col("rep") === col("doc_id") &&
+            col("newRep") =!= col("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("tok")).as("t"))
+          .collect()
+          .foreach(r => bump(Option(r.getString(0)),
+            Array(0L, -r.getLong(1), 0L, -r.getLong(2))))
+      }
+
+      // state update: untouched rows pass through; touched components get
+      // their new labels; new docs append (per-key MERGE at a deployment)
+      val updated = touchedReps match {
+        case None => ledger.unionByName(newLedgerRows)
+        case Some(touched) =>
+          ledger.join(touched, Seq("rep"), "left_anti")
+            .unionByName(affLabeled.get
+              .select(col("doc_id"), col("source"), col("tok"),
+                col("newRep").as("rep")))
+            .unionByName(newLedgerRows)
+      }
+      ledger = updated.localCheckpoint(true)
+      bands = bands.unionByName(newBands).localCheckpoint(true)
+    }
+
+    private val mixtureSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("n_survivors", LongType, nullable = false),
+      StructField("tokens_total", LongType, nullable = false),
+      StructField("tokens_surviving", LongType, nullable = false),
+      StructField("mix_ppm", LongType)))
+
+    /** The current post-dedup mixture — q147's exact schema and values
+      * over everything ingested so far. Reads the ≤|sources| driver
+      * aggregates only (no corpus scan, no state-frame scan); ppm shares
+      * q147's zero-guard (NULL on a zero-surviving-token corpus) and its
+      * truncating division (values nonnegative, BigInt / ≡ Spark div ≡
+      * DuckDB //).
+      */
+    def mixture(): DataFrame = {
+      val total = agg.valuesIterator.map(_(3)).sum
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+      agg.toSeq.sortBy(_._1).foreach { case (src, a) =>
+        val ppm: Any =
+          if (total == 0L) null
+          else java.lang.Long.valueOf(
+            (BigInt(a(3)) * 1000000 / BigInt(total)).toLong)
+        rows.add(Row(src.orNull, a(0), a(1), a(2), a(3), ppm))
+      }
+      spark.createDataFrame(rows, mixtureSchema)
+    }
+  }
+
+  def state(spark: SparkSession): MixtureState = new MixtureState(spark)
+
+  /** Kill-and-resume: rebuild a state from the two DURABLE stores (at a
+    * deployment they are tables; the per-source aggregates are
+    * recomputed with ONE pass over the ledger — the only full-state scan
+    * this operator ever does, paid at RESTART, never per batch).
+    * StreamingMixtureSpec proves resume-then-continue ≡ uninterrupted.
+    */
+  def restore(spark: SparkSession, bandsStore: DataFrame,
+      ledgerStore: DataFrame): MixtureState = {
+    val st = new MixtureState(spark)
+    st.loadFrom(bandsStore, ledgerStore)
+    st
+  }
+
+  /** Wire a streaming (doc_id, source, text) frame into `st` — one
+    * foreachBatch ingest per micro-batch (the K3 discipline: the ledger
+    * update is a transactional MERGE at a deployment, so foreachBatch is
+    * the honest sink shape, like DimRouter's).
+    */
+  def attach(docs: DataFrame, st: MixtureState): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        st.ingest(b.toDF()))
+      .start()
+}

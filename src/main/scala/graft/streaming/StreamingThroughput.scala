@@ -30,6 +30,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingThroughput {
 
   final case class DocIn(doc_id: Long, text: String)
+  final case class MixIn(doc_id: Long, source: String, text: String)
   final case class VecIn(vec_id: Long, embedding: Seq[Float])
   final case class OrderIn(event_id: Long, user_id: Long, ts: Timestamp, amount: Double)
   final case class LenIn(lang: String, n_chars: Long)
@@ -107,6 +108,14 @@ object StreamingThroughput {
 
     def lsh(ds: Dataset[DocIn]) =
       Seq(noop(StreamingLsh.pairs(StreamingLsh.bandAssignments(ds.toDF())).toDF()))
+    // incremental q147 mixture (foreachBatch ingest: band-index join +
+    // touched-component CC + delta accounting per micro-batch)
+    def mixtureT(ds: Dataset[MixIn]) =
+      Seq(StreamingMixture.attach(ds.toDF(), StreamingMixture.state(spark)))
+    def mixDocs(dir: String): Seq[MixIn] =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text")).as[MixIn]
+        .collect().sortBy(_.doc_id).toSeq
     def decon(bloom: Array[Long])(ds: Dataset[DocIn]) =
       Seq(noop(StreamingDecon.flag(ds.toDF(), bloom)))
     def ann(m: StreamingAnn.Model)(ds: Dataset[VecIn]) =
@@ -152,6 +161,7 @@ object StreamingThroughput {
 
     // JIT/codegen warmup: every selected twin once on a small slice, untimed
     if (sel("lsh")) feed(x1Docs.take(BatchRows))(lsh)
+    if (sel("mixture")) feed(mixDocs(s"$scaleRoot/x1").take(BatchRows))(mixtureT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -174,6 +184,12 @@ object StreamingThroughput {
     if (sel("decon")) {
       emit("decon", "x1", x1Docs.size, feed(x1Docs)(decon(bloom)))
       emit("decon", "x10", x10Docs.size, feed(x10Docs)(decon(bloom)))
+    }
+    if (sel("mixture")) {
+      val m1 = mixDocs(s"$scaleRoot/x1")
+      val m10 = mixDocs(s"$scaleRoot/x10")
+      emit("mixture", "x1", m1.size, feed(m1)(mixtureT))
+      emit("mixture", "x10", m10.size, feed(m10)(mixtureT))
     }
     if (sel("ann_ingest")) {
       emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))

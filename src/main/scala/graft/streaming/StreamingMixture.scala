@@ -43,16 +43,39 @@ import org.apache.spark.sql.types._
   *     increases (that would be a bug, and silently corrupted mixture
   *     weights are the worst failure mode).
   *
+  * Guards (all fail-loud, because every failure mode here corrupts
+  * mixture weights SILENTLY otherwise):
+  *   - rep monotonicity (above) — always on.
+  *   - re-delivered doc_id: the ingest contract says doc_ids are unique
+  *     across the stream; a duplicate would double-count n_docs/tokens.
+  *     Checked per batch (batch-internal and vs the ledger) and thrown,
+  *     not warned — re-delivery belongs to the exactly-once layer
+  *     upstream, and proceeding would ship wrong weights.
+  *   - hot-bucket pairwork (`graft.mixture.pairworkGuard` = warn default
+  *     / fail / off, threshold `graft.mixture.maxPairworkPerDoc` = 64):
+  *     the band-index join is deliberately UNCAPPED for exact ≡ q147, so
+  *     one hot bucket (mass-duplicated or low-entropy content) makes a
+  *     batch's candidate-pair join quadratic in that bucket's size. The
+  *     guard estimates the batch's pairwork from cheap bucket counts
+  *     BEFORE the join runs and points at the capped [[StreamingLsh]]
+  *     recall trade — same discipline as q100's semdedup guard.
+  *
   * Per-batch cost ∝ batch size + touched-component size — never the
   * corpus. [[MixtureState.mixture]] itself reads a ≤|sources| driver map.
   * At 100 TB the two stores are keyed tables (bands bucketed by
   * (band, bkey); ledger keyed by doc_id and partitioned by rep so the
   * touched-component fetch prunes) updated per-key via MERGE / a state
   * store; the local harness emulates them with localCheckpoint'd frames —
-  * an emulation cost, not an algorithmic one. Bucket membership is
-  * UNCAPPED here because batch q147's pair graph is uncapped (exact
-  * equivalence); a production ingest may cap per-bucket members with
-  * exactly [[StreamingLsh]]'s documented recall trade.
+  * an emulation cost, not an algorithmic one, and BOUNDED: each ingest
+  * explicitly unpersists the superseded ledger/bands blocks and the
+  * batch's intermediate checkpoints once the new state is materialized,
+  * so executor storage holds exactly one copy of each store plus one
+  * in-flight batch, never the GC-deferred pile-up of every batch since
+  * start. Bucket membership is UNCAPPED here because batch q147's pair
+  * graph is uncapped (exact equivalence); a production ingest may cap
+  * per-bucket members with exactly [[StreamingLsh]]'s documented recall
+  * trade (and the hot-bucket guard above names it at the moment it
+  * matters).
   *
   * Ingest contract: doc_ids are unique across the stream (an ingest id);
   * re-delivery belongs to the exactly-once layer upstream.
@@ -90,6 +113,21 @@ object StreamingMixture {
       var i = 0; while (i < 4) { a(i) += d(i); i += 1 }
     }
 
+    /** Unpersist the localCheckpoint blocks backing `df`, if any — the
+      * frames this state materializes are all eager localCheckpoints
+      * whose plan is a [[org.apache.spark.sql.execution.LogicalRDD]];
+      * releasing the RDD as soon as a frame is superseded bounds
+      * executor storage to one live copy of each store (without this,
+      * blocks linger until driver GC happens to trigger the
+      * ContextCleaner — unbounded over a long-running stream).
+      */
+    private def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
     /** Exposed for the spec's doc-level monotonicity assertions. */
     private[streaming] def ledgerFrame: DataFrame = ledger
 
@@ -101,12 +139,14 @@ object StreamingMixture {
 
     private[streaming] def loadFrom(bandsStore: DataFrame,
         ledgerStore: DataFrame): Unit = {
+      val (oldBands, oldLedger) = (bands, ledger)
       bands = bandsStore
         .select(col("band").cast("int"), col("bkey"), col("doc_id"))
         .localCheckpoint(true)
       ledger = ledgerStore
         .select(col("doc_id"), col("source"), col("tok"), col("rep"))
         .localCheckpoint(true)
+      release(oldBands); release(oldLedger)
       agg.clear()
       ledger.groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
@@ -119,33 +159,124 @@ object StreamingMixture {
           Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
     }
 
+    /** Pre-join estimate of the batch's candidate-pair work from cheap
+      * bucket counts (q100's guardPairwork discipline, directive #4 of
+      * round 12): per touched bucket a new doc pairs with every stored
+      * member and every other new member, so one hot bucket makes the
+      * uncapped band-index join quadratic in that bucket's size —
+      * SILENTLY, as latency. warn by default (a live stream should keep
+      * flowing while someone reads the log), fail under the measurement
+      * harness (`graft.mixture.pairworkGuard=fail` — an errored run is
+      * an artifact entry; a warning in a batch log is invisible).
+      * Estimate runs in DOUBLE: a mass-dup bucket past ~3e9 members
+      * would wrap n*(n-1) in Long and disarm the guard exactly where it
+      * matters (guardPairwork's overflow lesson).
+      */
+    private def guardBucketPairwork(nNew: Long, newBands: DataFrame): Unit = {
+      val mode = spark.conf.get("graft.mixture.pairworkGuard", "warn")
+      if (mode == "off" || nNew == 0L) return
+      val perDocCap =
+        spark.conf.get("graft.mixture.maxPairworkPerDoc", "64").toLong
+      val newCnt = newBands.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("n_new"))
+      // only buckets the batch touches matter — the same pruned access
+      // pattern the candidate join itself performs (keyed fetch at a
+      // deployment, map-side semi join against the batch's keys here)
+      val oldCnt = bands
+        .join(newCnt.select(col("band"), col("bkey")),
+          Seq("band", "bkey"), "left_semi")
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n_old"))
+      val row = newCnt.join(oldCnt, Seq("band", "bkey"), "left_outer")
+        .agg(sum(col("n_new").cast("double")
+            * coalesce(col("n_old"), lit(0L)).cast("double")
+          + col("n_new").cast("double")
+            * (col("n_new") - lit(1L)).cast("double") / lit(2.0))
+          .as("pairwork"))
+        .head()
+      if (row.isNullAt(0)) return
+      val pairwork = row.getDouble(0)
+      if (pairwork > perDocCap.toDouble * nNew) {
+        val msg = "StreamingMixture hot-bucket guard: this batch's " +
+          s"band-collision join yields ~${pairwork.toLong} candidate " +
+          s"pairs over $nNew new docs " +
+          s"(${(pairwork / nNew).toLong} per doc > threshold $perDocCap): " +
+          "a hot bucket (mass-duplicated or low-entropy content) makes " +
+          "the uncapped band-index join quadratic in that bucket's " +
+          "size. Exact ≡ q147 requires the uncapped join; the capped " +
+          "StreamingLsh (maxBucket per-bucket state cap) is the " +
+          "documented recall trade for production ingest. Set " +
+          "graft.mixture.maxPairworkPerDoc / " +
+          "graft.mixture.pairworkGuard=off to proceed deliberately."
+        if (mode == "fail") throw new IllegalStateException(msg)
+        else System.err.println(s"[graft] WARN $msg")
+      }
+    }
+
     /** Ingest one batch of (doc_id, source, text) rows: dedup it against
       * everything seen so far, re-label exactly the touched components,
       * and apply the mixture deltas. Batch-internal collisions count too
       * (two near-dup docs arriving together pair immediately).
       */
     def ingest(batch: DataFrame): Unit = {
+      // per-batch intermediate checkpoints, released when the batch is
+      // fully applied (bounds executor storage — see the class doc)
+      val temps = mutable.ListBuffer.empty[DataFrame]
+      def temp(df: DataFrame): DataFrame = { temps += df; df }
+      try ingestTracked(batch, temp)
+      finally temps.foreach(release)
+    }
+
+    private def ingestTracked(batch: DataFrame,
+        temp: DataFrame => DataFrame): Unit = {
       // tok EXACTLY as q147 computes it (whitespace token count, null → 0)
-      val newDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
+      val newDocs = temp(batch
+        .select(col("doc_id").cast("long").as("doc_id"),
           col("source"),
           coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
             .as("tok"))
-        .localCheckpoint(true)
-      val newBands = StreamingLsh
+        .localCheckpoint(true))
+
+      // fail LOUD on a re-delivered doc_id (the documented ingest
+      // contract): a duplicate double-counts n_docs/tokens and corrupts
+      // survivor accounting — the same silent-mixture-corruption failure
+      // mode the rep-monotonicity guard refuses. One batch-sized
+      // aggregate catches batch-internal repeats; one semi join against
+      // the ledger (a keyed lookup at a deployment) catches replays.
+      val idStats = newDocs
+        .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"))
+        .head()
+      val nNew = idStats.getLong(0)
+      if (nNew != idStats.getLong(1)) throw new IllegalStateException(
+        s"StreamingMixture: batch carries ${nNew - idStats.getLong(1)} " +
+          "duplicate doc_id rows — the ingest contract requires unique " +
+          "doc_ids (re-delivery belongs to the exactly-once layer " +
+          "upstream); refusing to double-count mixture weights")
+      val redelivered = newDocs
+        .join(ledger.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .count()
+      if (redelivered > 0) throw new IllegalStateException(
+        s"StreamingMixture: $redelivered doc_ids in this batch were " +
+          "already ingested — the ingest contract requires unique " +
+          "doc_ids (re-delivery belongs to the exactly-once layer " +
+          "upstream); refusing to double-count mixture weights")
+
+      val newBands = temp(StreamingLsh
         .bandAssignments(batch.select(col("doc_id"), col("text")))
         .toDF().select(col("band"), col("bkey"), col("docId").as("doc_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
+
+      guardBucketPairwork(nNew, newBands)
 
       // candidate pairs: new docs vs (stored ∪ new) — every pair involves
       // a new doc; old-old connectivity already lives in the ledger's reps
-      val edges = newBands.as("a")
+      val edges = temp(newBands.as("a")
         .join(bands.unionByName(newBands).as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
             && col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("u"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true))
 
       val (newRows, affLabeled, touchedReps) =
         if (edges.isEmpty) {
@@ -154,28 +285,28 @@ object StreamingMixture {
           val endpoints = edges.select(col("u").as("doc_id"))
             .union(edges.select(col("v").as("doc_id"))).distinct()
           // components being merged = current reps of OLD endpoint docs
-          val touched = endpoints.join(ledger, "doc_id")
-            .select(col("rep")).distinct().localCheckpoint(true)
+          val touched = temp(endpoints.join(ledger, "doc_id")
+            .select(col("rep")).distinct().localCheckpoint(true))
           val affected = ledger.join(touched, "rep")
           // the touched components' connectivity, as (rep → member) stars
           val star = affected
             .select(col("rep").as("u"), col("doc_id").as("v"))
             .filter(col("u") =!= col("v"))
-          val labels = graft.operators.ConnectedComponents
+          val labels = temp(graft.operators.ConnectedComponents
             .run(edges.unionByName(star))._1
             .withColumnRenamed("node", "doc_id")
-            .localCheckpoint(true)
-          val aff = affected
+            .localCheckpoint(true))
+          val aff = temp(affected
             .join(labels, Seq("doc_id"), "left_outer")
             .select(col("doc_id"), col("source"), col("tok"), col("rep"),
               coalesce(col("label"), col("rep")).as("newRep"))
-            .localCheckpoint(true)
+            .localCheckpoint(true))
           val nr = newDocs.join(labels, Seq("doc_id"), "left_outer")
             .select(col("doc_id"), col("source"), col("tok"),
               coalesce(col("label"), col("doc_id")).as("rep"))
           (nr, Some(aff), Some(touched))
         }
-      val newLedgerRows = newRows.localCheckpoint(true)
+      val newLedgerRows = temp(newRows.localCheckpoint(true))
 
       // fail LOUD if a label ever increased: component minima are monotone
       // under edge additions, so this can only be a bug — and a silently
@@ -219,8 +350,13 @@ object StreamingMixture {
                 col("newRep").as("rep")))
             .unionByName(newLedgerRows)
       }
+      // the new checkpoints materialize EAGERLY (reading the old blocks),
+      // so the superseded store copies release immediately after — one
+      // live copy of each store, however long the stream runs
+      val (oldLedger, oldBands) = (ledger, bands)
       ledger = updated.localCheckpoint(true)
       bands = bands.unionByName(newBands).localCheckpoint(true)
+      release(oldLedger); release(oldBands)
     }
 
     private val mixtureSchema = StructType(Seq(

@@ -61,6 +61,12 @@ object StreamingThroughput {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+    // harness sessions FAIL on hot-bucket pairwork blowup (a warning in a
+    // measurement log is invisible; an errored run is an artifact entry)
+    // — override with SPARK_GRAFT_PAIRWORK_GUARD=warn for a deliberate
+    // adversary measurement, same contract as Bench/BenchOne/ScalingBench
+    spark.conf.set("graft.mixture.pairworkGuard",
+      sys.env.getOrElse("SPARK_GRAFT_PAIRWORK_GUARD", "fail"))
     import spark.implicits._
 
     /** Feed `rows` in BatchRows-sized micro-batches to every query built
@@ -190,6 +196,11 @@ object StreamingThroughput {
       val m10 = mixDocs(s"$scaleRoot/x10")
       emit("mixture", "x1", m1.size, feed(m1)(mixtureT))
       emit("mixture", "x10", m10.size, feed(m10)(mixtureT))
+      // retraction-heavy adversary (the StreamingMixtureSpec descending
+      // feed): every component's min arrives LAST, so survivor flips and
+      // touched-component re-labeling are maximal — the rate shows the
+      // retraction cost in the measurement, not just in a spec
+      emit("mixture_desc", "x1", m1.size, feed(m1.reverse)(mixtureT))
     }
     if (sel("ann_ingest")) {
       emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))

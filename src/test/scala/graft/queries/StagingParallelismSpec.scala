@@ -54,10 +54,19 @@ class StagingParallelismSpec extends SparkSpec {
     graft.Tables(spark, sfDir, "documents")
       .repartition(floor * 2)
       .write.parquet(s"$dir/documents.parquet")
-    val par = graft.Tables.parallel(spark, dir, "documents")
-    assert(par.rdd.getNumPartitions >= floor)
-    val plan = par.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"passthrough added an exchange on a multi-split layout:\n$plan")
+    // pin the file bin-packing arithmetic: with openCost = maxPartition,
+    // a second file never fits a bin, so every tiny file is its own scan
+    // partition regardless of Spark's packing defaults or core count
+    // (round-12 ADVICE: the unpinned form depended on openCostInBytes /
+    // maxPartitionBytes defaults and could pack below the floor)
+    withConfs(
+      "spark.sql.files.maxPartitionBytes" -> "134217728",
+      "spark.sql.files.openCostInBytes" -> "134217728") {
+      val par = graft.Tables.parallel(spark, dir, "documents")
+      assert(par.rdd.getNumPartitions >= floor)
+      val plan = par.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"passthrough added an exchange on a multi-split layout:\n$plan")
+    }
   }
 }

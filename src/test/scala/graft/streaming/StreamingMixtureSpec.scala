@@ -116,6 +116,84 @@ class StreamingMixtureSpec extends SparkSpec {
     assert(rowsOf(st2.mixture()) == q147(sfDir))
   }
 
+  test("durable-store deployment shape: bands/ledger persisted to parquet " +
+    "EACH batch (overwrite, the MERGE-table analog); kill, restore from " +
+    "the FILES mid-stream, continue — final mixture equals batch q147") {
+    val batches = batchesBy(asc = true, n = 4)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mix_durable_").toString
+    def persist(st: StreamingMixture.MixtureState): Unit = {
+      st.bandsFrame.write.mode("overwrite").parquet(s"$root/bands")
+      st.ledgerFrame.write.mode("overwrite").parquet(s"$root/ledger")
+    }
+    val st1 = StreamingMixture.state(spark)
+    batches.take(2).foreach { b => st1.ingest(b); persist(st1) }
+    // "crash": the live state is gone; the ONLY inputs to the restore are
+    // the files the per-batch persist left behind
+    val st2 = StreamingMixture.restore(spark,
+      spark.read.parquet(s"$root/bands"),
+      spark.read.parquet(s"$root/ledger"))
+    assert(rowsOf(st2.mixture()) == rowsOf(st1.mixture()),
+      "restore from the persisted FILES diverges from the live state")
+    // restore eagerly materializes (loadFrom localCheckpoints), so the
+    // continued per-batch overwrites of the SAME paths must not corrupt it
+    batches.drop(2).foreach { b => st2.ingest(b); persist(st2) }
+    assert(rowsOf(st2.mixture()) == q147(sfDir))
+    // and the final persisted files themselves restore to the same state
+    // (what the NEXT restart would read)
+    val st3 = StreamingMixture.restore(spark,
+      spark.read.parquet(s"$root/bands"),
+      spark.read.parquet(s"$root/ledger"))
+    assert(rowsOf(st3.mixture()) == q147(sfDir))
+  }
+
+  test("re-delivered doc_id fails loud: a replayed batch and a " +
+    "batch-internal duplicate both refuse to double-count") {
+    import spark.implicits._
+    val st = StreamingMixture.state(spark)
+    st.ingest(Seq((1L, "a", "x y z"), (2L, "b", "p q")).toDF(
+      "doc_id", "source", "text"))
+    val before = rowsOf(st.mixture())
+    val replay = intercept[IllegalStateException] {
+      st.ingest(Seq((2L, "b", "p q")).toDF("doc_id", "source", "text"))
+    }
+    assert(replay.getMessage.contains("already ingested"))
+    val internal = intercept[IllegalStateException] {
+      st.ingest(Seq((7L, "a", "m n"), (7L, "a", "m n")).toDF(
+        "doc_id", "source", "text"))
+    }
+    assert(internal.getMessage.contains("duplicate doc_id"))
+    assert(rowsOf(st.mixture()) == before,
+      "a refused batch must leave the accounting untouched")
+  }
+
+  test("hot-bucket pairwork guard: a mass-duplicated batch warns by " +
+    "default, fails under the harness conf; a balanced batch passes") {
+    import spark.implicits._
+    // 80 identical docs → every band bucket holds all 80 → candidate
+    // pairwork ≈ 4 bands × 80·79/2 ≈ 158/doc, over the 64/doc threshold
+    val hot = (1L to 80L).map(i => (i, "a", "same text every time"))
+      .toDF("doc_id", "source", "text")
+    withConfs("graft.mixture.pairworkGuard" -> "fail") {
+      val e = intercept[IllegalStateException] {
+        StreamingMixture.state(spark).ingest(hot)
+      }
+      assert(e.getMessage.contains("hot-bucket guard") &&
+        e.getMessage.contains("StreamingLsh"),
+        s"guard message must name the capped trade: ${e.getMessage}")
+      // the balanced corpus sails through under the same fail conf
+      val st = StreamingMixture.state(spark)
+      batchesBy(asc = true, n = 3).foreach(st.ingest)
+      assert(rowsOf(st.mixture()) == q147(sfDir))
+    }
+    // default mode: warn — the ingest completes and stays correct
+    val st = StreamingMixture.state(spark)
+    st.ingest(hot)
+    val m = st.mixture().collect()
+    assert(m.length == 1 && m(0).getLong(2) == 1L,
+      "80 identical docs must collapse to one survivor")
+  }
+
   test("zero-surviving-token corpus: mix_ppm is NULL, never a crash — " +
     "q147's zero-guard, shared") {
     import spark.implicits._

@@ -318,8 +318,11 @@ object CorpusOps {
         // per-doc distinct HASHES in-row, like q130: the oracle's pr CTE
         // groups by (doc_id, h), so an intra-document hash60 collision
         // must collapse on this side too (vanishing at 60 bits, but the
-        // parity rule is the same)
-        val g = docs(s, dir).select(col("doc_id"),
+        // parity rule is the same). The 5-gram+hash60 explode is heavy
+        // per-row work with NO shuffle before it — on the single-row-group
+        // testdata it serialized on one core, so the entry scan takes the
+        // Tables.parallel floor (passthrough on production layouts)
+        val g = Tables.parallel(s, dir, "documents").select(col("doc_id"),
             explode(array_distinct(transform(
               array_distinct(wordNgrams(tokens(col("text")), 5)),
               gr => hash60(gr)))).as("h"))

@@ -1084,6 +1084,12 @@ object DedupOps {
         // true dup clusters stay connected (spec-asserted on planted
         // dups). Same (4 × 12-bit) geometry and τ = 0.35 as q45.
         val tables = 4; val bits = 12
+        // NOT floor-limited (measured, round 13): this query's cost lives
+        // in its shuffles (bucket window, two norm joins, CC), not the
+        // pre-shuffle bucketArray — Tables.parallel on the shared base
+        // measured 2.53 → 2.95 s and on the ids path alone 2.53 → 2.81 s
+        // at sf0.1 (the round-robin exchange costs more than the
+        // parallelized hyperplane dots save), so the plain scan stays
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("v"))

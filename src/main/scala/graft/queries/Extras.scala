@@ -1443,6 +1443,11 @@ object Extras {
         // family, applied to retail affinity. Type lookup joins before
         // the self-join so the pair join carries small ints, not part
         // rows.
+        // NOT floor-limited (measured, round 13): the pre-shuffle work is
+        // a projection + broadcast probe + partial distinct — cheap per
+        // row — and Tables.parallel's round-robin cost exceeded the
+        // unlocked parallelism (1.42 → 1.56 s at sf0.1), so the plain
+        // scan stays
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
         val types = Tables(s, dir, "part")

@@ -65,13 +65,16 @@ import org.apache.spark.sql.types._
   * At 100 TB the two stores are keyed tables (bands bucketed by
   * (band, bkey); ledger keyed by doc_id and partitioned by rep so the
   * touched-component fetch prunes) updated per-key via MERGE / a state
-  * store; the local harness emulates them with localCheckpoint'd frames —
-  * an emulation cost, not an algorithmic one, and BOUNDED: each ingest
-  * explicitly unpersists the superseded ledger/bands blocks and the
-  * batch's intermediate checkpoints once the new state is materialized,
-  * so executor storage holds exactly one copy of each store plus one
-  * in-flight batch, never the GC-deferred pile-up of every batch since
-  * start. Bucket membership is UNCAPPED here because batch q147's pair
+  * store; the local harness emulates them with materialized lineage-cut
+  * frames (stats-reset RDD[Row] leaves for the two STORES — see
+  * `materializeState` for why Dataset.localCheckpoint's stats
+  * preservation is fatal across many batches — and localCheckpoints for
+  * within-batch temps) — an emulation cost, not an algorithmic one, and
+  * BOUNDED: each ingest explicitly unpersists the superseded
+  * ledger/bands blocks and the batch's intermediate checkpoints once
+  * the new state is materialized, so executor storage holds exactly one
+  * copy of each store plus one in-flight batch, never the GC-deferred
+  * pile-up of every batch since start. Bucket membership is UNCAPPED here because batch q147's pair
   * graph is uncapped (exact equivalence); a production ingest may cap
   * per-bucket members with exactly [[StreamingLsh]]'s documented recall
   * trade (and the hot-bucket guard above names it at the moment it
@@ -102,6 +105,36 @@ object StreamingMixture {
       spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
     private var ledger: DataFrame =
       spark.createDataFrame(new java.util.ArrayList[Row](), ledgerSchema)
+    // the materialized blocks behind the two state frames (below), so a
+    // superseded copy can be released explicitly
+    private var bandsBlocks: Option[org.apache.spark.rdd.RDD[Row]] = None
+    private var ledgerBlocks: Option[org.apache.spark.rdd.RDD[Row]] = None
+
+    /** Materialize a STATE frame as a lineage-severed leaf that does NOT
+      * carry Catalyst origin statistics — which `Dataset.localCheckpoint`
+      * would preserve (`LogicalRDD.fromDataset` rewrites the optimized
+      * plan's stats onto the checkpointed leaf). That preservation is
+      * normally a feature; here it is fatal at stream length: each
+      * batch's new state plan JOINS and UNIONS frames that are
+      * themselves checkpoints, size-in-bytes estimates MULTIPLY through
+      * joins (`SizeInBytesOnlyStatsPlanVisitor.visitJoin` → product of
+      * children), so the preserved BigInt roughly SQUARES per batch —
+      * bit-length doubles, and by ~batch 12 of the x10 throughput leg
+      * the stream thread measurably sat for an hour inside
+      * `BigInteger.multiplyToomCook3` computing statistics (round-13
+      * find; the ≤4-batch specs never reached the regime). Routing
+      * through RDD[Row] + createDataFrame resets the leaf to default
+      * stats — per-batch stats work stays bounded forever. The Row
+      * round-trip is part of the documented local-emulation cost
+      * (a deployment's keyed tables never re-materialize the store).
+      */
+    private def materializeState(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
 
     // per-source [n_docs, n_survivors, tokens_total, tokens_surviving]:
     // bounded by |sources| — the one driver-side piece, same contract as
@@ -139,14 +172,15 @@ object StreamingMixture {
 
     private[streaming] def loadFrom(bandsStore: DataFrame,
         ledgerStore: DataFrame): Unit = {
-      val (oldBands, oldLedger) = (bands, ledger)
-      bands = bandsStore
-        .select(col("band").cast("int"), col("bkey"), col("doc_id"))
-        .localCheckpoint(true)
-      ledger = ledgerStore
-        .select(col("doc_id"), col("source"), col("tok"), col("rep"))
-        .localCheckpoint(true)
-      release(oldBands); release(oldLedger)
+      val (oldBands, oldLedger) = (bandsBlocks, ledgerBlocks)
+      val (b, bRdd) = materializeState(bandsStore
+        .select(col("band").cast("int"), col("bkey"), col("doc_id")))
+      val (l, lRdd) = materializeState(ledgerStore
+        .select(col("doc_id"), col("source"), col("tok"), col("rep")))
+      bands = b; bandsBlocks = Some(bRdd)
+      ledger = l; ledgerBlocks = Some(lRdd)
+      oldBands.foreach(_.unpersist(blocking = false))
+      oldLedger.foreach(_.unpersist(blocking = false))
       agg.clear()
       ledger.groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
@@ -350,13 +384,16 @@ object StreamingMixture {
                 col("newRep").as("rep")))
             .unionByName(newLedgerRows)
       }
-      // the new checkpoints materialize EAGERLY (reading the old blocks),
-      // so the superseded store copies release immediately after — one
-      // live copy of each store, however long the stream runs
-      val (oldLedger, oldBands) = (ledger, bands)
-      ledger = updated.localCheckpoint(true)
-      bands = bands.unionByName(newBands).localCheckpoint(true)
-      release(oldLedger); release(oldBands)
+      // the new state copies materialize EAGERLY (reading the old
+      // blocks), so the superseded copies release immediately after —
+      // one live copy of each store, however long the stream runs
+      val (oldLedger, oldBands) = (ledgerBlocks, bandsBlocks)
+      val (l, lRdd) = materializeState(updated)
+      val (b, bRdd) = materializeState(bands.unionByName(newBands))
+      ledger = l; ledgerBlocks = Some(lRdd)
+      bands = b; bandsBlocks = Some(bRdd)
+      oldLedger.foreach(_.unpersist(blocking = false))
+      oldBands.foreach(_.unpersist(blocking = false))
     }
 
     private val mixtureSchema = StructType(Seq(

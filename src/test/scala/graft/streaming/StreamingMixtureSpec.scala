@@ -194,6 +194,27 @@ class StreamingMixtureSpec extends SparkSpec {
       "80 identical docs must collapse to one survivor")
   }
 
+  test("state-frame stats do NOT compound across batches: the sizeInBytes " +
+    "estimate stays bounded however many batches arrive (round-13 fix — " +
+    "localCheckpoint's preserved origin stats SQUARED per batch and " +
+    "wedged the stream thread in BigInteger.multiply by ~batch 12)") {
+    import spark.implicits._
+    val st = StreamingMixture.state(spark)
+    val bits = (1 to 8).map { k =>
+      st.ingest(Seq.tabulate(4)(i =>
+        (k * 100L + i, "s", s"tok${k}a tok${k}b tok$i"))
+        .toDF("doc_id", "source", "text"))
+      st.ledgerFrame.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    }
+    // compounding doubles the bit-length per batch (20 → 40 → 80 → ...);
+    // a stats-reset leaf keeps it flat at the default-estimate width
+    assert(bits.last < 128,
+      s"state stats grew to ${bits.last} bits after 8 batches " +
+        s"(trajectory: ${bits.mkString(",")}) — origin-stats compounding " +
+        "is back; the stream thread will wedge in BigInteger.multiply " +
+        "at real batch counts")
+  }
+
   test("zero-surviving-token corpus: mix_ppm is NULL, never a crash — " +
     "q147's zero-guard, shared") {
     import spark.implicits._

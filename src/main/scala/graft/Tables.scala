@@ -66,6 +66,29 @@ object Tables {
     if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
   }
 
+  /** [[parallel]] with a size gate: below `minBytes` of on-disk input the
+    * floor is skipped and the plain scan returned. For MODERATE per-row
+    * work (q121's word split: one regex + one md5 per word) the
+    * round-robin shuffle costs more than the unlocked cores save on a
+    * tiny corpus, while at 10×+ it wins 3–5× (measured, round 13:
+    * sf0.1 0.94 → 1.23 s floored vs x10 5.85 → 1.68 s) — the gate keeps
+    * both regimes on their faster plan. HEAVY per-row sites (gram
+    * explodes: ~50 md5s per doc) win at every measured size and use the
+    * ungated [[parallel]]. Same passthrough contract above the floor.
+    */
+  def parallel(spark: SparkSession, sfDir: String, name: String,
+      minBytes: Long): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    val floor = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= floor) df
+    else {
+      val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.getContentSummary(path).getLength < minBytes) df
+      else df.repartition(floor)
+    }
+  }
+
   /** Session preconditions for reading the testdata tables, shared by the
     * batch loader and the streaming file source. `nanosAsLong` is set
     * (runtime-settable, idempotent — without it a NANOS-encoded events

@@ -233,8 +233,11 @@ object CorpusOps {
         // groups by (doc_id, h), so an intra-document hash32 collision of
         // two distinct grams must collapse to one row on THIS side too or
         // the counts diverge (latent at bench scale, expected at corpus
-        // scale: ~n_grams²/2³³)
-        val g = docs(s, dir).select(col("doc_id"),
+        // scale: ~n_grams²/2³³). Heavy per-row gram+md5 work with no
+        // shuffle before it — floored entry scan, the q132 result
+        // (round 13: 2.53 → 0.92 s at sf0.1; the x100 pre-floor cold was
+        // 160.3 s of mostly this explode)
+        val g = Tables.parallel(s, dir, "documents").select(col("doc_id"),
             explode(array_distinct(transform(
               array_distinct(wordNgrams(tokens(col("text")), 5)),
               gr => hash32(gr)))).as("h"))
@@ -956,7 +959,12 @@ object CorpusOps {
         // 64-row broadcast tables and scoring is one map-side scan +
         // per-doc aggregate — the same importance-resample shape DSIR
         // runs over Pile-sized pools.
-        val words = docs(s, dir)
+        // per-word regex split + md5 bucket hash with no shuffle before
+        // it, and the words frame is evaluated by several aggregates —
+        // SIZE-GATED floored entry scan (round 13: x10 5.85 → 1.68 s,
+        // x100 64.9 → 12.3 s steady; at the tiny sf0.1 the ungated floor
+        // measured 0.94 → 1.23 s, so below 4 MB the plain scan stays)
+        val words = Tables.parallel(s, dir, "documents", 4L << 20)
           .select(col("doc_id"), col("lang"),
             explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
           .filter(col("w") =!= "")

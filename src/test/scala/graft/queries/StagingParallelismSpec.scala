@@ -44,6 +44,21 @@ class StagingParallelismSpec extends SparkSpec {
     assert(staged == direct)
   }
 
+  test("size-gated floor: below minBytes the plain scan stays (a tiny " +
+    "corpus pays the round-robin more than moderate per-row work saves); " +
+    "above it the floor engages; passthrough contract unchanged") {
+    val small = graft.Tables.parallel(spark, sfDir, "documents",
+      minBytes = Long.MaxValue)
+    assert(small.rdd.getNumPartitions == 1,
+      "gate must skip the floor below minBytes")
+    val big = graft.Tables.parallel(spark, sfDir, "documents", minBytes = 1L)
+    assert(big.rdd.getNumPartitions == floor,
+      "gate must engage the floor at/above minBytes")
+    // identical content either way (order-insensitive set)
+    assert(small.collect().map(_.toString).sorted.toSeq ==
+      big.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("multi-split input passes through: no repartition exchange added " +
     "at production layouts") {
     // a many-file layout already yields >= floor scan partitions — the

@@ -86,7 +86,10 @@ import org.apache.spark.sql.types._
   * StreamingMixtureSpec proves: streamed mixture ≡ batch q147 after every
   * prefix (in-order feed), final equality under ADVERSARIAL (descending)
   * arrival where every component's min arrives last — maximal retraction,
-  * and the foreachBatch wiring under a real StreamingQuery.
+  * the foreachBatch wiring under a real StreamingQuery, kill-and-resume
+  * from the durable stores (incl. restore from per-batch-persisted
+  * parquet FILES mid-stream), replay/internal-dup refusal, hot-bucket
+  * guard behavior, and the flat-stats contract across batches.
   */
 object StreamingMixture {
 

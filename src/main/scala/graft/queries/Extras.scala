@@ -1657,7 +1657,13 @@ object Extras {
         // global position) is exactly what a trainer's data loader
         // prefetches by.
         val C = 512L
-        val base = Tables(s, dir, "documents").select(col("doc_id"),
+        // the per-row split+md5 is re-evaluated per epoch AND per
+        // RangeOps pass (4+ corpus evaluations off one scan) — size-gated
+        // floored entry (round 13: x10 6.55 → 5.08 s — the RangeOps shuffles
+        // own the rest; gated because the
+        // per-row work is q121-class, not gram-explode-class)
+        val base = Tables.parallel(s, dir, "documents", 4L << 20)
+          .select(col("doc_id"),
           coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
             .as("tok"))
         Seq(1L, 2L).map { ep =>

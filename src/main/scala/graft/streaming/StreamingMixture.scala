@@ -276,11 +276,16 @@ object StreamingMixture {
       // fail LOUD on a re-delivered doc_id (the documented ingest
       // contract): a duplicate double-counts n_docs/tokens and corrupts
       // survivor accounting — the same silent-mixture-corruption failure
-      // mode the rep-monotonicity guard refuses. One batch-sized
-      // aggregate catches batch-internal repeats; one semi join against
-      // the ledger (a keyed lookup at a deployment) catches replays.
+      // mode the rep-monotonicity guard refuses. ONE job checks both
+      // forms: count vs distinct-count catches batch-internal repeats,
+      // and the ledger left join (a keyed lookup at a deployment; the
+      // ledger carries one row per doc_id by this very invariant)
+      // catches replays.
       val idStats = newDocs
-        .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"))
+        .join(ledger.select(col("doc_id"), lit(1).as("seen")),
+          Seq("doc_id"), "left_outer")
+        .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"),
+          sum(coalesce(col("seen"), lit(0))).as("replayed"))
         .head()
       val nNew = idStats.getLong(0)
       if (nNew != idStats.getLong(1)) throw new IllegalStateException(
@@ -288,12 +293,9 @@ object StreamingMixture {
           "duplicate doc_id rows — the ingest contract requires unique " +
           "doc_ids (re-delivery belongs to the exactly-once layer " +
           "upstream); refusing to double-count mixture weights")
-      val redelivered = newDocs
-        .join(ledger.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .count()
-      if (redelivered > 0) throw new IllegalStateException(
-        s"StreamingMixture: $redelivered doc_ids in this batch were " +
-          "already ingested — the ingest contract requires unique " +
+      if (nNew > 0 && idStats.getLong(2) > 0) throw new IllegalStateException(
+        s"StreamingMixture: ${idStats.getLong(2)} doc_ids in this batch " +
+          "were already ingested — the ingest contract requires unique " +
           "doc_ids (re-delivery belongs to the exactly-once layer " +
           "upstream); refusing to double-count mixture weights")
 

@@ -70,11 +70,14 @@ import org.apache.spark.sql.types._
   * `materializeState` for why Dataset.localCheckpoint's stats
   * preservation is fatal across many batches — and localCheckpoints for
   * within-batch temps) — an emulation cost, not an algorithmic one, and
-  * BOUNDED: each ingest explicitly unpersists the superseded
-  * ledger/bands blocks and the batch's intermediate checkpoints once
-  * the new state is materialized, so executor storage holds exactly one
-  * copy of each store plus one in-flight batch, never the GC-deferred
-  * pile-up of every batch since start. Bucket membership is UNCAPPED here because batch q147's pair
+  * BOUNDED: each ingest explicitly unpersists the superseded ledger
+  * blocks and the batch's intermediate checkpoints once the new state
+  * is materialized, and the band index — append-only by construction —
+  * lives as materialized per-batch segments (compacted past 32), so an
+  * ingest appends O(batch) band rows instead of rewriting O(corpus);
+  * executor storage holds exactly one copy of each store plus one
+  * in-flight batch, never the GC-deferred pile-up of every batch since
+  * start. Bucket membership is UNCAPPED here because batch q147's pair
   * graph is uncapped (exact equivalence); a production ingest may cap
   * per-bucket members with exactly [[StreamingLsh]]'s documented recall
   * trade (and the hot-bucket guard above names it at the moment it
@@ -104,14 +107,35 @@ object StreamingMixture {
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("tok", LongType), StructField("rep", LongType)))
 
-    private var bands: DataFrame =
-      spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
     private var ledger: DataFrame =
       spark.createDataFrame(new java.util.ArrayList[Row](), ledgerSchema)
-    // the materialized blocks behind the two state frames (below), so a
-    // superseded copy can be released explicitly
-    private var bandsBlocks: Option[org.apache.spark.rdd.RDD[Row]] = None
+    // the materialized blocks behind the ledger frame, so a superseded
+    // copy can be released explicitly
     private var ledgerBlocks: Option[org.apache.spark.rdd.RDD[Row]] = None
+
+    // The band index is APPEND-ONLY by construction (a doc's band
+    // assignments never change), so re-materializing the whole index per
+    // batch — as the ledger legitimately must, labels move — would be
+    // O(corpus) work for a store that didn't change. It lives instead as
+    // materialized SEGMENTS: one single-partition leaf per ingested
+    // batch, unioned lazily (union sizes ADD through stats estimation —
+    // no compounding), compacted into one leaf when the segment count
+    // would make union scans task-overhead-bound.
+    private var bandSegments
+        : Vector[(DataFrame, org.apache.spark.rdd.RDD[Row])] = Vector.empty
+    private val CompactAt = 32
+
+    private def bands: DataFrame =
+      if (bandSegments.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
+      else bandSegments.map(_._1).reduce(_ unionByName _)
+
+    private def compactBands(): Unit = {
+      val old = bandSegments
+      val seg = materializeState(bands)
+      bandSegments = Vector(seg)
+      old.foreach(_._2.unpersist(blocking = false))
+    }
 
     /** Materialize a STATE frame as a lineage-severed leaf that does NOT
       * carry Catalyst origin statistics — which `Dataset.localCheckpoint`
@@ -175,14 +199,14 @@ object StreamingMixture {
 
     private[streaming] def loadFrom(bandsStore: DataFrame,
         ledgerStore: DataFrame): Unit = {
-      val (oldBands, oldLedger) = (bandsBlocks, ledgerBlocks)
-      val (b, bRdd) = materializeState(bandsStore
+      val (oldSegs, oldLedger) = (bandSegments, ledgerBlocks)
+      val bSeg = materializeState(bandsStore
         .select(col("band").cast("int"), col("bkey"), col("doc_id")))
       val (l, lRdd) = materializeState(ledgerStore
         .select(col("doc_id"), col("source"), col("tok"), col("rep")))
-      bands = b; bandsBlocks = Some(bRdd)
+      bandSegments = Vector(bSeg)
       ledger = l; ledgerBlocks = Some(lRdd)
-      oldBands.foreach(_.unpersist(blocking = false))
+      oldSegs.foreach(_._2.unpersist(blocking = false))
       oldLedger.foreach(_.unpersist(blocking = false))
       agg.clear()
       ledger.groupBy(col("source"))
@@ -389,16 +413,18 @@ object StreamingMixture {
                 col("newRep").as("rep")))
             .unionByName(newLedgerRows)
       }
-      // the new state copies materialize EAGERLY (reading the old
-      // blocks), so the superseded copies release immediately after —
-      // one live copy of each store, however long the stream runs
-      val (oldLedger, oldBands) = (ledgerBlocks, bandsBlocks)
+      // the new ledger copy materializes EAGERLY (reading the old
+      // blocks), so the superseded copy releases immediately after —
+      // one live copy, however long the stream runs. The band index only
+      // APPENDS: the batch becomes one new single-partition segment
+      // (coalesced — a segment is batch-sized; without it, union scans
+      // accumulate each batch-plan's partition count in task overhead)
+      val oldLedger = ledgerBlocks
       val (l, lRdd) = materializeState(updated)
-      val (b, bRdd) = materializeState(bands.unionByName(newBands))
       ledger = l; ledgerBlocks = Some(lRdd)
-      bands = b; bandsBlocks = Some(bRdd)
       oldLedger.foreach(_.unpersist(blocking = false))
-      oldBands.foreach(_.unpersist(blocking = false))
+      bandSegments :+= materializeState(newBands.coalesce(1))
+      if (bandSegments.size > CompactAt) compactBands()
     }
 
     private val mixtureSchema = StructType(Seq(

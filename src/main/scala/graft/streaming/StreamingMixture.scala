@@ -97,7 +97,8 @@ import org.apache.spark.sql.types._
 object StreamingMixture {
 
   /** Mutable per-stream state; one instance per logical ingest pipeline. */
-  final class MixtureState(spark: SparkSession) {
+  final class MixtureState(spark: SparkSession,
+      private[streaming] val compactAt: Int = 32) {
     import spark.implicits._
 
     private val bandsSchema = StructType(Seq(
@@ -123,16 +124,24 @@ object StreamingMixture {
     // would make union scans task-overhead-bound.
     private var bandSegments
         : Vector[(DataFrame, org.apache.spark.rdd.RDD[Row])] = Vector.empty
-    private val CompactAt = 32
 
     private def bands: DataFrame =
       if (bandSegments.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
       else bandSegments.map(_._1).reduce(_ unionByName _)
 
+    /** Compact the segment union into ONE leaf, coalesced back to at most
+      * `defaultParallelism` partitions: the union RDD's partition count is
+      * the SUM of its segments', so without the coalesce each compaction
+      * would bake ~compactAt extra partitions into the compacted leaf —
+      * the index's partition count (and every later band scan's task
+      * count) would grow by one per batch forever, un-bounding exactly
+      * the task overhead compaction exists to bound.
+      */
     private def compactBands(): Unit = {
       val old = bandSegments
-      val seg = materializeState(bands)
+      val par = spark.sparkContext.defaultParallelism
+      val seg = materializeState(bands.coalesce(par))
       bandSegments = Vector(seg)
       old.foreach(_._2.unpersist(blocking = false))
     }
@@ -424,7 +433,7 @@ object StreamingMixture {
       ledger = l; ledgerBlocks = Some(lRdd)
       oldLedger.foreach(_.unpersist(blocking = false))
       bandSegments :+= materializeState(newBands.coalesce(1))
-      if (bandSegments.size > CompactAt) compactBands()
+      if (bandSegments.size > compactAt) compactBands()
     }
 
     private val mixtureSchema = StructType(Seq(

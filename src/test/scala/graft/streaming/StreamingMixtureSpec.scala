@@ -215,6 +215,33 @@ class StreamingMixtureSpec extends SparkSpec {
         "at real batch counts")
   }
 
+  test("band-index compaction keeps the index partition count BOUNDED " +
+    "across compaction cycles (the compacted leaf coalesces back to " +
+    "defaultParallelism; without it each cycle bakes ~compactAt extra " +
+    "partitions in forever) — and stays correct through compactions") {
+    import spark.implicits._
+    val st = new StreamingMixture.MixtureState(spark, compactAt = 3)
+    val partsAfter = (1 to 12).map { k =>
+      st.ingest(Seq.tabulate(3)(i =>
+        (k * 100L + i, "s", s"w${k}a w${k}b w$i"))
+        .toDF("doc_id", "source", "text"))
+      st.bandsFrame.rdd.getNumPartitions
+    }
+    // 12 batches at compactAt=3 → three full compaction cycles; the
+    // bound must not drift upward cycle over cycle
+    val bound = spark.sparkContext.defaultParallelism + st.compactAt + 1
+    assert(partsAfter.max <= bound,
+      s"band index reached ${partsAfter.max} partitions " +
+        s"(trajectory: ${partsAfter.mkString(",")}; bound $bound) — " +
+        "compaction is accumulating partitions instead of bounding them")
+    // correctness through maximal compaction churn on the REAL fixture:
+    // compact after every batch, adversarial descending arrival
+    val st2 = new StreamingMixture.MixtureState(spark, compactAt = 1)
+    batchesBy(asc = false, n = 4).foreach(st2.ingest)
+    assert(rowsOf(st2.mixture()) == q147(sfDir),
+      "per-batch compaction diverged from batch q147")
+  }
+
   test("zero-surviving-token corpus: mix_ppm is NULL, never a crash — " +
     "q147's zero-guard, shared") {
     import spark.implicits._

@@ -60,11 +60,8 @@ object Tables {
     * this is restricted to order-insensitive consumers — every staged
     * build qualifies (groupBy/explode/agg semantics).
     */
-  def parallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = apply(spark, sfDir, name)
-    val floor = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
-  }
+  def parallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    parallel(spark, sfDir, name, minBytes = 0L)
 
   /** [[parallel]] with a size gate: below `minBytes` of on-disk input the
     * floor is skipped and the plain scan returned. For MODERATE per-row
@@ -74,19 +71,22 @@ object Tables {
     * sf0.1 0.94 → 1.23 s floored vs x10 5.85 → 1.68 s) — the gate keeps
     * both regimes on their faster plan. HEAVY per-row sites (gram
     * explodes: ~50 md5s per doc) win at every measured size and use the
-    * ungated [[parallel]]. Same passthrough contract above the floor.
+    * ungated [[parallel]] (= `minBytes = 0`, which also skips the
+    * filesystem size probe). Same passthrough contract above the floor;
+    * ONE implementation so the floor rule can never diverge between the
+    * gated and ungated forms.
     */
   def parallel(spark: SparkSession, sfDir: String, name: String,
       minBytes: Long): DataFrame = {
     val df = apply(spark, sfDir, name)
     val floor = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= floor) df
-    else {
+    else if (minBytes > 0L && {
       val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.getContentSummary(path).getLength < minBytes) df
-      else df.repartition(floor)
-    }
+      fs.getContentSummary(path).getLength < minBytes
+    }) df
+    else df.repartition(floor)
   }
 
   /** Session preconditions for reading the testdata tables, shared by the

@@ -40,6 +40,21 @@ object ConnectedComponents {
     * deliberately.
     */
   def run(edgesIn: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+    val (labels, rounds, _) = runHandle(edgesIn, maxRounds)
+    (labels, rounds)
+  }
+
+  /** As [[run]], additionally handing back the FINAL contracted round
+    * frame. The returned `labels` is lazy and reads that frame's
+    * checkpointed blocks, so [[run]] must keep them alive for the caller;
+    * but a caller that immediately MATERIALIZES the labels (the streaming
+    * ingest path, which localCheckpoints them per batch) can then release
+    * the final round's blocks explicitly instead of leaving one frame per
+    * invocation to driver-GC reclamation. Superseded INTERMEDIATE rounds
+    * are always released in-loop, for every caller.
+    */
+  private[graft] def runHandle(edgesIn: DataFrame, maxRounds: Int = 25)
+      : (DataFrame, Int, DataFrame) = {
     // consumed once (the final label join), so no persist — caching it
     // would only hold executor storage hostage across the loop
     val nodes = edgesIn.select(col("u").as("node"))
@@ -71,6 +86,20 @@ object ConnectedComponents {
         cached.unpersist()
         out
       } else df.localCheckpoint(true)
+
+    // Release a SUPERSEDED round frame's blocks eagerly: the next round
+    // was already materialized from them, so nothing can read them again —
+    // without this, every round of every invocation lingers in block-
+    // manager storage until driver GC triggers the ContextCleaner (a
+    // long-running stream ingesting many batches accumulates them
+    // unboundedly). No-op on the reliable-checkpoint path (its round
+    // frames are file-backed, not persisted blocks).
+    def releaseRound(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
 
     var edges = truncate(edgesIn
       .filter(col("u") =!= col("v"))
@@ -116,7 +145,11 @@ object ConnectedComponents {
       converged = now._1 == prev._1 &&
         (now._1 == 0L || (now._2 != null && now._2 == prev._2))
       prev = now
+      // ss2 is already materialized (truncate is eager), so the previous
+      // round's blocks can never be read again — release them now
+      val superseded = edges
       edges = ss2
+      releaseRound(superseded)
       rounds += 1
     }
 
@@ -133,6 +166,17 @@ object ConnectedComponents {
     val parents = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("p"))
     val labels = nodes.join(parents, Seq("node"), "left")
       .select(col("node"), coalesce(col("p"), col("node")).as("label"))
-    (labels, rounds)
+    (labels, rounds, edges)
   }
+
+  /** Release the final round frame [[runHandle]] handed back — callable
+    * only AFTER the labels frame has been materialized (it reads these
+    * blocks).
+    */
+  private[graft] def releaseFinal(finalRound: DataFrame): Unit =
+    finalRound.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

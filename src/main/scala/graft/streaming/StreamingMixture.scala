@@ -46,11 +46,15 @@ import org.apache.spark.sql.types._
   * Guards (all fail-loud, because every failure mode here corrupts
   * mixture weights SILENTLY otherwise):
   *   - rep monotonicity (above) — always on.
-  *   - re-delivered doc_id: the ingest contract says doc_ids are unique
-  *     across the stream; a duplicate would double-count n_docs/tokens.
-  *     Checked per batch (batch-internal and vs the ledger) and thrown,
-  *     not warned — re-delivery belongs to the exactly-once layer
-  *     upstream, and proceeding would ship wrong weights.
+  *   - re-used doc_id: doc_ids are unique across the stream (an ingest
+  *     id); a duplicate would double-count n_docs/tokens. Checked per
+  *     batch (batch-internal and vs the ledger) and thrown — EXCEPT a
+  *     whole-batch replay (every id already ingested), which is SKIPPED
+  *     idempotently: foreachBatch is at-least-once, a crash between a
+  *     successful ingest and the streaming checkpoint commit re-delivers
+  *     the micro-batch on restart, and throwing there would crash-loop
+  *     the resumed stream. Skip-if-all-present + all-or-nothing ingest
+  *     (see the commit point in `ingestTracked`) = effectively-once.
   *   - hot-bucket pairwork (`graft.mixture.pairworkGuard` = warn default
   *     / fail / off, threshold `graft.mixture.maxPairworkPerDoc` = 64):
   *     the band-index join is deliberately UNCAPPED for exact ≡ q147, so
@@ -83,16 +87,20 @@ import org.apache.spark.sql.types._
   * trade (and the hot-bucket guard above names it at the moment it
   * matters).
   *
-  * Ingest contract: doc_ids are unique across the stream (an ingest id);
-  * re-delivery belongs to the exactly-once layer upstream.
+  * Ingest contract: doc_ids are unique across the stream (an ingest id).
+  * Delivery may be AT-LEAST-ONCE at batch granularity (the foreachBatch
+  * restart semantics): a fully re-delivered batch is skipped
+  * idempotently; partial doc_id overlap (id reuse, not a replay) fails
+  * loud.
   *
   * StreamingMixtureSpec proves: streamed mixture ≡ batch q147 after every
   * prefix (in-order feed), final equality under ADVERSARIAL (descending)
   * arrival where every component's min arrives last — maximal retraction,
   * the foreachBatch wiring under a real StreamingQuery, kill-and-resume
   * from the durable stores (incl. restore from per-batch-persisted
-  * parquet FILES mid-stream), replay/internal-dup refusal, hot-bucket
-  * guard behavior, and the flat-stats contract across batches.
+  * parquet FILES mid-stream, and crash-with-re-delivery), idempotent
+  * whole-batch replay skip, partial-overlap/internal-dup refusal,
+  * hot-bucket guard behavior, and the flat-stats contract across batches.
   */
 object StreamingMixture {
 
@@ -244,6 +252,12 @@ object StreamingMixture {
       */
     private def guardBucketPairwork(nNew: Long, newBands: DataFrame): Unit = {
       val mode = spark.conf.get("graft.mixture.pairworkGuard", "warn")
+      if (mode != "off" && mode != "warn" && mode != "fail")
+        throw new IllegalArgumentException(
+          s"graft.mixture.pairworkGuard must be off|warn|fail, got '$mode'" +
+            " — refusing to guess (a typo'd 'fail' silently degrading to" +
+            " warn would disarm the measurement harness's fail-loud" +
+            " contract)")
       if (mode == "off" || nNew == 0L) return
       val perDocCap =
         spark.conf.get("graft.mixture.maxPairworkPerDoc", "64").toLong
@@ -306,14 +320,25 @@ object StreamingMixture {
             .as("tok"))
         .localCheckpoint(true))
 
-      // fail LOUD on a re-delivered doc_id (the documented ingest
-      // contract): a duplicate double-counts n_docs/tokens and corrupts
-      // survivor accounting — the same silent-mixture-corruption failure
-      // mode the rep-monotonicity guard refuses. ONE job checks both
-      // forms: count vs distinct-count catches batch-internal repeats,
-      // and the ledger left join (a keyed lookup at a deployment; the
-      // ledger carries one row per doc_id by this very invariant)
-      // catches replays.
+      // Re-delivery handling — ONE job checks every form (count vs
+      // distinct-count catches batch-internal repeats; the ledger left
+      // join — a keyed lookup at a deployment — counts already-ingested
+      // ids):
+      //   - batch-internal duplicate rows: always a contract violation,
+      //     fail loud (would double-count within one ingest).
+      //   - ALL ids already ingested: an idempotent SKIP, not an error.
+      //     foreachBatch is at-least-once — a crash between a successful
+      //     ingest (+ store persist) and the streaming checkpoint commit
+      //     re-delivers the whole micro-batch on restart, so throwing
+      //     here would crash-loop the resumed stream forever; skipping
+      //     the fully-applied batch is what turns at-least-once delivery
+      //     into effectively-once ingest.
+      //   - SOME ids already ingested: fail loud. A batch replay is
+      //     all-or-nothing (ingest mutates no state on failure — see the
+      //     commit point below), so partial overlap can only be doc_id
+      //     reuse across distinct batches, and proceeding would silently
+      //     corrupt the mixture — the failure mode every guard here
+      //     refuses.
       val idStats = newDocs
         .join(ledger.select(col("doc_id"), lit(1).as("seen")),
           Seq("doc_id"), "left_outer")
@@ -324,13 +349,25 @@ object StreamingMixture {
       if (nNew != idStats.getLong(1)) throw new IllegalStateException(
         s"StreamingMixture: batch carries ${nNew - idStats.getLong(1)} " +
           "duplicate doc_id rows — the ingest contract requires unique " +
-          "doc_ids (re-delivery belongs to the exactly-once layer " +
-          "upstream); refusing to double-count mixture weights")
-      if (nNew > 0 && idStats.getLong(2) > 0) throw new IllegalStateException(
-        s"StreamingMixture: ${idStats.getLong(2)} doc_ids in this batch " +
-          "were already ingested — the ingest contract requires unique " +
-          "doc_ids (re-delivery belongs to the exactly-once layer " +
-          "upstream); refusing to double-count mixture weights")
+          "doc_ids within a batch; refusing to double-count mixture " +
+          "weights")
+
+      // an empty trigger is a no-op: without this, it would still rewrite
+      // the whole ledger and append a useless empty band segment
+      if (nNew == 0L) return
+
+      val nReplayed = idStats.getLong(2)
+      if (nReplayed == nNew) {
+        System.err.println(s"[graft] StreamingMixture: all $nNew doc_ids " +
+          "of this batch are already ingested — skipping as an " +
+          "idempotent replay (at-least-once re-delivery after a restart)")
+        return
+      }
+      if (nReplayed > 0L) throw new IllegalStateException(
+        s"StreamingMixture: $nReplayed of $nNew doc_ids in this batch " +
+          "were already ingested but the rest were not — not a whole-" +
+          "batch replay (ingest is all-or-nothing), so this is doc_id " +
+          "reuse; refusing to double-count mixture weights")
 
       val newBands = temp(StreamingLsh
         .bandAssignments(batch.select(col("doc_id"), col("text")))
@@ -364,10 +401,15 @@ object StreamingMixture {
           val star = affected
             .select(col("rep").as("u"), col("doc_id").as("v"))
             .filter(col("u") =!= col("v"))
-          val labels = temp(graft.operators.ConnectedComponents
-            .run(edges.unionByName(star))._1
+          val (ccLabels, _, ccFinal) = graft.operators.ConnectedComponents
+            .runHandle(edges.unionByName(star))
+          val labels = temp(ccLabels
             .withColumnRenamed("node", "doc_id")
             .localCheckpoint(true))
+          // labels is materialized now; the CC final-round frame's blocks
+          // can be released instead of lingering until driver GC (CC's
+          // intermediate rounds already release in-loop)
+          graft.operators.ConnectedComponents.releaseFinal(ccFinal)
           val aff = temp(affected
             .join(labels, Seq("doc_id"), "left_outer")
             .select(col("doc_id"), col("source"), col("tok"), col("rep"),
@@ -391,24 +433,27 @@ object StreamingMixture {
             "accounting")
       }
 
-      // mixture deltas: new docs add; one-directional survivor flips retract
-      newLedgerRows.groupBy(col("source"))
+      // mixture deltas: new docs add; one-directional survivor flips
+      // retract. COLLECTED here but APPLIED only at the commit point
+      // below — bumping the driver aggregates before the fallible state
+      // materializations would leave a half-applied batch on failure
+      // (agg bumped, ledger not), and because the ledger never recorded
+      // the batch, a re-delivery would pass the replay guard and
+      // double-count: the silent-corruption mode every other guard here
+      // refuses.
+      val addDeltas = newLedgerRows.groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum((col("rep") === col("doc_id")).cast("long")).as("s"),
           sum(col("tok")).as("t"),
           sum(when(col("rep") === col("doc_id"), col("tok"))
             .otherwise(0L)).as("ts"))
         .collect()
-        .foreach(r => bump(Option(r.getString(0)),
-          Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
-      affLabeled.foreach { aff =>
+      val retractDeltas = affLabeled.toSeq.flatMap { aff =>
         aff.filter(col("rep") === col("doc_id") &&
             col("newRep") =!= col("doc_id"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"), sum(col("tok")).as("t"))
           .collect()
-          .foreach(r => bump(Option(r.getString(0)),
-            Array(0L, -r.getLong(1), 0L, -r.getLong(2))))
       }
 
       // state update: untouched rows pass through; touched components get
@@ -422,17 +467,31 @@ object StreamingMixture {
                 col("newRep").as("rep")))
             .unionByName(newLedgerRows)
       }
-      // the new ledger copy materializes EAGERLY (reading the old
-      // blocks), so the superseded copy releases immediately after —
-      // one live copy, however long the stream runs. The band index only
-      // APPENDS: the batch becomes one new single-partition segment
-      // (coalesced — a segment is batch-sized; without it, union scans
-      // accumulate each batch-plan's partition count in task overhead)
-      val oldLedger = ledgerBlocks
+      // ALL fallible cluster work completes before any driver-side state
+      // mutates: a throw anywhere above leaves ledger/bands/agg exactly
+      // at the pre-batch state, so the batch can be re-delivered whole
+      // (and a re-delivery after SUCCESS is refused whole by the replay
+      // guard). The new ledger copy materializes EAGERLY (reading the
+      // old blocks); the band index only APPENDS — the batch becomes one
+      // new single-partition segment (coalesced: a segment is
+      // batch-sized; without it, union scans accumulate each batch-plan's
+      // partition count in task overhead).
       val (l, lRdd) = materializeState(updated)
+      val newSeg = materializeState(newBands.coalesce(1))
+
+      // commit point: pure driver-side bookkeeping from here on
+      addDeltas.foreach(r => bump(Option(r.getString(0)),
+        Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      retractDeltas.foreach(r => bump(Option(r.getString(0)),
+        Array(0L, -r.getLong(1), 0L, -r.getLong(2))))
+      val oldLedger = ledgerBlocks
       ledger = l; ledgerBlocks = Some(lRdd)
       oldLedger.foreach(_.unpersist(blocking = false))
-      bandSegments :+= materializeState(newBands.coalesce(1))
+      bandSegments :+= newSeg
+      // compaction sits AFTER the commit point deliberately: it only swaps
+      // an equivalent representation, so a failure inside it leaves the
+      // batch fully applied with the uncompacted segments intact (the next
+      // ingest simply re-triggers it)
       if (bandSegments.size > compactAt) compactBands()
     }
 

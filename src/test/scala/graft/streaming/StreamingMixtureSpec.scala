@@ -135,6 +135,13 @@ class StreamingMixtureSpec extends SparkSpec {
       spark.read.parquet(s"$root/ledger"))
     assert(rowsOf(st2.mixture()) == rowsOf(st1.mixture()),
       "restore from the persisted FILES diverges from the live state")
+    // the crash window foreachBatch actually has: ingest + persist
+    // SUCCEEDED but the streaming checkpoint commit did not, so the
+    // restarted query RE-DELIVERS the last batch — the idempotent skip
+    // must absorb it without double-counting
+    st2.ingest(batches(1))
+    assert(rowsOf(st2.mixture()) == rowsOf(st1.mixture()),
+      "re-delivered last batch after restore must be a no-op skip")
     // restore eagerly materializes (loadFrom localCheckpoints), so the
     // continued per-batch overwrites of the SAME paths must not corrupt it
     batches.drop(2).foreach { b => st2.ingest(b); persist(st2) }
@@ -147,17 +154,26 @@ class StreamingMixtureSpec extends SparkSpec {
     assert(rowsOf(st3.mixture()) == q147(sfDir))
   }
 
-  test("re-delivered doc_id fails loud: a replayed batch and a " +
-    "batch-internal duplicate both refuse to double-count") {
+  test("doc_id re-use handling: a WHOLE-batch replay is an idempotent " +
+    "no-op skip (foreachBatch re-delivers the last batch after a crash " +
+    "— throwing would crash-loop the resumed stream); partial overlap " +
+    "and batch-internal duplicates fail loud") {
     import spark.implicits._
     val st = StreamingMixture.state(spark)
     st.ingest(Seq((1L, "a", "x y z"), (2L, "b", "p q")).toDF(
       "doc_id", "source", "text"))
     val before = rowsOf(st.mixture())
-    val replay = intercept[IllegalStateException] {
-      st.ingest(Seq((2L, "b", "p q")).toDF("doc_id", "source", "text"))
+    // whole-batch replay: every id already ingested → skip, unchanged
+    st.ingest(Seq((1L, "a", "x y z"), (2L, "b", "p q")).toDF(
+      "doc_id", "source", "text"))
+    assert(rowsOf(st.mixture()) == before,
+      "an idempotent replay skip must leave the accounting untouched")
+    // partial overlap: id reuse, not a batch replay — refuse
+    val partial = intercept[IllegalStateException] {
+      st.ingest(Seq((2L, "b", "p q"), (9L, "c", "r s")).toDF(
+        "doc_id", "source", "text"))
     }
-    assert(replay.getMessage.contains("already ingested"))
+    assert(partial.getMessage.contains("doc_id reuse"))
     val internal = intercept[IllegalStateException] {
       st.ingest(Seq((7L, "a", "m n"), (7L, "a", "m n")).toDF(
         "doc_id", "source", "text"))
@@ -213,6 +229,33 @@ class StreamingMixtureSpec extends SparkSpec {
         s"(trajectory: ${bits.mkString(",")}) — origin-stats compounding " +
         "is back; the stream thread will wedge in BigInteger.multiply " +
         "at real batch counts")
+  }
+
+  test("an unrecognized pairworkGuard mode throws instead of silently " +
+    "degrading to warn (a typo'd 'fail' must not disarm the harness)") {
+    import spark.implicits._
+    withConfs("graft.mixture.pairworkGuard" -> "FAIL") {
+      val e = intercept[IllegalArgumentException] {
+        StreamingMixture.state(spark).ingest(
+          Seq((1L, "a", "x y z")).toDF("doc_id", "source", "text"))
+      }
+      assert(e.getMessage.contains("off|warn|fail"))
+    }
+  }
+
+  test("an empty micro-batch is a NO-OP: no ledger rewrite, no empty band " +
+    "segment appended, accounting untouched") {
+    import spark.implicits._
+    val st = StreamingMixture.state(spark)
+    st.ingest(Seq((1L, "a", "x y z"), (2L, "b", "p q")).toDF(
+      "doc_id", "source", "text"))
+    val before = rowsOf(st.mixture())
+    val partsBefore = st.bandsFrame.rdd.getNumPartitions
+    st.ingest(Seq.empty[(Long, String, String)].toDF(
+      "doc_id", "source", "text"))
+    assert(rowsOf(st.mixture()) == before)
+    assert(st.bandsFrame.rdd.getNumPartitions == partsBefore,
+      "an empty batch appended a band segment")
   }
 
   test("band-index compaction keeps the index partition count BOUNDED " +

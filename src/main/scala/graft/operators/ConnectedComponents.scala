@@ -87,20 +87,6 @@ object ConnectedComponents {
         out
       } else df.localCheckpoint(true)
 
-    // Release a SUPERSEDED round frame's blocks eagerly: the next round
-    // was already materialized from them, so nothing can read them again —
-    // without this, every round of every invocation lingers in block-
-    // manager storage until driver GC triggers the ContextCleaner (a
-    // long-running stream ingesting many batches accumulates them
-    // unboundedly). No-op on the reliable-checkpoint path (its round
-    // frames are file-backed, not persisted blocks).
-    def releaseRound(df: DataFrame): Unit =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-
     var edges = truncate(edgesIn
       .filter(col("u") =!= col("v"))
       .select(col("u"), col("v")).distinct())
@@ -146,10 +132,14 @@ object ConnectedComponents {
         (now._1 == 0L || (now._2 != null && now._2 == prev._2))
       prev = now
       // ss2 is already materialized (truncate is eager), so the previous
-      // round's blocks can never be read again — release them now
+      // round's blocks can never be read again — release them now. Without
+      // this, every round of every invocation lingers in block-manager
+      // storage until driver GC triggers the ContextCleaner (a
+      // long-running stream ingesting many batches accumulates them
+      // unboundedly).
       val superseded = edges
       edges = ss2
-      releaseRound(superseded)
+      releaseBlocks(superseded)
       rounds += 1
     }
 
@@ -169,12 +159,17 @@ object ConnectedComponents {
     (labels, rounds, edges)
   }
 
-  /** Release the final round frame [[runHandle]] handed back — callable
-    * only AFTER the labels frame has been materialized (it reads these
-    * blocks).
+  /** Release the localCheckpoint blocks backing a lineage-cut frame (a
+    * `localCheckpoint`'d Dataset or one built over a checkpointed
+    * RDD[Row]) — the ONE shared unpersist helper for every explicit
+    * release site (the CC round loop, the [[runHandle]] final frame
+    * after its labels are materialized, and StreamingMixture's state
+    * temps), so the pattern can never diverge between copies. No-op on
+    * frames whose plan is not a leaf LogicalRDD (e.g. the
+    * reliable-checkpoint path's file-backed rounds).
     */
-  private[graft] def releaseFinal(finalRound: DataFrame): Unit =
-    finalRound.queryExecution.analyzed match {
+  private[graft] def releaseBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()

@@ -49,12 +49,16 @@ import org.apache.spark.sql.types._
   *   - re-used doc_id: doc_ids are unique across the stream (an ingest
   *     id); a duplicate would double-count n_docs/tokens. Checked per
   *     batch (batch-internal and vs the ledger) and thrown — EXCEPT a
-  *     whole-batch replay (every id already ingested), which is SKIPPED
-  *     idempotently: foreachBatch is at-least-once, a crash between a
-  *     successful ingest and the streaming checkpoint commit re-delivers
-  *     the micro-batch on restart, and throwing there would crash-loop
-  *     the resumed stream. Skip-if-all-present + all-or-nothing ingest
-  *     (see the commit point in `ingestTracked`) = effectively-once.
+  *     whole-batch replay (every id already ingested AND every content
+  *     fingerprint matches the ledger's), which is SKIPPED idempotently:
+  *     foreachBatch is at-least-once, a crash between a successful
+  *     ingest and the streaming checkpoint commit re-delivers the
+  *     micro-batch on restart, and throwing there would crash-loop the
+  *     resumed stream. The fingerprint is what separates a replay from
+  *     an id-counter reset shipping NEW documents under old ids (which
+  *     fails loud — an id-only skip would silently drop them).
+  *     Skip-if-identical + all-or-nothing ingest (see the commit point
+  *     in `ingestTracked`) = effectively-once.
   *   - hot-bucket pairwork (`graft.mixture.pairworkGuard` = warn default
   *     / fail / off, threshold `graft.mixture.maxPairworkPerDoc` = 64):
   *     the band-index join is deliberately UNCAPPED for exact ≡ q147, so
@@ -89,9 +93,10 @@ import org.apache.spark.sql.types._
   *
   * Ingest contract: doc_ids are unique across the stream (an ingest id).
   * Delivery may be AT-LEAST-ONCE at batch granularity (the foreachBatch
-  * restart semantics): a fully re-delivered batch is skipped
-  * idempotently; partial doc_id overlap (id reuse, not a replay) fails
-  * loud.
+  * restart semantics): a fully re-delivered batch (all ids present,
+  * all content fingerprints matching) is skipped idempotently; doc_id
+  * reuse — partial overlap, or full id overlap with differing
+  * fingerprints — fails loud.
   *
   * StreamingMixtureSpec proves: streamed mixture ≡ batch q147 after every
   * prefix (in-order feed), final equality under ADVERSARIAL (descending)
@@ -112,9 +117,16 @@ object StreamingMixture {
     private val bandsSchema = StructType(Seq(
       StructField("band", IntegerType), StructField("bkey", StringType),
       StructField("doc_id", LongType)))
+    // fp = xxhash64(source, text): the content fingerprint that lets the
+    // idempotent replay skip distinguish a true whole-batch re-delivery
+    // (every id present AND every fingerprint matches → skip) from
+    // doc_id reuse that happens to collide on every id (an upstream
+    // id-counter reset shipping NEW documents under old ids → fail loud;
+    // an id-only check would silently drop that batch forever)
     private val ledgerSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
-      StructField("tok", LongType), StructField("rep", LongType)))
+      StructField("tok", LongType), StructField("rep", LongType),
+      StructField("fp", LongType)))
 
     private var ledger: DataFrame =
       spark.createDataFrame(new java.util.ArrayList[Row](), ledgerSchema)
@@ -197,13 +209,10 @@ object StreamingMixture {
       * executor storage to one live copy of each store (without this,
       * blocks linger until driver GC happens to trigger the
       * ContextCleaner — unbounded over a long-running stream).
+      * Delegates to the one shared unpersist helper.
       */
     private def release(df: DataFrame): Unit =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+      graft.operators.ConnectedComponents.releaseBlocks(df)
 
     /** Exposed for the spec's doc-level monotonicity assertions. */
     private[streaming] def ledgerFrame: DataFrame = ledger
@@ -220,7 +229,8 @@ object StreamingMixture {
       val bSeg = materializeState(bandsStore
         .select(col("band").cast("int"), col("bkey"), col("doc_id")))
       val (l, lRdd) = materializeState(ledgerStore
-        .select(col("doc_id"), col("source"), col("tok"), col("rep")))
+        .select(col("doc_id"), col("source"), col("tok"), col("rep"),
+          col("fp")))
       bandSegments = Vector(bSeg)
       ledger = l; ledgerBlocks = Some(lRdd)
       oldSegs.foreach(_._2.unpersist(blocking = false))
@@ -312,12 +322,14 @@ object StreamingMixture {
 
     private def ingestTracked(batch: DataFrame,
         temp: DataFrame => DataFrame): Unit = {
-      // tok EXACTLY as q147 computes it (whitespace token count, null → 0)
+      // tok EXACTLY as q147 computes it (whitespace token count, null → 0);
+      // fp is the replay-vs-reuse content fingerprint (see ledgerSchema)
       val newDocs = temp(batch
         .select(col("doc_id").cast("long").as("doc_id"),
           col("source"),
           coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
-            .as("tok"))
+            .as("tok"),
+          xxhash64(col("source"), col("text")).as("fp"))
         .localCheckpoint(true))
 
       // Re-delivery handling — ONE job checks every form (count vs
@@ -326,13 +338,17 @@ object StreamingMixture {
       // ids):
       //   - batch-internal duplicate rows: always a contract violation,
       //     fail loud (would double-count within one ingest).
-      //   - ALL ids already ingested: an idempotent SKIP, not an error.
-      //     foreachBatch is at-least-once — a crash between a successful
-      //     ingest (+ store persist) and the streaming checkpoint commit
-      //     re-delivers the whole micro-batch on restart, so throwing
-      //     here would crash-loop the resumed stream forever; skipping
-      //     the fully-applied batch is what turns at-least-once delivery
+      //   - ALL ids already ingested AND all content fingerprints match:
+      //     an idempotent SKIP, not an error. foreachBatch is
+      //     at-least-once — a crash between a successful ingest (+ store
+      //     persist) and the streaming checkpoint commit re-delivers the
+      //     whole micro-batch on restart, so throwing here would
+      //     crash-loop the resumed stream forever; skipping the
+      //     fully-applied batch is what turns at-least-once delivery
       //     into effectively-once ingest.
+      //   - ALL ids already ingested but fingerprints differ: fail loud —
+      //     an upstream id-counter reset shipping NEW documents under old
+      //     ids; an id-only skip would silently drop them forever.
       //   - SOME ids already ingested: fail loud. A batch replay is
       //     all-or-nothing (ingest mutates no state on failure — see the
       //     commit point below), so partial overlap can only be doc_id
@@ -340,10 +356,13 @@ object StreamingMixture {
       //     corrupt the mixture — the failure mode every guard here
       //     refuses.
       val idStats = newDocs
-        .join(ledger.select(col("doc_id"), lit(1).as("seen")),
+        .join(ledger.select(col("doc_id"), lit(1).as("seen"),
+            col("fp").as("seen_fp")),
           Seq("doc_id"), "left_outer")
         .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"),
-          sum(coalesce(col("seen"), lit(0))).as("replayed"))
+          sum(coalesce(col("seen"), lit(0))).as("replayed"),
+          sum(when(col("seen_fp") === col("fp"), 1L).otherwise(0L))
+            .as("matched"))
         .head()
       val nNew = idStats.getLong(0)
       if (nNew != idStats.getLong(1)) throw new IllegalStateException(
@@ -357,12 +376,20 @@ object StreamingMixture {
       if (nNew == 0L) return
 
       val nReplayed = idStats.getLong(2)
-      if (nReplayed == nNew) {
+      val nMatched = idStats.getLong(3)
+      if (nReplayed == nNew && nMatched == nNew) {
         System.err.println(s"[graft] StreamingMixture: all $nNew doc_ids " +
-          "of this batch are already ingested — skipping as an " +
-          "idempotent replay (at-least-once re-delivery after a restart)")
+          "of this batch are already ingested with matching content " +
+          "fingerprints — skipping as an idempotent replay " +
+          "(at-least-once re-delivery after a restart)")
         return
       }
+      if (nReplayed == nNew) throw new IllegalStateException(
+        s"StreamingMixture: all $nNew doc_ids in this batch are already " +
+          s"ingested but ${nNew - nMatched} content fingerprints differ — " +
+          "not a replay, this is doc_id reuse shipping NEW documents " +
+          "under old ids (an id-only skip would silently drop them); " +
+          "refusing to corrupt mixture weights")
       if (nReplayed > 0L) throw new IllegalStateException(
         s"StreamingMixture: $nReplayed of $nNew doc_ids in this batch " +
           "were already ingested but the rest were not — not a whole-" +
@@ -409,14 +436,14 @@ object StreamingMixture {
           // labels is materialized now; the CC final-round frame's blocks
           // can be released instead of lingering until driver GC (CC's
           // intermediate rounds already release in-loop)
-          graft.operators.ConnectedComponents.releaseFinal(ccFinal)
+          graft.operators.ConnectedComponents.releaseBlocks(ccFinal)
           val aff = temp(affected
             .join(labels, Seq("doc_id"), "left_outer")
             .select(col("doc_id"), col("source"), col("tok"), col("rep"),
-              coalesce(col("label"), col("rep")).as("newRep"))
+              col("fp"), coalesce(col("label"), col("rep")).as("newRep"))
             .localCheckpoint(true))
           val nr = newDocs.join(labels, Seq("doc_id"), "left_outer")
-            .select(col("doc_id"), col("source"), col("tok"),
+            .select(col("doc_id"), col("source"), col("tok"), col("fp"),
               coalesce(col("label"), col("doc_id")).as("rep"))
           (nr, Some(aff), Some(touched))
         }
@@ -464,7 +491,7 @@ object StreamingMixture {
           ledger.join(touched, Seq("rep"), "left_anti")
             .unionByName(affLabeled.get
               .select(col("doc_id"), col("source"), col("tok"),
-                col("newRep").as("rep")))
+                col("newRep").as("rep"), col("fp")))
             .unionByName(newLedgerRows)
       }
       // ALL fallible cluster work completes before any driver-side state
@@ -476,8 +503,17 @@ object StreamingMixture {
       // new single-partition segment (coalesced: a segment is
       // batch-sized; without it, union scans accumulate each batch-plan's
       // partition count in task overhead).
-      val (l, lRdd) = materializeState(updated)
+      // the batch-sized segment materializes FIRST and the O(corpus)
+      // ledger copy second, with an explicit unpersist of the segment if
+      // the ledger copy throws — so a failure between the two can orphan
+      // at most nothing (segment released) rather than a full duplicate
+      // ledger waiting on driver GC
       val newSeg = materializeState(newBands.coalesce(1))
+      val (l, lRdd) = try materializeState(updated) catch {
+        case t: Throwable =>
+          newSeg._2.unpersist(blocking = false)
+          throw t
+      }
 
       // commit point: pure driver-side bookkeeping from here on
       addDeltas.foreach(r => bump(Option(r.getString(0)),

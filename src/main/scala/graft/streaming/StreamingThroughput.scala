@@ -158,6 +158,8 @@ object StreamingThroughput {
         .filter(col("doc_id") < 10).select(col("doc_id"), col("text")))
     lazy val x1Vecs = vecsIn(s"$scaleRoot/x1")
     lazy val x10Vecs = vecsIn(s"$scaleRoot/x10")
+    lazy val x1Mix = mixDocs(s"$scaleRoot/x1")
+    lazy val x10Mix = mixDocs(s"$scaleRoot/x10")
     lazy val annModel = StreamingAnn.model(spark, s"$scaleRoot/x1")
     lazy val clusterModel = StreamingCluster.model(spark, s"$scaleRoot/x1")
     lazy val x1Orders = orders(evX1)
@@ -168,7 +170,7 @@ object StreamingThroughput {
     // JIT/codegen warmup: every selected twin once on a small slice, untimed
     if (sel("lsh")) feed(x1Docs.take(BatchRows))(lsh)
     if (sel("mixture") || sel("mixture_desc"))
-      feed(mixDocs(s"$scaleRoot/x1").take(BatchRows))(mixtureT)
+      feed(x1Mix.take(BatchRows))(mixtureT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -193,10 +195,8 @@ object StreamingThroughput {
       emit("decon", "x10", x10Docs.size, feed(x10Docs)(decon(bloom)))
     }
     if (sel("mixture")) {
-      val m1 = mixDocs(s"$scaleRoot/x1")
-      val m10 = mixDocs(s"$scaleRoot/x10")
-      emit("mixture", "x1", m1.size, feed(m1)(mixtureT))
-      emit("mixture", "x10", m10.size, feed(m10)(mixtureT))
+      emit("mixture", "x1", x1Mix.size, feed(x1Mix)(mixtureT))
+      emit("mixture", "x10", x10Mix.size, feed(x10Mix)(mixtureT))
     }
     // retraction-heavy adversary (the StreamingMixtureSpec descending
     // feed): every component's min arrives LAST, so survivor flips and
@@ -204,8 +204,7 @@ object StreamingThroughput {
     // retraction cost in the measurement, not just in a spec. Its own
     // filter name so it can be re-measured without the x10 sweep.
     if (sel("mixture_desc")) {
-      val m1 = mixDocs(s"$scaleRoot/x1")
-      emit("mixture_desc", "x1", m1.size, feed(m1.reverse)(mixtureT))
+      emit("mixture_desc", "x1", x1Mix.size, feed(x1Mix.reverse)(mixtureT))
     }
     if (sel("ann_ingest")) {
       emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))

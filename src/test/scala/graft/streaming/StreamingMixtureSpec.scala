@@ -168,6 +168,14 @@ class StreamingMixtureSpec extends SparkSpec {
       "doc_id", "source", "text"))
     assert(rowsOf(st.mixture()) == before,
       "an idempotent replay skip must leave the accounting untouched")
+    // same ids, DIFFERENT content: an upstream id-counter reset shipping
+    // NEW documents under old ids — the content fingerprint is what keeps
+    // the skip from silently dropping them
+    val reset = intercept[IllegalStateException] {
+      st.ingest(Seq((1L, "a", "completely new text"),
+        (2L, "b", "also new")).toDF("doc_id", "source", "text"))
+    }
+    assert(reset.getMessage.contains("fingerprints differ"))
     // partial overlap: id reuse, not a batch replay — refuse
     val partial = intercept[IllegalStateException] {
       st.ingest(Seq((2L, "b", "p q"), (9L, "c", "r s")).toDF(

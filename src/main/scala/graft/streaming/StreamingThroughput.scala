@@ -206,6 +206,16 @@ object StreamingThroughput {
     if (sel("mixture_desc")) {
       emit("mixture_desc", "x1", x1Mix.size, feed(x1Mix.reverse)(mixtureT))
     }
+    // a THIRD measured decade for the incremental mixture (500k docs
+    // through the same foreachBatch ingest). OPT-IN only — never part of
+    // the default sweep: at a 1k trigger this is 500 micro-batches
+    // (~tens of minutes), and the per-batch ledger rewrite is O(corpus)
+    // in the local emulation, so the leg's cost grows with the decade
+    // while every real per-batch quantity stays batch-sized.
+    if (only.exists(_.contains("mixture_x100"))) {
+      val m100 = mixDocs(s"$scaleRoot/x100")
+      emit("mixture", "x100", m100.size, feed(m100)(mixtureT))
+    }
     if (sel("ann_ingest")) {
       emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))
       emit("ann_ingest", "x10", x10Vecs.size, feed(x10Vecs)(ann(annModel)))

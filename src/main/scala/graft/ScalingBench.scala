@@ -30,6 +30,10 @@ object ScalingBench {
     "q63_decontamination", "q96_repeated_ngram_dedup",
     "q119_containment_dedup",
     "q121_dsir_importance", "q122_unigram_surprisal",
+    // round-13 addition: the cross-source contamination matrix (rides the
+    // staged grams5 frame; the measured member is the distinct
+    // (source, gram) reduction + bounded-fanout self-join)
+    "q148_source_contamination",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -206,6 +206,79 @@ object CorpusOps {
         "held-out set; corpus flagged in one scan " +
         "(pipeline ops brief: eval-set leakage removal)."),
 
+    // --------------------------------- cross-source contamination matrix
+    Q(
+      "q148_source_contamination",
+      (s, dir) => {
+        // q63 asks "is this doc contaminated by the benchmark"; the
+        // matrix form asks the curation question one level up: HOW MUCH
+        // do whole sources leak into each other (train/test splits drawn
+        // from different sources, license-separated pools, a crawl vs a
+        // curated set). For each unordered source pair: |distinct shared
+        // 5-gram hashes| plus each side's distinct-gram count and the
+        // directional containments shared/n.
+        //
+        // Scale shape: reuses the staged grams5 frame (one tokenize +
+        // explode for the whole family); collapses to DISTINCT
+        // (source, gram) — the decisive reduction, corpus-size → set-size
+        // — then self-joins on the gram hash. Per-gram fanout is bounded
+        // by |sources|² (a gram appears at most once per source per
+        // side), so there is NO hot key by construction and total join
+        // work is linear in the gram-set size regardless of corpus skew.
+        // Pairs sharing zero grams are omitted (both engines identically).
+        // Spark joins 8-byte xxhash64 grams while the oracle joins raw
+        // strings — the q35/q63 shuffle-volume trick, counts equal modulo
+        // a ~2^-64-per-pair collision.
+        val sh = Grams.hashed(s, dir, 5)
+          .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+          .filter(col("source").isNotNull)
+          .select(col("source"), col("ng")).distinct()
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val shared = sh.as("a")
+          .join(sh.as("b"), col("a.ng") === col("b.ng")
+            && col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("shared_grams"))
+        shared
+          .join(sizes.select(col("source").as("source_a"),
+            col("n").as("n_a")), "source_a")
+          .join(sizes.select(col("source").as("source_b"),
+            col("n").as("n_b")), "source_b")
+          .select(col("source_a"), col("source_b"), col("shared_grams"),
+            col("n_a"), col("n_b"),
+            (col("shared_grams").cast("double") / col("n_a"))
+              .as("containment_a"),
+            (col("shared_grams").cast("double") / col("n_b"))
+              .as("containment_b"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        sh AS (SELECT DISTINCT d.source, g.ng
+               FROM g5 g JOIN documents d USING (doc_id)
+               WHERE d.source IS NOT NULL),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM sh GROUP BY 1),
+        shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_grams
+          FROM sh a JOIN sh b ON a.ng = b.ng AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT s.source_a, s.source_b, s.shared_grams,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(s.shared_grams AS DOUBLE) / sa.n AS containment_a,
+               CAST(s.shared_grams AS DOUBLE) / sb.n AS containment_b
+        FROM shared s
+        JOIN sizes sa ON sa.source = s.source_a
+        JOIN sizes sb ON sb.source = s.source_b"""),
+      "Cross-source contamination matrix: distinct shared 5-grams and " +
+        "directional containment per source pair over the staged gram " +
+        "frame (pipeline ops brief: source-level leakage audit for " +
+        "train/test pool separation)."),
+
     // ------------------------------------- bloom-filter decontamination
     Q(
       "q130_bloom_decontamination",

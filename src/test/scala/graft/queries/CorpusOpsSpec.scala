@@ -203,4 +203,32 @@ class CorpusOpsSpec extends SparkSpec {
     // nothing extra: every output row is one of the recomputed keeps
     assert(out.size == byLang.valuesIterator.map(m => math.min(5, m.length)).sum)
   }
+
+  test("q148 source-contamination matrix on a planted fixture: exact " +
+    "shared-gram counts and containments; null sources and " +
+    "zero-overlap pairs excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q148_").toString
+    // source a and b share exactly ONE 5-gram ("one two three four
+    // five"); source c shares nothing; the null-source doc duplicates
+    // a's text and must not influence any pair
+    Seq(
+      (1L, "a", "one two three four five six"),
+      (2L, "b", "one two three four five seven"),
+      (3L, "c", "alpha beta gamma delta epsilon zeta"),
+      (4L, null.asInstanceOf[String], "one two three four five six"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.Registry.all.find(_.name == "q148_source_contamination")
+      .get.run(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // docs have 6 tokens → 2 distinct 5-grams per source
+    assert(out.keySet == Set(("a", "b")),
+      s"expected exactly the (a,b) pair, got ${out.keySet}")
+    assert(out(("a", "b")) == ((1L, 2L, 2L, 0.5, 0.5)),
+      s"planted overlap mismatch: ${out(("a", "b"))}")
+  }
 }

@@ -166,31 +166,15 @@ object StreamingMixture {
       old.foreach(_._2.unpersist(blocking = false))
     }
 
-    /** Materialize a STATE frame as a lineage-severed leaf that does NOT
-      * carry Catalyst origin statistics — which `Dataset.localCheckpoint`
-      * would preserve (`LogicalRDD.fromDataset` rewrites the optimized
-      * plan's stats onto the checkpointed leaf). That preservation is
-      * normally a feature; here it is fatal at stream length: each
-      * batch's new state plan JOINS and UNIONS frames that are
-      * themselves checkpoints, size-in-bytes estimates MULTIPLY through
-      * joins (`SizeInBytesOnlyStatsPlanVisitor.visitJoin` → product of
-      * children), so the preserved BigInt roughly SQUARES per batch —
-      * bit-length doubles, and by ~batch 12 of the x10 throughput leg
-      * the stream thread measurably sat for an hour inside
-      * `BigInteger.multiplyToomCook3` computing statistics (round-13
-      * find; the ≤4-batch specs never reached the regime). Routing
-      * through RDD[Row] + createDataFrame resets the leaf to default
-      * stats — per-batch stats work stays bounded forever. The Row
-      * round-trip is part of the documented local-emulation cost
-      * (a deployment's keyed tables never re-materialize the store).
+    /** Materialize a STATE frame as a lineage-severed, stats-reset leaf —
+      * see [[StateFrames.materialize]] for why `Dataset.localCheckpoint`'s
+      * stats preservation is fatal at stream length (the round-13
+      * BigInteger.multiplyToomCook3 wedge) and why the RDD round-trip is
+      * a documented local-emulation cost.
       */
     private def materializeState(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
+        : (DataFrame, org.apache.spark.rdd.RDD[Row]) =
+      StateFrames.materialize(spark, df)
 
     // per-source [n_docs, n_survivors, tokens_total, tokens_surviving]:
     // bounded by |sources| — the one driver-side piece, same contract as

@@ -118,6 +118,12 @@ object StreamingThroughput {
     // touched-component CC + delta accounting per micro-batch)
     def mixtureT(ds: Dataset[MixIn]) =
       Seq(StreamingMixture.attach(ds.toDF(), StreamingMixture.state(spark)))
+    // incremental q148 source-contamination matrix (ingest keys on
+    // (source, gram) — the doc_id column is ignored, so the mixture
+    // corpus feeds this twin too)
+    def contamT(ds: Dataset[MixIn]) =
+      Seq(StreamingContamination.attach(ds.toDF(),
+        StreamingContamination.state(spark)))
     def mixDocs(dir: String): Seq[MixIn] =
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text")).as[MixIn]
@@ -171,6 +177,7 @@ object StreamingThroughput {
     if (sel("lsh")) feed(x1Docs.take(BatchRows))(lsh)
     if (sel("mixture") || sel("mixture_desc"))
       feed(x1Mix.take(BatchRows))(mixtureT)
+    if (sel("contam")) feed(x1Mix.take(BatchRows))(contamT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -205,6 +212,10 @@ object StreamingThroughput {
     // filter name so it can be re-measured without the x10 sweep.
     if (sel("mixture_desc")) {
       emit("mixture_desc", "x1", x1Mix.size, feed(x1Mix.reverse)(mixtureT))
+    }
+    if (sel("contam")) {
+      emit("contam", "x1", x1Mix.size, feed(x1Mix)(contamT))
+      emit("contam", "x10", x10Mix.size, feed(x10Mix)(contamT))
     }
     // a THIRD measured decade for the incremental mixture (500k docs
     // through the same foreachBatch ingest). OPT-IN only — never part of

@@ -42,4 +42,67 @@ private[streaming] object StateFrames {
     */
   def release(df: DataFrame): Unit =
     graft.operators.ConnectedComponents.releaseBlocks(df)
+
+  /** An APPEND-ONLY store held as materialized per-batch segments — the
+    * one segment-lifecycle implementation shared by StreamingMixture's
+    * band index and StreamingContamination's gram index (the ordering
+    * subtleties — materialize-before-commit, unpersist-after-swap,
+    * re-coalesce on compaction — live here ONCE).
+    *
+    * Representation: each appended batch is one single-partition
+    * stats-reset leaf; `frame` unions them lazily (union stats ADD — no
+    * compounding); past `compactAt` segments the union compacts into one
+    * leaf re-coalesced to defaultParallelism (the union RDD's partition
+    * count is the SUM of its segments', so an uncoalesced compaction
+    * would bake ~compactAt partitions in per cycle, growing task
+    * overhead forever). Append is TWO-PHASE so callers can order the
+    * fallible materialization before their commit point: `prepare`
+    * materializes (throwing leaves the store untouched; the caller
+    * unpersists the orphan), `commit` swaps driver state only.
+    */
+  final class SegmentedStore(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, compactAt: Int) {
+
+    type Segment = (DataFrame, org.apache.spark.rdd.RDD[Row])
+
+    private var segments: Vector[Segment] = Vector.empty
+
+    def frame: DataFrame =
+      if (segments.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      else segments.map(_._1).reduce(_ unionByName _)
+
+    /** Phase 1 (fallible): materialize a batch-sized frame as one
+      * single-partition segment. The store is untouched; on a later
+      * failure the caller releases `segment._2`.
+      */
+    def prepare(batch: DataFrame): Segment =
+      materialize(spark, batch.coalesce(1))
+
+    /** Phase 2 (driver-only): adopt a prepared segment; compact past the
+      * threshold. Compaction failure leaves the batch fully applied with
+      * the uncompacted segments intact (the next commit re-triggers it).
+      */
+    def commit(seg: Segment): Unit = {
+      segments :+= seg
+      if (segments.size > compactAt) compact()
+    }
+
+    /** Replace the whole store from a durable frame (restore path);
+      * superseded segments are released after the new one materializes.
+      */
+    def reset(store: DataFrame): Unit = {
+      val old = segments
+      val seg = materialize(spark, store)
+      segments = Vector(seg)
+      old.foreach(_._2.unpersist(blocking = false))
+    }
+
+    private def compact(): Unit = {
+      val old = segments
+      val par = spark.sparkContext.defaultParallelism
+      segments = Vector(materialize(spark, frame.coalesce(par)))
+      old.foreach(_._2.unpersist(blocking = false))
+    }
+  }
 }

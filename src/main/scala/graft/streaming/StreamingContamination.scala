@@ -46,8 +46,17 @@ import org.apache.spark.sql.types._
   * tens to hundreds, never corpus-sized). The gram index is the one
   * corpus-sized store; at a deployment it is a keyed table
   * ((source, gram) primary key, MERGE-on-novel), and restore recomputes
-  * the driver maps from it with ONE scan — paid at restart, never per
-  * batch.
+  * the driver maps from it (a groupBy plus the q148-core self-join over
+  * the index — restart-time cost, never per batch).
+  *
+  * Ingest contract — GROW-ONLY text: the matrix covers the UNION of all
+  * text ever ingested per source. The operator never reads doc_id, so a
+  * document RE-SHIPPED with corrected text contributes BOTH versions'
+  * grams (monotone index, no retraction) — if upstream mutates documents
+  * in place, recompute batch q148 over the corrected corpus instead (or
+  * front the stream with [[StreamingMixture]]'s ledger discipline, which
+  * fails loud on exactly that fingerprint mismatch). Appending new
+  * documents — the training-data ingest shape — is exact.
   *
   * StreamingContaminationSpec proves: streamed matrix ≡ batch q148 after
   * EVERY prefix; replay idempotence; kill-and-resume from the persisted
@@ -65,23 +74,13 @@ object StreamingContamination {
     private val indexSchema = StructType(Seq(
       StructField("source", StringType), StructField("ng", LongType)))
 
-    // append-only (source, gram-hash) index as materialized segments —
-    // same representation (and the same stats-reset materialization) as
-    // StreamingMixture's band index
-    private var segments
-        : Vector[(DataFrame, org.apache.spark.rdd.RDD[Row])] = Vector.empty
+    // append-only (source, gram-hash) index — the shared segment
+    // lifecycle (stats-reset leaves, two-phase append, re-coalescing
+    // compaction) lives ONCE in StateFrames.SegmentedStore
+    private val store =
+      new StateFrames.SegmentedStore(spark, indexSchema, compactAt)
 
-    private def index: DataFrame =
-      if (segments.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), indexSchema)
-      else segments.map(_._1).reduce(_ unionByName _)
-
-    private def compact(): Unit = {
-      val old = segments
-      val par = spark.sparkContext.defaultParallelism
-      segments = Vector(StateFrames.materialize(spark, index.coalesce(par)))
-      old.foreach(_._2.unpersist(blocking = false))
-    }
+    private def index: DataFrame = store.frame
 
     // driver-side aggregates: bounded by the source catalog, not the
     // corpus — |sources| gram counts and ≤|sources|² pair counts
@@ -93,25 +92,24 @@ object StreamingContamination {
       */
     private[streaming] def indexFrame: DataFrame = index
 
-    private[streaming] def loadFrom(indexStore: DataFrame): Unit = {
-      val old = segments
-      val seg = StateFrames.materialize(spark,
-        indexStore.select(col("source"), col("ng")))
-      segments = Vector(seg)
-      old.foreach(_._2.unpersist(blocking = false))
-      nGrams.clear(); shared.clear()
-      // ONE restart-time scan recomputes both driver maps (the batch-q148
-      // core over the index)
-      index.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        .collect().foreach(r => nGrams(r.getString(0)) = r.getLong(1))
-      index.as("a")
-        .join(index.as("b"), col("a.ng") === col("b.ng")
-          && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
-        .agg(count(lit(1)).as("c"))
-        .collect().foreach(r =>
-          shared((r.getString(0), r.getString(1))) = r.getLong(2))
-    }
+    private[streaming] def loadFrom(indexStore: DataFrame): Unit =
+      this.synchronized {
+        store.reset(indexStore.select(col("source"), col("ng")))
+        nGrams.clear(); shared.clear()
+        // restart-time recompute of both driver maps from the index: a
+        // groupBy plus the q148-core self-join — restart-time cost,
+        // never per batch (the self-join is the expensive member; its
+        // per-gram fanout is still bounded by |sources|²)
+        index.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .collect().foreach(r => nGrams(r.getString(0)) = r.getLong(1))
+        index.as("a")
+          .join(index.as("b"), col("a.ng") === col("b.ng")
+            && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+          .agg(count(lit(1)).as("c"))
+          .collect().foreach(r =>
+            shared((r.getString(0), r.getString(1))) = r.getLong(2))
+      }
 
     /** Ingest one batch of (source, text) rows (extra columns ignored;
       * null sources excluded, exactly as batch q148 excludes them).
@@ -162,18 +160,20 @@ object StreamingContamination {
         // the segment materialization below run BEFORE any driver map
         // mutates — same all-or-nothing commit discipline as
         // StreamingMixture.ingest)
-        val seg = StateFrames.materialize(spark,
-          novel.coalesce(1).select(col("source"), col("ng")))
+        val seg = store.prepare(novel.select(col("source"), col("ng")))
 
-        // commit point: pure driver-side bookkeeping
-        novelN.foreach(r => nGrams(r.getString(0)) =
-          nGrams.getOrElse(r.getString(0), 0L) + r.getLong(1))
-        (crossRows ++ togetherRows).foreach { r =>
-          val k = (r.getString(0), r.getString(1))
-          shared(k) = shared.getOrElse(k, 0L) + r.getLong(2)
+        // commit point: pure driver-side bookkeeping, synchronized so a
+        // concurrent matrix() poll never reads between the gram-count
+        // and pair-count updates
+        this.synchronized {
+          novelN.foreach(r => nGrams(r.getString(0)) =
+            nGrams.getOrElse(r.getString(0), 0L) + r.getLong(1))
+          (crossRows ++ togetherRows).foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            shared(k) = shared.getOrElse(k, 0L) + r.getLong(2)
+          }
+          store.commit(seg)
         }
-        segments :+= seg
-        if (segments.size > compactAt) compact()
       } finally temps.foreach(StateFrames.release)
     }
 
@@ -189,7 +189,9 @@ object StreamingContamination {
       * everything ingested so far. Reads the driver maps only (no index
       * scan); pairs sharing zero grams are omitted, as in q148.
       */
-    def matrix(): DataFrame = {
+    def matrix(): DataFrame = this.synchronized {
+      // synchronized against ingest's commit point: a live-stream poll
+      // must never pair updated gram counts with stale pair counts
       val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
       shared.toSeq.sortBy(_._1).foreach { case ((a, b), c) =>
         val na = nGrams(a); val nb = nGrams(b)

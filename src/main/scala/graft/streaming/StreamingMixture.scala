@@ -137,34 +137,15 @@ object StreamingMixture {
     // The band index is APPEND-ONLY by construction (a doc's band
     // assignments never change), so re-materializing the whole index per
     // batch — as the ledger legitimately must, labels move — would be
-    // O(corpus) work for a store that didn't change. It lives instead as
-    // materialized SEGMENTS: one single-partition leaf per ingested
-    // batch, unioned lazily (union sizes ADD through stats estimation —
-    // no compounding), compacted into one leaf when the segment count
-    // would make union scans task-overhead-bound.
-    private var bandSegments
-        : Vector[(DataFrame, org.apache.spark.rdd.RDD[Row])] = Vector.empty
+    // O(corpus) work for a store that didn't change. It lives as a
+    // [[StateFrames.SegmentedStore]] (one single-partition leaf per
+    // ingested batch, lazily unioned, compacted + re-coalesced past
+    // compactAt — the segment lifecycle shared with
+    // StreamingContamination's gram index).
+    private val bandStore =
+      new StateFrames.SegmentedStore(spark, bandsSchema, compactAt)
 
-    private def bands: DataFrame =
-      if (bandSegments.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
-      else bandSegments.map(_._1).reduce(_ unionByName _)
-
-    /** Compact the segment union into ONE leaf, coalesced back to at most
-      * `defaultParallelism` partitions: the union RDD's partition count is
-      * the SUM of its segments', so without the coalesce each compaction
-      * would bake ~compactAt extra partitions into the compacted leaf —
-      * the index's partition count (and every later band scan's task
-      * count) would grow by one per batch forever, un-bounding exactly
-      * the task overhead compaction exists to bound.
-      */
-    private def compactBands(): Unit = {
-      val old = bandSegments
-      val par = spark.sparkContext.defaultParallelism
-      val seg = materializeState(bands.coalesce(par))
-      bandSegments = Vector(seg)
-      old.foreach(_._2.unpersist(blocking = false))
-    }
+    private def bands: DataFrame = bandStore.frame
 
     /** Materialize a STATE frame as a lineage-severed, stats-reset leaf —
       * see [[StateFrames.materialize]] for why `Dataset.localCheckpoint`'s
@@ -209,26 +190,26 @@ object StreamingMixture {
 
     private[streaming] def loadFrom(bandsStore: DataFrame,
         ledgerStore: DataFrame): Unit = {
-      val (oldSegs, oldLedger) = (bandSegments, ledgerBlocks)
-      val bSeg = materializeState(bandsStore
-        .select(col("band").cast("int"), col("bkey"), col("doc_id")))
+      val oldLedger = ledgerBlocks
       val (l, lRdd) = materializeState(ledgerStore
         .select(col("doc_id"), col("source"), col("tok"), col("rep"),
           col("fp")))
-      bandSegments = Vector(bSeg)
-      ledger = l; ledgerBlocks = Some(lRdd)
-      oldSegs.foreach(_._2.unpersist(blocking = false))
-      oldLedger.foreach(_.unpersist(blocking = false))
-      agg.clear()
-      ledger.groupBy(col("source"))
+      val restored = l.groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum((col("rep") === col("doc_id")).cast("long")).as("s"),
           sum(col("tok")).as("t"),
           sum(when(col("rep") === col("doc_id"), col("tok"))
             .otherwise(0L)).as("ts"))
         .collect()
-        .foreach(r => bump(Option(r.getString(0)),
+      this.synchronized {
+        bandStore.reset(bandsStore
+          .select(col("band").cast("int"), col("bkey"), col("doc_id")))
+        ledger = l; ledgerBlocks = Some(lRdd)
+        oldLedger.foreach(_.unpersist(blocking = false))
+        agg.clear()
+        restored.foreach(r => bump(Option(r.getString(0)),
           Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      }
     }
 
     /** Pre-join estimate of the batch's candidate-pair work from cheap
@@ -492,27 +473,31 @@ object StreamingMixture {
       // the ledger copy throws — so a failure between the two can orphan
       // at most nothing (segment released) rather than a full duplicate
       // ledger waiting on driver GC
-      val newSeg = materializeState(newBands.coalesce(1))
+      val newSeg = bandStore.prepare(newBands)
       val (l, lRdd) = try materializeState(updated) catch {
         case t: Throwable =>
           newSeg._2.unpersist(blocking = false)
           throw t
       }
 
-      // commit point: pure driver-side bookkeeping from here on
-      addDeltas.foreach(r => bump(Option(r.getString(0)),
-        Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
-      retractDeltas.foreach(r => bump(Option(r.getString(0)),
-        Array(0L, -r.getLong(1), 0L, -r.getLong(2))))
-      val oldLedger = ledgerBlocks
-      ledger = l; ledgerBlocks = Some(lRdd)
-      oldLedger.foreach(_.unpersist(blocking = false))
-      bandSegments :+= newSeg
-      // compaction sits AFTER the commit point deliberately: it only swaps
-      // an equivalent representation, so a failure inside it leaves the
-      // batch fully applied with the uncompacted segments intact (the next
-      // ingest simply re-triggers it)
-      if (bandSegments.size > compactAt) compactBands()
+      // commit point: pure driver-side bookkeeping, synchronized so a
+      // concurrent mixture() poll never reads a half-applied batch
+      // (foreachBatch ingests from the stream thread; the monitor is
+      // read from the driver)
+      this.synchronized {
+        addDeltas.foreach(r => bump(Option(r.getString(0)),
+          Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        retractDeltas.foreach(r => bump(Option(r.getString(0)),
+          Array(0L, -r.getLong(1), 0L, -r.getLong(2))))
+        val oldLedger = ledgerBlocks
+        ledger = l; ledgerBlocks = Some(lRdd)
+        oldLedger.foreach(_.unpersist(blocking = false))
+        // store.commit's compaction sits inside the batch's commit
+        // deliberately: it only swaps an equivalent representation, so a
+        // failure inside it leaves the batch fully applied with the
+        // uncompacted segments intact (the next commit re-triggers it)
+        bandStore.commit(newSeg)
+      }
     }
 
     private val mixtureSchema = StructType(Seq(
@@ -530,7 +515,10 @@ object StreamingMixture {
       * truncating division (values nonnegative, BigInt / ≡ Spark div ≡
       * DuckDB //).
       */
-    def mixture(): DataFrame = {
+    def mixture(): DataFrame = this.synchronized {
+      // synchronized against ingest's commit point: a live-stream poll
+      // must never read weights between a batch's additions and its
+      // retractions (and the per-source arrays mutate in place)
       val total = agg.valuesIterator.map(_(3)).sum
       val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
       agg.toSeq.sortBy(_._1).foreach { case (src, a) =>

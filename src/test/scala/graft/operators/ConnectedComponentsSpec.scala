@@ -94,4 +94,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = labelsOf(labels)
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
+
+  test("superseded round frames release their blocks IN-LOOP: the " +
+    "persistent-RDD count grows by at most the final round frame, " +
+    "however many rounds run (round-13 storage-bound contract — " +
+    "without the release, every round lingers until driver GC)") {
+    val n = 600
+    val perm = new Random(11).shuffle((0L until n.toLong).toVector)
+    val pairs = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (labels, rounds) = ConnectedComponents.run(edgesDf(pairs))
+    labels.collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(rounds >= 3, s"fixture converged too fast ($rounds rounds) " +
+      "to exercise the in-loop release")
+    assert(after - before <= 2,
+      s"CC left ${after - before} persistent frames behind over " +
+        s"$rounds rounds — the in-loop release regressed")
+  }
 }

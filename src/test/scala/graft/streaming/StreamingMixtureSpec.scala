@@ -271,6 +271,7 @@ class StreamingMixtureSpec extends SparkSpec {
     "defaultParallelism; without it each cycle bakes ~compactAt extra " +
     "partitions in forever) — and stays correct through compactions") {
     import spark.implicits._
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val st = new StreamingMixture.MixtureState(spark, compactAt = 3)
     val partsAfter = (1 to 12).map { k =>
       st.ingest(Seq.tabulate(3)(i =>
@@ -285,6 +286,17 @@ class StreamingMixtureSpec extends SparkSpec {
       s"band index reached ${partsAfter.max} partitions " +
         s"(trajectory: ${partsAfter.mkString(",")}; bound $bound) — " +
         "compaction is accumulating partitions instead of bounding them")
+    // the STORAGE bound too (delta — the shared session carries staged
+    // frames from other tests): however many batches ran, this state's
+    // live persistent frames are the ≤compactAt+1 band segments + one
+    // ledger copy (+ slack) — superseded copies and per-batch temps must
+    // have been released, not left to driver GC
+    val grew = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+    val storageBound = st.compactAt + 6
+    assert(grew <= storageBound,
+      s"$grew persistent RDDs accumulated over 12 ingests " +
+        s"(bound $storageBound) — superseded state copies are " +
+        "accumulating instead of releasing")
     // correctness through maximal compaction churn on the REAL fixture:
     // compact after every batch, adversarial descending arrival
     val st2 = new StreamingMixture.MixtureState(spark, compactAt = 1)

@@ -34,6 +34,10 @@ object ScalingBench {
     // staged grams5 frame; the measured member is the distinct
     // (source, gram) reduction + bounded-fanout self-join)
     "q148_source_contamination",
+    // round-14 additions: positional-gram span merge (the heaviest new
+    // path — two shuffles over (id, pos, hash) triples) and the
+    // window-cumsum budget selection
+    "q149_dup_span_merge", "q150_token_budget_select",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

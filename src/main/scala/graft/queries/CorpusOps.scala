@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.TextFns.hash32
+import graft.functions.TextFns.{hash32, tokens, wordNgrams}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -278,6 +278,236 @@ object CorpusOps {
         "directional containment per source pair over the staged gram " +
         "frame (pipeline ops brief: source-level leakage audit for " +
         "train/test pool separation)."),
+
+    // --------------------------------- maximal duplicated-span merging
+    Q(
+      "q149_dup_span_merge",
+      (s, dir) => {
+        // q96 counts duplicated 10-grams per doc; the REMOVAL step of
+        // exact-substring dedup (Lee et al. 2022) needs the maximal
+        // duplicated SPANS — adjacent duplicated gram starts coalesced
+        // into one contiguous region — because what gets cut from the
+        // training doc is the span, not the gram. Positional grams
+        // (doc_id, pos, hash), occurrence count >= 2 anywhere in the
+        // corpus (including self-repetition — Lee et al. remove those
+        // too), then a tolerance-n island merge: a duplicated gram start
+        // at p covers tokens [p, p+n-1], so two starts belong to one
+        // contiguous duplicated region iff they are ≤ n apart — the
+        // lag-flag island form (NOT the pos-row_number trick, which only
+        // merges adjacent starts and double-counts overlapping spans).
+        // Spans are therefore DISJOINT and dup_tokens is the exact count
+        // of duplicated tokens (≤ n_tokens — spec-pinned).
+        //
+        // Scale shape: two shuffles total — by gram hash for the
+        // occurrence window, then by doc_id for the island window; the
+        // groupBys on (doc_id, island) and doc_id reuse the second
+        // exchange (same prefix partitioning). Only (id, pos, hash)
+        // triples move. The window-over-groupBy form keeps the positional
+        // explode to ONE run (the q96 lesson: the join formulation
+        // re-derives it three times).
+        val n = 10
+        val g = Tables.parallel(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(wordNgrams(tokens(col("text")), n)))
+          .select(col("doc_id"), col("pos"),
+            xxhash64(col("col")).as("ng"))
+        val dup = g
+          .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("ng"))))
+          .filter(col("occ") >= 2)
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val cum = byDoc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val spans = dup
+          .withColumn("newSpan",
+            when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0)
+              .otherwise(1)) // first row: lag is null → comparison null → 1
+          .withColumn("island", sum(col("newSpan")).over(cum))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("s0"),
+            (max(col("pos")) + lit(n - 1)).as("e0"))
+        val perDoc = spans
+          .select(col("doc_id"),
+            (col("e0") - col("s0") + lit(1)).cast("long").as("span_tokens"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_tokens")).as("dup_tokens"),
+            max(col("span_tokens")).as("max_span_tokens"))
+        docs(s, dir)
+          .select(col("doc_id"),
+            // null-text docs have zero tokens, not null (dirty-corpus
+            // contract; size(null) is null under non-legacy semantics)
+            coalesce(size(tokens(col("text"))), lit(0))
+              .cast("long").as("n_tokens"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
+          .withColumn("dup_ppm",
+            expr("dup_tokens * 1000000L div greatest(n_tokens, 1L)"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS ng
+              FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY ng) AS occ
+                  FROM g)
+                WHERE occ >= 2),
+        fl AS (SELECT doc_id, pos,
+                      CASE WHEN pos - LAG(pos) OVER w <= 10 THEN 0
+                           ELSE 1 END AS new_span
+               FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (SELECT doc_id, pos,
+                       SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM fl),
+        spans AS (SELECT doc_id, MAX(pos) + 9 - MIN(pos) + 1 AS span_tokens
+                  FROM isl GROUP BY doc_id, island),
+        per_doc AS (SELECT doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_spans,
+                           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+                           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+                    FROM spans GROUP BY doc_id),
+        tot AS (SELECT doc_id,
+                       CAST(COALESCE(len(string_split(text, ' ')), 0)
+                            AS BIGINT) AS n_tokens
+                FROM documents)
+        SELECT t.doc_id, t.n_tokens,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(p.dup_tokens, 0) AS dup_tokens,
+               COALESCE(p.max_span_tokens, 0) AS max_span_tokens,
+               (COALESCE(p.dup_tokens, 0) * 1000000)
+                 // GREATEST(t.n_tokens, 1) AS dup_ppm
+        FROM tot t LEFT JOIN per_doc p USING (doc_id)"""),
+      "Maximal duplicated-span merge (the removal geometry of exact-" +
+        "substring dedup, Lee et al. 2022): positional 10-gram occurrence " +
+        "counts, island-merged per doc into contiguous spans; two " +
+        "shuffles, ids+positions+hashes only (pipeline ops brief: " +
+        "substring dedup)."),
+
+    // ------------------------------------ token-budget quality selection
+    Q(
+      "q150_token_budget_select",
+      (s, dir) => {
+        // The selection step of a data recipe: given a per-source token
+        // BUDGET (here 50% of each source's tokens), keep the
+        // highest-quality docs until the budget fills. Quality is the
+        // type-token ratio in milli (integer-exact in both engines);
+        // selection is a per-source cumulative token sum over the
+        // quality-ordered docs — one window, partitioned by source, so
+        // the sort is per-source-partition, never global. The budget
+        // frame is |sources| rows and broadcasts.
+        val base = docs(s, dir)
+          .filter(col("source").isNotNull)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"), col("source"),
+            coalesce(size(col("tk")), lit(0)).cast("long").as("n_tokens"),
+            coalesce(size(array_distinct(col("tk"))), lit(0))
+              .cast("long").as("n_distinct"))
+          .withColumn("quality_milli",
+            expr("n_distinct * 1000L div greatest(n_tokens, 1L)"))
+        val budgets = base.groupBy("source")
+          .agg(expr("sum(n_tokens) div 2L").as("budget"))
+        val byQuality = Window.partitionBy(col("source"))
+          .orderBy(col("quality_milli").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(byQuality))
+          .join(broadcast(budgets), "source")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("quality_milli"), col("cum_tokens"),
+            (col("cum_tokens") <= col("budget")).cast("int").as("selected"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(COALESCE(len(string_split(text, ' ')), 0)
+                      AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(len(list_distinct(string_split(text, ' '))), 0)
+                      AS BIGINT) AS n_distinct
+          FROM documents WHERE source IS NOT NULL),
+        q AS (SELECT doc_id, source, n_tokens,
+                     (n_distinct * 1000) // GREATEST(n_tokens, 1)
+                       AS quality_milli
+              FROM base),
+        b AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget
+              FROM base GROUP BY source),
+        c AS (SELECT doc_id, source, n_tokens, quality_milli,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY quality_milli DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM q)
+        SELECT c.doc_id, c.source, c.n_tokens, c.quality_milli, c.cum_tokens,
+               CAST(c.cum_tokens <= b.budget AS INT) AS selected
+        FROM c JOIN b USING (source)"""),
+      "Token-budget quality selection: per-source 50%-of-tokens budget " +
+        "filled by type-token-ratio rank via one partitioned cumulative " +
+        "window — the keep-the-best-docs-until-budget step of a data " +
+        "recipe (pipeline ops brief: quality-scored selection)."),
+
+    // ------------------------------------- curriculum mixture schedule
+    Q(
+      "q151_curriculum_schedule",
+      (s, dir) => {
+        // The epoch dimension of a mixture: weights ANNEAL across training
+        // from the natural source distribution (epoch 0 — cheap tokens,
+        // matches the data) to uniform (epoch 4 — every source equally
+        // hot, the balanced end-of-training diet). Linear interpolation
+        // in ppm with integer arithmetic only — endpoints are EXACTLY the
+        // natural and uniform shares (spec-pinned), every engine computes
+        // the identical table. |sources| x |epochs| rows: driver-tiny at
+        // any corpus scale; the only corpus work is one count/sum
+        // aggregate.
+        val counts = docs(s, dir)
+          .filter(col("source").isNotNull)
+          .select(col("source"), col("doc_id"), tokens(col("text")).as("tk"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(size(col("tk")), lit(0)).cast("long"))
+              .as("n_tokens"))
+        val totals = counts.agg(sum(col("n_docs")).as("total_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        val epochs = s.range(0, 5).select(col("id").as("epoch"))
+        counts.crossJoin(broadcast(totals)).crossJoin(broadcast(epochs))
+          .withColumn("natural_ppm",
+            expr("n_docs * 1000000L div total_docs"))
+          .withColumn("uniform_ppm", expr("1000000L div n_sources"))
+          .withColumn("mix_ppm",
+            expr("((4L - epoch) * natural_ppm + epoch * uniform_ppm) div 4L"))
+          .select(col("epoch"), col("source"), col("n_docs"),
+            col("natural_ppm"), col("uniform_ppm"), col("mix_ppm"),
+            expr("mix_ppm * total_tokens div 1000000L").as("planned_tokens"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(COALESCE(len(string_split(text, ' ')), 0))
+                      AS BIGINT) AS n_tokens
+          FROM documents WHERE source IS NOT NULL GROUP BY source),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_sources
+              FROM c),
+        e AS (SELECT UNNEST(generate_series(0, 4)) AS epoch),
+        w AS (SELECT e.epoch, c.source, c.n_docs,
+                     (c.n_docs * 1000000) // t.total_docs AS natural_ppm,
+                     1000000 // t.n_sources AS uniform_ppm,
+                     t.total_tokens
+              FROM c, t, e)
+        SELECT epoch, source, n_docs, natural_ppm, uniform_ppm,
+               ((4 - epoch) * natural_ppm + epoch * uniform_ppm) // 4
+                 AS mix_ppm,
+               (((4 - epoch) * natural_ppm + epoch * uniform_ppm) // 4)
+                 * total_tokens // 1000000 AS planned_tokens
+        FROM w"""),
+      "Curriculum mixture schedule: per-epoch source weights annealing " +
+        "linearly (integer ppm) from the natural distribution to uniform " +
+        "across five epochs, with per-epoch planned token counts — the " +
+        "epoch dimension of a pretraining recipe (pipeline ops brief: " +
+        "mixture scheduling)."),
 
     // ------------------------------------- bloom-filter decontamination
     Q(

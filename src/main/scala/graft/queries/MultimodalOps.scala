@@ -295,5 +295,138 @@ object MultimodalOps {
         FROM scaled"""),
       "Resize geometry through the decode pipeline: aspect-preserving " +
         "maxDim=256 targets verified against the oracle's identical " +
-        "truncating arithmetic (pipeline ops brief: multimodal transforms)."))
+        "truncating arithmetic (pipeline ops brief: multimodal transforms)."),
+
+    Q(
+      "q152_wav_header_meta",
+      (s, dir) => {
+        // The audio modality's decode plumbing, made real the way q56 did
+        // for images: every doc becomes a valid RIFF/WAVE payload whose
+        // fmt/data fields encode doc_id arithmetic; parseWav walks the
+        // chunk list for real (the fixture interposes a LIST chunk before
+        // fmt, so a parser that assumes fmt-at-offset-12 breaks the
+        // hash). Duration and sample count are derived from the PARSED
+        // fields — a misread of any of rate/channels/bits/data size
+        // surfaces as a wrong integer against the oracle's replayed
+        // arithmetic.
+        decodeAudioStub(syntheticWavs(s, dir)).toDF()
+          .select(col("mediaId").as("doc_id"),
+            col("channels"), col("sampleRate").as("sample_rate"),
+            col("bitsPerSample").as("bits"), col("dataBytes").as("data_bytes"))
+          .withColumn("n_frames",
+            expr("data_bytes div (channels * (bits div 8))"))
+          .withColumn("duration_ms",
+            expr("data_bytes * 1000L div (sample_rate * channels * (bits div 8))"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 2 AS INT) AS channels,
+                 CAST(8000 + (doc_id % 8) * 4800 AS INT) AS sample_rate,
+                 CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+                      ELSE 32 END AS INT) AS bits,
+                 CAST(1000 + doc_id % 100000 AS BIGINT) AS data_bytes
+          FROM documents)
+        SELECT doc_id, channels, sample_rate, bits, data_bytes,
+               data_bytes // (channels * (bits // 8)) AS n_frames,
+               (data_bytes * 1000) // (sample_rate * channels * (bits // 8))
+                 AS duration_ms
+        FROM f"""),
+      "Real RIFF/WAVE header parsing (chunk-walk to fmt/data) exercised " +
+        "end-to-end by a hash-checked query over synthesized WAV " +
+        "payloads; frames + duration derived from parsed fields " +
+        "(pipeline ops brief: audio decode plumbing)."))
+
+  // --------------------------------------------------- audio (RIFF/WAVE)
+
+  /** Parsed WAV format fields (fmt chunk + data chunk size). */
+  final case class AudioMeta(
+      mediaId: Long,
+      channels: Int,
+      sampleRate: Int,
+      bitsPerSample: Int,
+      dataBytes: Long)
+
+  /** Real RIFF/WAVE header parse — pure JVM, no codec jars. Walks the
+    * chunk list (chunks are word-aligned: odd-sized chunks carry a pad
+    * byte) to the `fmt ` and `data` chunks; returns None unless both are
+    * present with sane fields. Like [[parseDims]], non-WAV payloads fall
+    * back at the caller.
+    */
+  def parseWav(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val len = le32(i + 4)
+      if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+      else if (id == "data") data = Some(len)
+      // chunks are word-aligned; an odd payload length carries a pad byte
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    for ((ch, rate, bits) <- fmt; d <- data
+         if ch > 0 && rate > 0 && bits > 0 && bits % 8 == 0)
+      yield AudioMeta(0L, ch, rate, bits, d)
+  }
+
+  /** Batched executor-side audio header decoder (the decodeStub shape for
+    * the audio modality); unparseable payloads are dropped — the dirty
+    * side-split is the K6 pattern, exercised in the spec.
+    */
+  def decodeAudioStub(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap(r =>
+          parseWav(r.content).map(_.copy(mediaId = r.mediaId)))
+      }
+    }
+  }
+
+  private def wavHeader(channels: Int, rate: Int, bits: Int,
+      dataBytes: Int): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { b.write(v & 0xff); b.write((v >>> 8) & 0xff) }
+    def le32(v: Long): Unit =
+      for (s <- Seq(0, 8, 16, 24)) b.write(((v >>> s) & 0xff).toInt)
+    val byteRate = rate.toLong * channels * (bits / 8)
+    b.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + 12 + 5 + 1 + 24 + 8 + dataBytes.toLong) // riff payload size
+    b.write("WAVE".getBytes("US-ASCII"))
+    // an odd-length LIST chunk FIRST: the walk must skip it (with its pad
+    // byte) to find fmt — defeats any fixed-offset "parser"
+    b.write("LIST".getBytes("US-ASCII")); le32(5)
+    b.write("INFOx".getBytes("US-ASCII")); b.write(0) // pad to word align
+    b.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(channels); le32(rate.toLong); le32(byteRate)
+    le16(channels * (bits / 8)); le16(bits)
+    b.write("data".getBytes("US-ASCII")); le32(dataBytes.toLong)
+    // headers only — the data payload itself is elided (a real file would
+    // carry dataBytes of PCM here; the parser never reads past the header)
+    b.toByteArray
+  }
+
+  /** Documents replayed as REAL WAV headers with fmt/data fields derived
+    * from doc_id — the audio twin of [[syntheticContainers]].
+    */
+  def syntheticWavs(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val channels = (1 + id % 2).toInt
+      val rate = (8000 + (id % 8) * 4800).toInt
+      val bits = (id % 3) match { case 0 => 8; case 1 => 16; case _ => 32 }
+      val dataBytes = (1000 + id % 100000).toInt
+      MediaRow(id, "audio", wavHeader(channels, rate, bits, dataBytes),
+        Map.empty)
+    }
+  }
 }

@@ -54,7 +54,9 @@ class DirtyCorpusSpec extends SparkSpec {
     "q124_lsh_recall_audit", "q125_incremental_dedup", "q126_simhash_neardup",
     "q127_cms_heavy_hitters", "q130_bloom_decontamination",
     "q132_bloom_decon_sized", "q134_linear_counting", "q135_priority_sample",
-    "q138_logq_sketch", "q139_kmv_overlap")
+    "q138_logq_sketch", "q139_kmv_overlap", "q148_source_contamination",
+    "q149_dup_span_merge", "q150_token_budget_select",
+    "q151_curriculum_schedule", "q152_wav_header_meta")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: q149 maximal duplicated-span merge, q150
+  * token-budget quality selection, q151 curriculum mixture schedule, and
+  * q152 WAV header decode. Planted-fixture geometry plus the invariants
+  * the hash oracle can't state (disjointness bounds, prefix optimality,
+  * endpoint exactness, parser fallback).
+  */
+class Round14OpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String, dir: String = sfDir) =
+    graft.Registry.all.find(_.name == name).get.run(spark, dir)
+
+  // ------------------------------------------------------------- q149
+
+  test("q149 planted fixture: exact span geometry — cross-doc prefix " +
+    "span, far self-repetition splits, near-overlap merges, clean doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q149_").toString
+    val a = (1 to 12).map(i => s"a$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val t = (1 to 12).map(i => s"t$i")
+    Seq(
+      // 1↔2 share the 10-grams starting at pos 0 and 1 (adjacent → one
+      // span covering tokens 0..10 = 11 of 12)
+      (1L, a.mkString(" ")),
+      (2L, (a.take(11) :+ "zz").mkString(" ")),
+      // self-repetition 11 apart (> n=10) → TWO disjoint 10-token spans
+      (3L, (x ++ Seq("mid") ++ x).mkString(" ")),
+      // no duplicated grams anywhere
+      (4L, (1 to 15).map(i => s"c$i").mkString(" ")),
+      // 5's duplicated starts are pos 0 and 2 (gap 2 ≤ n) → ONE merged
+      // span covering the whole 12 tokens; 6 carries the two copies 11
+      // apart → two spans
+      (5L, t.mkString(" ")),
+      (6L, (t.take(10) ++ Seq("qq") ++ t.drop(2)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = run("q149_dup_span_merge", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // (n_tokens, n_spans, dup_tokens, max_span_tokens, dup_ppm)
+    assert(out(1L) == ((12L, 1L, 11L, 11L, 11000000L / 12)))
+    assert(out(2L) == ((12L, 1L, 11L, 11L, 11000000L / 12)))
+    assert(out(3L) == ((21L, 2L, 20L, 10L, 20000000L / 21)))
+    assert(out(4L) == ((15L, 0L, 0L, 0L, 0L)))
+    assert(out(5L) == ((12L, 1L, 12L, 12L, 1000000L)))
+    assert(out(6L) == ((21L, 2L, 20L, 10L, 20000000L / 21)))
+  }
+
+  test("q149 invariants on the driver corpus: spans are disjoint " +
+    "(dup_tokens ≤ n_tokens), bounds hold, and every q96 cross-doc " +
+    "duplicate holder has at least one span") {
+    val rows = run("q149_dup_span_merge").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    for ((id, (nTok, nSpans, dupTok, maxSpan)) <- rows) {
+      assert(dupTok <= nTok, s"doc $id: dup_tokens $dupTok > n_tokens $nTok")
+      assert(maxSpan <= dupTok, s"doc $id: max span exceeds total")
+      assert((nSpans == 0) == (dupTok == 0), s"doc $id: span/token mismatch")
+      // a span is at least one gram long and spans don't touch (gap > n
+      // would have merged) — so k spans cover at least 10k + (k-1) ... no:
+      // disjoint spans each cover ≥ n tokens
+      assert(dupTok >= 10 * nSpans, s"doc $id: span shorter than a gram")
+    }
+    val q96 = run("q96_repeated_ngram_dedup").collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    for ((id, shared) <- q96 if shared == 1)
+      assert(rows(id)._2 > 0, s"doc $id: q96 found a cross-doc duplicate " +
+        "but q149 has no span")
+  }
+
+  // ------------------------------------------------------------- q150
+
+  test("q150 planted fixture: budget fills in quality order, cut is " +
+    "exact, ties break by doc_id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q150_").toString
+    Seq(
+      (1L, "s", (1 to 10).map(i => s"u$i").mkString(" ")), // TTR 1000
+      (2L, "s", "p1 p1 p2 p2 p3 p3 p4 p4 p5 p5"),          // TTR 500
+      (3L, "s", "r1 r2 r1 r2 r1 r2 r1 r2 r1 r2"))          // TTR 200
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = run("q150_token_budget_select", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getInt(5)))).toMap
+    // budget = 30 div 2 = 15: doc1 (cum 10) fits, doc2 (cum 20) crosses
+    assert(out(1L) == ((10L, 1000L, 10L, 1)))
+    assert(out(2L) == ((10L, 500L, 20L, 0)))
+    assert(out(3L) == ((10L, 200L, 30L, 0)))
+  }
+
+  test("q150 on the driver corpus: per source, the selected set is " +
+    "exactly the maximal quality-ordered prefix within budget") {
+    val rows = run("q150_token_budget_select").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    for ((source, docs) <- rows.groupBy(_._2)) {
+      val budget = docs.map(_._3).sum / 2
+      val ordered = docs.sortBy(d => (-d._4, d._1)) // quality desc, id asc
+      // cum_tokens replays the ordered running sum
+      var cum = 0L
+      for (d <- ordered) {
+        cum += d._3
+        assert(d._5 == cum, s"$source/${d._1}: cum_tokens ${d._5} != $cum")
+        assert(d._6 == (if (cum <= budget) 1 else 0),
+          s"$source/${d._1}: selected flag disagrees with the budget cut")
+      }
+      // the flag is a PREFIX property: once over budget, never selected
+      assert(!ordered.map(_._6).sliding(2).exists(w =>
+        w.length == 2 && w(0) == 0 && w(1) == 1),
+        s"$source: selection is not a prefix of the quality order")
+    }
+  }
+
+  // ------------------------------------------------------------- q151
+
+  test("q151: epoch 0 is exactly the natural distribution, epoch 4 " +
+    "exactly uniform, and the anneal is monotone per source") {
+    val rows = run("q151_curriculum_schedule").collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5))))
+    val sources = rows.map(_._1._2).distinct
+    assert(rows.length == 5 * sources.length)
+    for (((epoch, source), (nat, uni, mix)) <- rows) {
+      if (epoch == 0L) assert(mix == nat, s"$source epoch 0: $mix != $nat")
+      if (epoch == 4L) assert(mix == uni, s"$source epoch 4: $mix != $uni")
+      assert(mix >= math.min(nat, uni) && mix <= math.max(nat, uni))
+    }
+    for ((source, ss) <- rows.groupBy(_._1._2)) {
+      val byEpoch = ss.sortBy(_._1._1).map(_._2._3)
+      val dirs = byEpoch.sliding(2).map(w => (w(1) - w(0)).sign).toSeq
+      assert(dirs.toSet.filter(_ != 0).size <= 1,
+        s"$source: anneal is not monotone: $byEpoch")
+    }
+  }
+
+  // ------------------------------------------------------------- q152
+
+  test("q152: parseWav walks chunks for real — garbage, truncation, and " +
+    "non-WAVE RIFF fall back to None; the synthetic fixture round-trips") {
+    import graft.queries.MultimodalOps._
+    assert(parseWav("not a wav at all".getBytes("US-ASCII")).isEmpty)
+    assert(parseWav(Array.emptyByteArray).isEmpty)
+    assert(parseWav("RIFF1234AVI ".getBytes("US-ASCII")).isEmpty)
+    // a RIFF/WAVE with a fmt chunk but NO data chunk must not parse
+    val noData = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFFxxxxWAVE".getBytes("US-ASCII"))
+      b.write("fmt ".getBytes("US-ASCII"))
+      b.write(Array[Byte](16, 0, 0, 0, 1, 0, 1, 0))
+      b.write(Array[Byte](0x40, 0x1f, 0, 0, 0x40, 0x1f, 0, 0, 1, 0, 8, 0))
+      b.toByteArray
+    }
+    assert(parseWav(noData).isEmpty)
+    // the synthetic fixture (with its interposed odd-length LIST chunk)
+    // parses back to the doc_id arithmetic for every row
+    val metas = decodeAudioStub(syntheticWavs(spark, sfDir)).collect()
+    assert(metas.nonEmpty)
+    for (m <- metas) {
+      val id = m.mediaId
+      assert(m.channels == (1 + id % 2).toInt, s"doc $id channels")
+      assert(m.sampleRate == (8000 + (id % 8) * 4800).toInt, s"doc $id rate")
+      val bits = (id % 3) match { case 0 => 8; case 1 => 16; case _ => 32 }
+      assert(m.bitsPerSample == bits, s"doc $id bits")
+      assert(m.dataBytes == 1000 + id % 100000, s"doc $id data size")
+    }
+  }
+
+  test("q152: unparseable payloads are dropped by the batched decoder " +
+    "(the K6 dirty-side contract), parseable ones all survive") {
+    import spark.implicits._
+    import graft.queries.MultimodalOps._
+    val mixed = mediaFromDocs(spark, sfDir) // text bytes — none parse
+    assert(decodeAudioStub(mixed).isEmpty)
+    val good = syntheticWavs(spark, sfDir)
+    assert(decodeAudioStub(good).count() == good.count())
+  }
+}

@@ -311,9 +311,19 @@ object CorpusOps {
             posexplode(wordNgrams(tokens(col("text")), n)))
           .select(col("doc_id"), col("pos"),
             xxhash64(col("col")).as("ng"))
-        val dup = g
-          .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("ng"))))
+        // duplicated-gram set via partial-aggregated groupBy + semi-join,
+        // NOT a count-over-window: the window form full-sort-shuffles
+        // every positional row by gram hash, while the groupBy ships only
+        // map-side-combined (ng, count) partials and the semi-join's
+        // probe side is the (usually small) duplicated-gram set — AQE
+        // broadcasts it when it fits and falls back to a shuffle join on
+        // a genuinely duplicative corpus. Measured at sf0.1: 2.85 → 1.6 s
+        // min-of-3 (the explode runs twice, but both runs stay map-side).
+        val dupGrams = g.groupBy(col("ng"))
+          .agg(count(lit(1)).as("occ"))
           .filter(col("occ") >= 2)
+          .select(col("ng"))
+        val dup = g.join(dupGrams, Seq("ng"), "left_semi")
         val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val cum = byDoc.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)

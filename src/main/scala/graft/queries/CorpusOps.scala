@@ -298,19 +298,15 @@ object CorpusOps {
         // Spans are therefore DISJOINT and dup_tokens is the exact count
         // of duplicated tokens (≤ n_tokens — spec-pinned).
         //
-        // Scale shape: two shuffles total — by gram hash for the
-        // occurrence window, then by doc_id for the island window; the
-        // groupBys on (doc_id, island) and doc_id reuse the second
-        // exchange (same prefix partitioning). Only (id, pos, hash)
-        // triples move. The window-over-groupBy form keeps the positional
-        // explode to ONE run (the q96 lesson: the join formulation
-        // re-derives it three times).
-        val n = 10
-        val g = Tables.parallel(s, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(wordNgrams(tokens(col("text")), n)))
-          .select(col("doc_id"), col("pos"),
-            xxhash64(col("col")).as("ng"))
+        // Scale shape: a map-side-combined groupBy on the gram hash
+        // builds the duplicated-gram set; a semi-join (AQE-broadcast when
+        // the set is small) filters the positional frame; the island
+        // windows and both rollups share ONE shuffle by doc_id. Only
+        // (id, pos, hash) triples move. Positional grams + island merge
+        // live in operators.DupSpans — the core shared with the
+        // incremental StreamingSpanMerge twin.
+        val g = graft.operators.DupSpans
+          .positionalGrams(Tables.parallel(s, dir, "documents"))
         // duplicated-gram set via partial-aggregated groupBy + semi-join,
         // NOT a count-over-window: the window form full-sort-shuffles
         // every positional row by gram hash, while the groupBy ships only
@@ -323,25 +319,8 @@ object CorpusOps {
           .agg(count(lit(1)).as("occ"))
           .filter(col("occ") >= 2)
           .select(col("ng"))
-        val dup = g.join(dupGrams, Seq("ng"), "left_semi")
-        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val cum = byDoc.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)
-        val spans = dup
-          .withColumn("newSpan",
-            when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0)
-              .otherwise(1)) // first row: lag is null → comparison null → 1
-          .withColumn("island", sum(col("newSpan")).over(cum))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).as("s0"),
-            (max(col("pos")) + lit(n - 1)).as("e0"))
-        val perDoc = spans
-          .select(col("doc_id"),
-            (col("e0") - col("s0") + lit(1)).cast("long").as("span_tokens"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(col("span_tokens")).as("dup_tokens"),
-            max(col("span_tokens")).as("max_span_tokens"))
+        val perDoc = graft.operators.DupSpans
+          .perDocStats(g.join(dupGrams, Seq("ng"), "left_semi"))
         docs(s, dir)
           .select(col("doc_id"),
             // null-text docs have zero tokens, not null (dirty-corpus

@@ -59,9 +59,17 @@ private[streaming] object StateFrames {
     * fallible materialization before their commit point: `prepare`
     * materializes (throwing leaves the store untouched; the caller
     * unpersists the orphan), `commit` swaps driver state only.
+    *
+    * A store whose rows are superseded by later versions (e.g.
+    * StreamingSpanMerge's versioned span rows) passes `fold`: applied at
+    * compaction (and reset) only, it collapses the union to the rows
+    * that still matter — reads stay keep-latest either way, so folding
+    * never changes observable contents, it just stops dead versions
+    * accumulating across compaction cycles.
     */
   final class SegmentedStore(spark: SparkSession,
-      schema: org.apache.spark.sql.types.StructType, compactAt: Int) {
+      schema: org.apache.spark.sql.types.StructType, compactAt: Int,
+      fold: DataFrame => DataFrame = identity) {
 
     type Segment = (DataFrame, org.apache.spark.rdd.RDD[Row])
 
@@ -93,7 +101,7 @@ private[streaming] object StateFrames {
       */
     def reset(store: DataFrame): Unit = {
       val old = segments
-      val seg = materialize(spark, store)
+      val seg = materialize(spark, fold(store))
       segments = Vector(seg)
       old.foreach(_._2.unpersist(blocking = false))
     }
@@ -101,7 +109,7 @@ private[streaming] object StateFrames {
     private def compact(): Unit = {
       val old = segments
       val par = spark.sparkContext.defaultParallelism
-      segments = Vector(materialize(spark, frame.coalesce(par)))
+      segments = Vector(materialize(spark, fold(frame).coalesce(par)))
       old.foreach(_._2.unpersist(blocking = false))
     }
   }

@@ -124,6 +124,11 @@ object StreamingThroughput {
     def contamT(ds: Dataset[MixIn]) =
       Seq(StreamingContamination.attach(ds.toDF(),
         StreamingContamination.state(spark)))
+    // incremental q149 span maintenance (foreachBatch ingest: flip
+    // detection + touched-doc island recompute per micro-batch)
+    def spansT(ds: Dataset[DocIn]) =
+      Seq(StreamingSpanMerge.attach(ds.toDF(),
+        StreamingSpanMerge.state(spark)))
     def mixDocs(dir: String): Seq[MixIn] =
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text")).as[MixIn]
@@ -178,6 +183,8 @@ object StreamingThroughput {
     if (sel("mixture") || sel("mixture_desc"))
       feed(x1Mix.take(BatchRows))(mixtureT)
     if (sel("contam")) feed(x1Mix.take(BatchRows))(contamT)
+    if (sel("spans") || sel("spans_desc"))
+      feed(x1Docs.take(BatchRows))(spansT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -216,6 +223,16 @@ object StreamingThroughput {
     if (sel("contam")) {
       emit("contam", "x1", x1Mix.size, feed(x1Mix)(contamT))
       emit("contam", "x10", x10Mix.size, feed(x10Mix)(contamT))
+    }
+    if (sel("spans")) {
+      emit("spans", "x1", x1Docs.size, feed(x1Docs)(spansT))
+      emit("spans", "x10", x10Docs.size, feed(x10Docs)(spansT))
+    }
+    // retroactive-flip adversary: descending arrival maximizes how often
+    // a later batch flips an earlier doc's grams (the spec's worst case);
+    // the rate shows the touched-doc recompute cost in the measurement
+    if (sel("spans_desc")) {
+      emit("spans_desc", "x1", x1Docs.size, feed(x1Docs.reverse)(spansT))
     }
     // a THIRD measured decade for the incremental mixture (500k docs
     // through the same foreachBatch ingest). OPT-IN only — never part of

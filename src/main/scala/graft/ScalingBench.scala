@@ -38,6 +38,7 @@ object ScalingBench {
     // path — two shuffles over (id, pos, hash) triples) and the
     // window-cumsum budget selection
     "q149_dup_span_merge", "q150_token_budget_select",
+    "q153_gram_novelty",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

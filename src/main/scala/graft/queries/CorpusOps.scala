@@ -498,6 +498,62 @@ object CorpusOps {
         "epoch dimension of a pretraining recipe (pipeline ops brief: " +
         "mixture scheduling)."),
 
+    // ------------------------------------------- gram-novelty scoring
+    Q(
+      "q153_gram_novelty",
+      (s, dir) => {
+        // The complement of q96's redundancy count: how much of each doc
+        // is NEW under the corpus's ingestion order (doc_id order — the
+        // crawl-sequence novelty signal that prioritizes docs adding
+        // vocabulary over docs rehashing it). A doc's novelty is the
+        // share of its distinct 10-grams whose FIRST holder (min doc_id
+        // corpus-wide) is this doc.
+        //
+        // Scale shape: rides the staged grams10 frame (zero extra
+        // tokenize — shared with q96/q119); min-over-window needs the
+        // min for EVERY row, so the window form is right here (the
+        // semi-join trick of q149 only pays when most rows are then
+        // DISCARDED; this one keeps them all): one sort-shuffle by gram
+        // hash, then the per-doc rollup.
+        val g = Grams.hashed(s, dir, 10)
+        val stats = g
+          .withColumn("first_id",
+            min(col("doc_id")).over(Window.partitionBy(col("ng"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum((col("doc_id") === col("first_id")).cast("long"))
+              .as("n_first"))
+        docs(s, dir).select(col("doc_id"))
+          .join(stats, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_first"), lit(0L)).as("n_first"))
+          .withColumn("novelty_ppm",
+            expr("n_first * 1000000L div greatest(n_grams, 1L)"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS ng
+              FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
+        w AS (SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY ng) AS first_id
+              FROM g),
+        per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                       CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_first
+                FROM w GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_first, 0) AS n_first,
+               (COALESCE(p.n_first, 0) * 1000000)
+                 // GREATEST(COALESCE(p.n_grams, 0), 1) AS novelty_ppm
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per p USING (doc_id)"""),
+      "Gram-novelty scoring under ingestion order: the share of each " +
+        "doc's distinct 10-grams it is the corpus-wide first holder of — " +
+        "the prioritize-new-vocabulary signal, riding the staged gram " +
+        "frame (pipeline ops brief: redundancy-aware selection)."),
+
     // ------------------------------------- bloom-filter decontamination
     Q(
       "q130_bloom_decontamination",

@@ -364,14 +364,20 @@ object MultimodalOps {
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None
     var data: Option[Long] = None
-    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+    var halted = false
+    while (!halted && i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(i)
       val len = le32(i + 4)
       if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length)
         fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
       else if (id == "data") data = Some(len)
+      // a declared chunk length past Int range would wrap negative in the
+      // advance below and walk BACKWARD (an adversarial payload could
+      // loop the parser forever) — nothing valid follows such a chunk in
+      // a buffer this parser accepts, so stop the walk instead
+      if (len > Int.MaxValue - 16) halted = true
       // chunks are word-aligned; an odd payload length carries a pad byte
-      i += 8 + len.toInt + (len.toInt & 1)
+      else i += 8 + len.toInt + (len.toInt & 1)
     }
     for ((ch, rate, bits) <- fmt; d <- data
          if ch > 0 && rate > 0 && bits > 0 && bits % 8 == 0)

@@ -1066,6 +1066,105 @@ object SimilarityOps {
         "codewords/probes before the index ships " +
         "(pipeline ops brief: measure the index, don't guess)."),
 
+    // -------------------------------------- matryoshka-truncation audit
+    Q(
+      "q154_matryoshka_recall",
+      (s, dir) => {
+        // The dimension-budget sibling of the q124/q129 recall audits:
+        // matryoshka-style embedding truncation keeps the FIRST d dims
+        // (64 → 8/16/32 here) to cut index memory and dot-product cost;
+        // this measures what each budget costs in recall@5 against the
+        // exact full-dimension L2 top-5 — the number that picks the
+        // serving dimension before the index ships. Same integer-scaled
+        // scoring and tie rules as q129 (floored 1e9-scaled L2², then
+        // neighbor_id), so both engines rank identically; the query set
+        // broadcasts and the corpus is scanned once per budget.
+        val base = vecs(s, dir)
+        val qry = broadcast(base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+        val pairs = base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+          .crossJoin(qry)
+        def l2i(q: Column, n: Column): Column =
+          floor((dot(q, q) - lit(2.0) * dot(q, n) + dot(n, n)) * lit(1e9))
+        val wT = Window.partitionBy(col("query_id"))
+          .orderBy(col("l2i").asc_nulls_last, col("neighbor_id"))
+        val truth = pairs
+          .withColumn("l2i", l2i(col("qv"), col("nv")))
+          .withColumn("rn", row_number().over(wT))
+          .filter(col("rn") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        // ONE corpus pass ranks all three budgets: the dims column
+        // explodes in-row and the top-k window keys on (dims, query_id)
+        // (a per-budget loop would re-scan the corpus once per budget)
+        val wD = Window.partitionBy(col("dims"), col("query_id"))
+          .orderBy(col("l2i").asc_nulls_last, col("neighbor_id"))
+        val got = pairs
+          .withColumn("dims", explode(lit(Array(8, 16, 32))))
+          .withColumn("l2i", l2i(slice(col("qv"), lit(1), col("dims")),
+            slice(col("nv"), lit(1), col("dims"))))
+          .withColumn("rn", row_number().over(wD))
+          .filter(col("rn") <= 5)
+          .select(col("dims"), col("query_id"), col("neighbor_id"),
+            lit(1).as("is_hit"))
+        truth
+          .crossJoin(broadcast(pairs.sparkSession.range(1)
+            .select(explode(lit(Array(8, 16, 32))).as("dims"))))
+          .join(got, Seq("dims", "query_id", "neighbor_id"), "left_outer")
+          .groupBy(col("dims"))
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("is_hit"), lit(0))).cast("long").as("n_hit"))
+          .select(col("dims"), col("n_truth"), col("n_hit"),
+            when(col("n_truth") === 0, lit(1000000L))
+              .otherwise(expr("n_hit * 1000000L div n_truth"))
+              .as("recall_ppm"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        qry AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        corp AS (SELECT vec_id AS neighbor_id, v AS nv
+                 FROM e WHERE vec_id >= 5),
+        dims AS (SELECT UNNEST([8, 16, 32]) AS d),
+        t AS (SELECT q.query_id, c.neighbor_id,
+                     CAST(FLOOR((list_dot_product(q.qv, q.qv)
+                           - 2 * list_dot_product(q.qv, c.nv)
+                           + list_dot_product(c.nv, c.nv))
+                         * 1000000000.0) AS BIGINT) AS l2i
+              FROM qry q, corp c),
+        tr AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY l2i, neighbor_id) AS rn
+               FROM t),
+        truth AS (SELECT query_id, neighbor_id FROM tr WHERE rn <= 5),
+        tt AS (SELECT d.d, q.query_id, c.neighbor_id,
+                      CAST(FLOOR((list_dot_product(q.qv[1:d.d], q.qv[1:d.d])
+                            - 2 * list_dot_product(q.qv[1:d.d], c.nv[1:d.d])
+                            + list_dot_product(c.nv[1:d.d], c.nv[1:d.d]))
+                          * 1000000000.0) AS BIGINT) AS l2i
+               FROM qry q, corp c, dims d),
+        trt AS (SELECT d, query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY d, query_id
+                         ORDER BY l2i, neighbor_id) AS rn
+                FROM tt),
+        got AS (SELECT d, query_id, neighbor_id FROM trt WHERE rn <= 5),
+        res AS (SELECT d.d, COUNT(*) AS n_truth,
+                       CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM dims d
+                CROSS JOIN truth t
+                LEFT JOIN got g ON g.d = d.d AND g.query_id = t.query_id
+                  AND g.neighbor_id = t.neighbor_id
+                GROUP BY d.d)
+        SELECT CAST(d AS INT) AS dims, n_truth, n_hit,
+               CASE WHEN n_truth = 0 THEN 1000000
+                    ELSE n_hit * 1000000 // n_truth END AS recall_ppm
+        FROM res"""),
+      "Matryoshka-truncation recall audit: recall@5 of first-d-dims L2 " +
+        "top-5 (d = 8/16/32 of 64) against the exact full-dimension " +
+        "truth — the measurement that picks a serving dimension budget " +
+        "(pipeline ops brief: measure the index, don't guess)."),
+
     // --------------------------------------- semantic decontamination
     Q(
       "q137_semantic_decontamination",

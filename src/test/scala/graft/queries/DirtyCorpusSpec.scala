@@ -56,7 +56,8 @@ class DirtyCorpusSpec extends SparkSpec {
     "q132_bloom_decon_sized", "q134_linear_counting", "q135_priority_sample",
     "q138_logq_sketch", "q139_kmv_overlap", "q148_source_contamination",
     "q149_dup_span_merge", "q150_token_budget_select",
-    "q151_curriculum_schedule", "q152_wav_header_meta")
+    "q151_curriculum_schedule", "q152_wav_header_meta",
+    "q153_gram_novelty")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

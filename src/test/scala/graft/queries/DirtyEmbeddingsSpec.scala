@@ -88,6 +88,18 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("q154 matryoshka audit runs on the dirty index: malformed vectors " +
+    "never crash the truncated rankings and the audit shape holds") {
+    val rows = graft.SparkEntry.queries("q154_matryoshka_recall")(
+      spark, dirtyDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(8, 16, 32))
+    for ((d, (nTruth, nHit)) <- rows) {
+      assert(nTruth > 0L, s"dims $d: empty truth set")
+      assert(nHit >= 0L && nHit <= nTruth, s"dims $d: hits out of range")
+    }
+  }
+
   test("semantic dedup family (fixed-K, two-level scaled-K, star) runs on " +
     "the dirty index without crashing") {
     for (q <- Seq("q100_semantic_dedup", "q131_semantic_dedup_scaledk",

@@ -143,6 +143,70 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- q153
+
+  test("q153 planted fixture: first-holder novelty is exact — full, " +
+    "half, zero, and gram-less docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q153_").toString
+    val t = (1 to 11).map(i => s"t$i")
+    Seq(
+      (1L, t.mkString(" ")),                       // both grams first here
+      (2L, (t.take(10) :+ "zz").mkString(" ")),    // one shared, one own
+      (3L, t.mkString(" ")),                       // exact copy of 1
+      (4L, "a b c d e"))                           // below gram size
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = run("q153_gram_novelty", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000L)))
+    assert(out(2L) == ((2L, 1L, 500000L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("q153 invariants on the driver corpus: n_first ≤ n_grams, the " +
+    "lowest gram-holding doc is fully novel, and first-holder counts " +
+    "conserve the distinct-gram total") {
+    val rows = run("q153_gram_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, g, f) =>
+      assert(f <= g, s"doc $id: n_first $f > n_grams $g")
+    }
+    val lowest = rows.find(_._2 > 0).get
+    assert(lowest._3 == lowest._2,
+      s"the lowest doc with grams must be fully novel: $lowest")
+    // every distinct gram has exactly one first holder
+    val distinctGrams = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFns.wordNgrams(
+          graft.functions.TextFns.tokens(col("text")), 10))).as("gram"))
+      .select(xxhash64(col("gram"))).distinct().count()
+    assert(rows.map(_._3).sum == distinctGrams,
+      "sum of first-holder counts must equal the distinct-gram total")
+  }
+
+  // ------------------------------------------------------------- q154
+
+  test("q154: audit shape — one row per dimension budget, hits bounded " +
+    "by truth, ppm consistent, and a full-width budget is perfect recall") {
+    val rows = run("q154_matryoshka_recall").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == Set(8, 16, 32))
+    for ((d, (nTruth, nHit, ppm)) <- rows) {
+      assert(nTruth == 25L, s"dims $d: truth must be 5 queries x top-5")
+      assert(nHit >= 0L && nHit <= nTruth, s"dims $d: hits out of range")
+      assert(ppm == nHit * 1000000L / nTruth, s"dims $d: ppm inconsistent")
+    }
+    // the audit itself must be non-degenerate: a 32-of-64 budget on this
+    // corpus retains most of the truth set (if this ever reads 0 the
+    // slicing or scoring broke, not the corpus)
+    assert(rows(32)._2 > 0L, "32-dim budget found no true neighbors")
+  }
+
   // ------------------------------------------------------------- q152
 
   test("q152: parseWav walks chunks for real — garbage, truncation, and " +
@@ -161,6 +225,18 @@ class Round14OpsSpec extends SparkSpec {
       b.toByteArray
     }
     assert(parseWav(noData).isEmpty)
+    // adversarial chunk length past Int range: the declared size would
+    // wrap negative in the walk's advance — the parser must halt (not
+    // loop) and report nothing
+    val hugeChunk = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFFxxxxWAVE".getBytes("US-ASCII"))
+      b.write("LIST".getBytes("US-ASCII"))
+      b.write(Array[Byte](-1, -1, -1, -1)) // len = 0xFFFFFFFF
+      b.write(new Array[Byte](32))
+      b.toByteArray
+    }
+    assert(parseWav(hugeChunk).isEmpty)
     // the synthetic fixture (with its interposed odd-length LIST chunk)
     // parses back to the doc_id arithmetic for every row
     val metas = decodeAudioStub(syntheticWavs(spark, sfDir)).collect()

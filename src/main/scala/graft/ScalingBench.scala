@@ -38,7 +38,7 @@ object ScalingBench {
     // path — two shuffles over (id, pos, hash) triples) and the
     // window-cumsum budget selection
     "q149_dup_span_merge", "q150_token_budget_select",
-    "q153_gram_novelty",
+    "q153_gram_novelty", "q155_dedup_removal_plan",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -554,6 +554,86 @@ object CorpusOps {
         "the prioritize-new-vocabulary signal, riding the staged gram " +
         "frame (pipeline ops brief: redundancy-aware selection)."),
 
+    // ------------------------------------------ dedup removal plan
+    Q(
+      "q155_dedup_removal_plan",
+      (s, dir) => {
+        // The REMOVAL step q149 only measures: under the keep-first
+        // policy (the corpus-wide first occurrence of every gram — by
+        // (doc_id, pos) — survives; later occurrences are cut), how many
+        // tokens does each doc lose? A position is removable iff an
+        // EARLIER occurrence of its gram exists anywhere (row_number ≥ 2
+        // over the gram's occurrences in (doc_id, pos) order — rank ≥ 2
+        // already implies duplicated, so no separate df pass). Removable
+        // positions island-merge through the same DupSpans core as q149,
+        // so removal segments are disjoint and tokens_removed is exact.
+        // Every gram provably retains ≥ 1 occurrence (rank 1 is never
+        // cut) — the conservation property exact-substring dedup needs.
+        //
+        // Scale shape: one sort-shuffle by gram hash (the rank window),
+        // one by doc_id (the island core) — q149's geometry with the
+        // semi-join replaced by a rank filter.
+        val g = graft.operators.DupSpans
+          .positionalGrams(Tables.parallel(s, dir, "documents"))
+        val byOccurrence = Window.partitionBy(col("ng"))
+          .orderBy(col("doc_id"), col("pos"))
+        val removable = g
+          .withColumn("rn", row_number().over(byOccurrence))
+          .filter(col("rn") >= 2)
+          .select(col("doc_id"), col("pos"))
+        val perDoc = graft.operators.DupSpans.perDocStats(removable)
+        docs(s, dir)
+          .select(col("doc_id"),
+            coalesce(size(tokens(col("text"))), lit(0))
+              .cast("long").as("n_tokens"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).as("n_removal_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("tokens_removed"))
+          .withColumn("tokens_kept", expr("n_tokens - tokens_removed"))
+          .withColumn("kept_ppm",
+            expr("tokens_kept * 1000000L div greatest(n_tokens, 1L)"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS ng
+              FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
+        r AS (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY ng
+                       ORDER BY doc_id, pos) AS rn
+              FROM g),
+        rem AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+        fl AS (SELECT doc_id, pos,
+                      CASE WHEN pos - LAG(pos) OVER w <= 10 THEN 0
+                           ELSE 1 END AS new_span
+               FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (SELECT doc_id, pos,
+                       SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM fl),
+        spans AS (SELECT doc_id, MAX(pos) + 9 - MIN(pos) + 1 AS span_tokens
+                  FROM isl GROUP BY doc_id, island),
+        per_doc AS (SELECT doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_removal_spans,
+                           CAST(SUM(span_tokens) AS BIGINT) AS tokens_removed
+                    FROM spans GROUP BY doc_id),
+        tot AS (SELECT doc_id,
+                       CAST(COALESCE(len(string_split(text, ' ')), 0)
+                            AS BIGINT) AS n_tokens
+                FROM documents)
+        SELECT t.doc_id, t.n_tokens,
+               COALESCE(p.n_removal_spans, 0) AS n_removal_spans,
+               COALESCE(p.tokens_removed, 0) AS tokens_removed,
+               t.n_tokens - COALESCE(p.tokens_removed, 0) AS tokens_kept,
+               ((t.n_tokens - COALESCE(p.tokens_removed, 0)) * 1000000)
+                 // GREATEST(t.n_tokens, 1) AS kept_ppm
+        FROM tot t LEFT JOIN per_doc p USING (doc_id)"""),
+      "Keep-first dedup removal plan (the cut q149 measures): positions " +
+        "whose gram has an earlier corpus occurrence island-merge into " +
+        "disjoint removal segments; every gram retains its first " +
+        "occurrence (pipeline ops brief: substring dedup, the removal " +
+        "step)."),
+
     // ------------------------------------- bloom-filter decontamination
     Q(
       "q130_bloom_decontamination",

@@ -188,6 +188,59 @@ class Round14OpsSpec extends SparkSpec {
       "sum of first-holder counts must equal the distinct-gram total")
   }
 
+  // ------------------------------------------------------------- q155
+
+  test("q155 planted fixture: keep-first removal cuts exactly the later " +
+    "occurrences — cross-doc, self-repetition, and first-holder docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q155_").toString
+    val a = (1 to 12).map(i => s"a$i")
+    val x = (1 to 10).map(i => s"x$i")
+    val t = (1 to 12).map(i => s"t$i")
+    Seq(
+      (1L, a.mkString(" ")),                        // first holder: keeps all
+      (2L, (a.take(11) :+ "zz").mkString(" ")),     // loses the shared prefix
+      (3L, (x ++ Seq("mid") ++ x).mkString(" ")),   // 2nd copy of itself cut
+      (4L, (1 to 15).map(i => s"c$i").mkString(" ")), // clean: keeps all
+      (5L, t.mkString(" ")),                        // first holder vs 6
+      (6L, (t.take(10) ++ Seq("qq") ++ t.drop(2)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = run("q155_dedup_removal_plan", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // (n_tokens, n_removal_spans, tokens_removed, tokens_kept, kept_ppm)
+    assert(out(1L) == ((12L, 0L, 0L, 12L, 1000000L)))
+    assert(out(2L) == ((12L, 1L, 11L, 1L, 1000000L / 12)))
+    assert(out(3L) == ((21L, 1L, 10L, 11L, 11000000L / 21)))
+    assert(out(4L) == ((15L, 0L, 0L, 15L, 1000000L)))
+    assert(out(5L) == ((12L, 0L, 0L, 12L, 1000000L)))
+    assert(out(6L) == ((21L, 2L, 20L, 1L, 1000000L / 21)))
+  }
+
+  test("q155 invariants on the driver corpus: removal never exceeds " +
+    "q149's duplicated coverage, and every gram survives somewhere") {
+    val removal = run("q155_dedup_removal_plan").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val spans = run("q149_dup_span_merge").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(removal.nonEmpty)
+    for ((id, (nTok, removed)) <- removal) {
+      assert(removed <= spans(id),
+        s"doc $id: removed $removed > duplicated coverage ${spans(id)} — " +
+          "the keep-first cut must be a subset of q149's spans")
+      assert(removed <= nTok)
+    }
+    // conservation: at least one doc keeps everything (the corpus-order
+    // first holder of its grams), and total removal is strictly less
+    // than total duplicated coverage whenever any duplication exists
+    assert(removal.values.exists { case (n, r) => r == 0L && n > 0L })
+    val totalRemoved = removal.values.map(_._2).sum
+    val totalDup = spans.values.sum
+    if (totalDup > 0) assert(totalRemoved < totalDup,
+      "keep-first must retain at least one occurrence per gram")
+  }
+
   // ------------------------------------------------------------- q154
 
   test("q154: audit shape — one row per dimension budget, hits bounded " +

@@ -119,4 +119,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("DupSpans island merge ≡ brute-force interval union on random " +
+    "position sets (tolerance-N correctness, no off-by-one)") {
+    import spark.implicits._
+    val N = graft.operators.DupSpans.N
+    for (seed <- 40L to 47L) {
+      val rng = new scala.util.Random(seed)
+      // several docs; sparse + dense position mixes, incl. exact-gap edges
+      val rows = (1 to 5).flatMap { doc =>
+        val ps = Seq.fill(rng.nextInt(30) + 1)(rng.nextInt(120))
+          .distinct.sorted
+        ps.map(p => (doc.toLong, p))
+      }
+      val got = graft.operators.DupSpans
+        .perDocStats(rows.toDF("doc_id", "pos"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      // brute force: union of [p, p+N-1] per doc, then measure segments
+      for ((doc, ps) <- rows.groupBy(_._1)) {
+        val covered = ps.flatMap(t => t._2 to (t._2 + N - 1)).toSet
+        val segs = scala.collection.mutable.ListBuffer.empty[Int]
+        var run = 0
+        for (i <- 0 to (covered.max + 1)) {
+          if (covered(i)) run += 1
+          else if (run > 0) { segs += run; run = 0 }
+        }
+        val (nSpans, dupTokens, maxSpan) = got(doc)
+        assert(nSpans == segs.size.toLong, s"seed=$seed doc=$doc spans")
+        assert(dupTokens == covered.size.toLong, s"seed=$seed doc=$doc size")
+        assert(maxSpan == segs.max.toLong, s"seed=$seed doc=$doc max")
+      }
+    }
+  }
 }

@@ -129,6 +129,11 @@ object StreamingThroughput {
     def spansT(ds: Dataset[DocIn]) =
       Seq(StreamingSpanMerge.attach(ds.toDF(),
         StreamingSpanMerge.state(spark)))
+    // incremental q153 first-holder novelty (foreachBatch ingest:
+    // claimant-vs-holder flips + counter deltas per micro-batch)
+    def noveltyT(ds: Dataset[DocIn]) =
+      Seq(StreamingNovelty.attach(ds.toDF(),
+        StreamingNovelty.state(spark)))
     def mixDocs(dir: String): Seq[MixIn] =
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text")).as[MixIn]
@@ -185,6 +190,8 @@ object StreamingThroughput {
     if (sel("contam")) feed(x1Mix.take(BatchRows))(contamT)
     if (sel("spans") || sel("spans_desc"))
       feed(x1Docs.take(BatchRows))(spansT)
+    if (sel("novelty") || sel("novelty_desc"))
+      feed(x1Docs.take(BatchRows))(noveltyT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -233,6 +240,16 @@ object StreamingThroughput {
     // the rate shows the touched-doc recompute cost in the measurement
     if (sel("spans_desc")) {
       emit("spans_desc", "x1", x1Docs.size, feed(x1Docs.reverse)(spansT))
+    }
+    if (sel("novelty")) {
+      emit("novelty", "x1", x1Docs.size, feed(x1Docs)(noveltyT))
+      emit("novelty", "x10", x10Docs.size, feed(x10Docs)(noveltyT))
+    }
+    // maximal-steal adversary: descending arrival makes every colliding
+    // doc out-rank the stored holder, so retraction deltas are maximal
+    if (sel("novelty_desc")) {
+      emit("novelty_desc", "x1", x1Docs.size,
+        feed(x1Docs.reverse)(noveltyT))
     }
     // a THIRD measured decade for the incremental mixture (500k docs
     // through the same foreachBatch ingest). OPT-IN only — never part of

@@ -76,6 +76,28 @@ class Round14OpsSpec extends SparkSpec {
         "but q149 has no span")
   }
 
+  test("DupSpans.perDocStats: the island window and BOTH rollups ride " +
+    "ONE doc_id exchange (the scaladoc's one-shuffle claim, plan-pinned)") {
+    import spark.implicits._
+    val pos = Seq((1L, 0), (1L, 1), (1L, 15), (2L, 3), (2L, 20), (3L, 7))
+      .toDF("doc_id", "pos")
+    val stats = graft.operators.DupSpans.perDocStats(pos)
+    stats.collect() // finalize AQE before reading the executed plan
+    // AdaptiveSparkPlan's toString prints the same tree under both
+    // "== Final Plan ==" and "== Initial Plan ==" — count in the final
+    // section only
+    val plan = stats.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val docExchanges =
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(docExchanges == 1,
+      s"expected exactly one doc_id exchange (window + groupBy(doc_id," +
+        s" island) + groupBy(doc_id) must share it):\n$plan")
+    // and nothing else shuffles — no range partitioning, no second hash
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"an extra exchange crept into the island core:\n$plan")
+  }
+
   // ------------------------------------------------------------- q150
 
   test("q150 planted fixture: budget fills in quality order, cut is " +

@@ -133,6 +133,24 @@ class StreamingNoveltySpec extends SparkSpec {
       s"count versions not folding: $maxVersions")
   }
 
+  test("dirty batches: null and sub-gram texts ingest to zero-novelty " +
+    "rows and match batch q153 on the same corpus") {
+    import spark.implicits._
+    val rows = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "one"),
+      (3L, (1 to 11).map(i => s"d$i").mkString(" ")),
+      (4L, (1 to 11).map(i => s"d$i").mkString(" "))) // exact dup of 3
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nov_dirty_").toString
+    rows.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val st = StreamingNovelty.state(spark)
+    rows.grouped(2).foreach(b => st.ingest(b.toDF("doc_id", "text")))
+    assert(rowsOf(st.snapshot()) == q153(dir))
+    // and the dup doc really scored zero while the original kept credit
+    val byId = rowsOf(st.snapshot()).map(r => r._1 -> r._4).toMap
+    assert(byId(3L) == 1000000L && byId(4L) == 0L)
+  }
+
   test("foreachBatch wiring under a real StreamingQuery matches q153") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

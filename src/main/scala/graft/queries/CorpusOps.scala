@@ -634,6 +634,126 @@ object CorpusOps {
         "occurrence (pipeline ops brief: substring dedup, the removal " +
         "step)."),
 
+    // ------------------------------------- training export manifest
+    Q(
+      "q156_training_export_manifest",
+      (s, dir) => {
+        // The capstone composition — what actually ships to the trainer:
+        // a doc is EXPORTED iff it is (a) corpus-side (doc_id ≥ 10, the
+        // q63 bench/corpus split), (b) clean (no 5-gram overlap with the
+        // held-out bench — q63's rule over the broadcast bench set),
+        // and (c) the canonical copy of its exact-dup group (q34's
+        // min-doc_id-per-normalized-fingerprint rule). Exported tokens
+        // are counted AFTER q155's keep-first substring removal (the
+        // global rank is computed over the whole corpus, then applied to
+        // the exported docs). One rollup per source: docs, raw tokens,
+        // exported tokens, and the kept share in ppm — the manifest a
+        // data recipe signs off on.
+        //
+        // Scale shape: each arm is its own already-proven geometry (q34
+        // one fp shuffle via a window; q63 broadcast probe over the
+        // staged gram frame; q155 two shuffles over positional triples);
+        // the final joins are doc_id-keyed semi/anti joins and the
+        // rollup is |sources|-sized.
+        import graft.functions.TextFns.normText
+        val d = docs(s, dir)
+        val fpCol =
+          md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+        val canonical = d.select(col("doc_id"), fpCol.as("fp"))
+          .withColumn("canonical_id",
+            min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+          .filter(col("doc_id") === col("canonical_id"))
+          .select(col("doc_id"))
+        val g5 = Grams.hashed(s, dir, 5)
+        val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
+        val contaminated = g5.filter(col("doc_id") >= 10)
+          .join(broadcast(benchG), "ng").select("doc_id").distinct()
+        val g10 = graft.operators.DupSpans
+          .positionalGrams(Tables.parallel(s, dir, "documents"))
+        val byOccurrence = Window.partitionBy(col("ng"))
+          .orderBy(col("doc_id"), col("pos"))
+        val removed = graft.operators.DupSpans.perDocStats(
+          g10.withColumn("rn", row_number().over(byOccurrence))
+            .filter(col("rn") >= 2)
+            .select(col("doc_id"), col("pos")))
+          .select(col("doc_id"), col("dup_tokens").as("removed"))
+        d.select(col("doc_id"), col("source"),
+            coalesce(size(tokens(col("text"))), lit(0))
+              .cast("long").as("n_tokens"))
+          .filter(col("doc_id") >= 10)
+          .join(canonical, Seq("doc_id"), "left_semi")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .join(removed, Seq("doc_id"), "left_outer")
+          .select(col("source"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("removed"), lit(0L)))
+              .as("kept"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_exported"),
+            sum(col("n_tokens")).as("tokens_raw"),
+            sum(col("kept")).as("tokens_exported"))
+          .withColumn("kept_ppm",
+            expr("tokens_exported * 1000000L div greatest(tokens_raw, 1L)"))
+      },
+      Some("""
+        WITH canon AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
+                     list_sort(string_split(trim(regexp_replace(
+                       lower(text), '\s+', ' ', 'g')), ' ')), ' ')))
+                     AS canonical_id
+            FROM documents)
+          WHERE doc_id = canonical_id),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        bench AS (SELECT DISTINCT ng FROM g5 WHERE doc_id < 10),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM g5
+          JOIN bench USING (ng) WHERE doc_id >= 10),
+        g10 AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS ng
+                FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
+        r AS (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY ng
+                       ORDER BY doc_id, pos) AS rn
+              FROM g10),
+        rem AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+        fl AS (SELECT doc_id, pos,
+                      CASE WHEN pos - LAG(pos) OVER w <= 10 THEN 0
+                           ELSE 1 END AS new_span
+               FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (SELECT doc_id, pos,
+                       SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM fl),
+        spans AS (SELECT doc_id, MAX(pos) + 9 - MIN(pos) + 1 AS span_tokens
+                  FROM isl GROUP BY doc_id, island),
+        removed AS (SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS removed
+                    FROM spans GROUP BY doc_id),
+        exported AS (
+          SELECT d.source,
+                 CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+                   AS n_tokens,
+                 CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+                   - COALESCE(rm.removed, 0) AS kept
+          FROM documents d
+          JOIN canon c ON c.doc_id = d.doc_id
+          LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+          LEFT JOIN removed rm ON rm.doc_id = d.doc_id
+          WHERE d.doc_id >= 10 AND ct.doc_id IS NULL)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_exported,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
+               CAST(SUM(kept) AS BIGINT) AS tokens_exported,
+               (CAST(SUM(kept) AS BIGINT) * 1000000)
+                 // GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1) AS kept_ppm
+        FROM exported GROUP BY source"""),
+      "Training export manifest — the capstone composition: corpus-side " +
+        "docs, decontaminated (q63 rule), exact-dup canonical (q34 " +
+        "rule), with exported tokens counted after q155's keep-first " +
+        "substring removal; one per-source rollup (pipeline ops brief: " +
+        "the manifest a data recipe signs off on)."),
+
     // ------------------------------------- bloom-filter decontamination
     Q(
       "q130_bloom_decontamination",

@@ -57,7 +57,8 @@ class DirtyCorpusSpec extends SparkSpec {
     "q138_logq_sketch", "q139_kmv_overlap", "q148_source_contamination",
     "q149_dup_span_merge", "q150_token_budget_select",
     "q151_curriculum_schedule", "q152_wav_header_meta",
-    "q153_gram_novelty", "q155_dedup_removal_plan")
+    "q153_gram_novelty", "q155_dedup_removal_plan",
+    "q156_training_export_manifest")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

@@ -263,6 +263,35 @@ class Round14OpsSpec extends SparkSpec {
       "keep-first must retain at least one occurrence per gram")
   }
 
+  // ------------------------------------------------------------- q156
+
+  test("q156 manifest equals an independent recomposition of its three " +
+    "arms (q34 canonical ∘ q63 clean ∘ q155 kept tokens)") {
+    val canonical = run("q34_exact_dedup").collect()
+      .map(_.getLong(1)).toSet
+    val contaminated = run("q63_decontamination").collect()
+      .filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    val kept = run("q155_dedup_removal_plan").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    val source = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val exported = kept.keySet
+      .filter(id => id >= 10 && canonical(id) && !contaminated(id))
+    val expected = exported.groupBy(source).map { case (src, ids) =>
+      (src, ids.size.toLong,
+        ids.toSeq.map(kept(_)._1).sum, ids.toSeq.map(kept(_)._2).sum)
+    }.toSet
+    val got = run("q156_training_export_manifest").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected,
+      s"manifest diverged from the arm recomposition:\n$got\nvs\n$expected")
+    assert(got.nonEmpty && got.forall { case (_, n, raw, exp) =>
+      n > 0 && exp <= raw
+    })
+  }
+
   // ------------------------------------------------------------- q154
 
   test("q154: audit shape — one row per dimension budget, hits bounded " +

@@ -2078,7 +2078,103 @@ object CorpusOps {
         "intersection / Jaccard estimated from k=64 minimum-hash " +
         "sketches (mergeable, sketch-sized joins only), with the exact " +
         "intersection riding along as the accuracy audit " +
-        "(pipeline ops brief: sketches)."))
+        "(pipeline ops brief: sketches)."),
+
+    // ------------------------------------ paragraph-level exact dedup
+    Q(
+      "q159_paragraph_dedup",
+      (s, dir) => {
+        // CCNet-style paragraph dedup (Wenzek et al. 2020) — the
+        // granularity between q34 (whole-doc fingerprints) and q149/q155
+        // (10-gram spans), and the pass production corpus cleaning runs
+        // FIRST: split every doc into paragraphs, keep exactly the first
+        // occurrence of each distinct paragraph corpus-wide, report the
+        // per-doc survival accounting. The fixture corpus has no
+        // newlines, so "paragraph" is a fixed 20-token chunk (the
+        // boundary rule is a parameter in production; the keep-first
+        // machinery is identical for any boundary).
+        //
+        // Keep-first rule is q155's rank-1 survival at paragraph
+        // granularity: occurrence (doc_id, para_idx) survives iff it is
+        // the row_number()=1 row of its md5(paragraph) group ordered by
+        // (doc_id, para_idx) — deterministic, engine-independent, and
+        // the same "min (doc_id, idx) wins" convention as q34/q153/q155,
+        // so the composition with q156's token accounting is coherent
+        // (q156 counts tokens after GRAM-level keep-first removal; this
+        // pass is the cheaper paragraph-level cut a recipe applies
+        // before it — both credit the earliest occurrence).
+        //
+        // Scale shape (100 TB): one shuffle on the paragraph hash (the
+        // row_number window partitions by md5(chunk) — cardinality ~=
+        // corpus paragraphs, so parallelism is never a handful of hot
+        // keys), one groupBy doc_id for the rollup, one left join back
+        // to documents for empty/null-text rows. No corpus self-join
+        // anywhere; memory per window partition is the occurrence list
+        // of ONE paragraph hash.
+        import org.apache.spark.sql.expressions.Window
+        val tk = docs(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val ch = tk.select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
+              "i -> struct(array_join(slice(t, i*20+1, 20), ' ') AS c, " +
+              "size(slice(t, i*20+1, 20)) AS sz))"))
+            .as(Seq("para_idx", "p")))
+          .select(col("doc_id"), col("para_idx").cast("int").as("para_idx"),
+            md5(col("p.c")).as("h"), col("p.sz").cast("long").as("sz"))
+        val ranked = ch.withColumn("rn", row_number().over(
+          Window.partitionBy(col("h"))
+            .orderBy(col("doc_id"), col("para_idx"))))
+        val per = ranked.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_paras_kept"),
+            sum(when(col("rn") === 1, col("sz")).otherwise(0L))
+              .as("tokens_kept"))
+        docs(s, dir)
+          .select(col("doc_id"),
+            coalesce(size(tokens(col("text"))), lit(0)).cast("long")
+              .as("n_tokens"))
+          .join(per, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+            coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .withColumn("kept_ppm",
+            expr("tokens_kept * 1000000L div greatest(n_tokens, 1L)"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE text IS NOT NULL),
+        ch AS (SELECT doc_id, CAST(i AS INT) AS para_idx,
+                      md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS h,
+                      CAST(LEAST(20, len(t) - i*20) AS BIGINT) AS sz
+               FROM tk, UNNEST(generate_series(0, (len(t)+19)//20 - 1))
+                 AS s(i)),
+        r AS (SELECT doc_id, para_idx, sz,
+                     row_number() OVER (PARTITION BY h
+                       ORDER BY doc_id, para_idx) AS rn
+              FROM ch),
+        per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+                       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_paras_kept,
+                       CAST(SUM(CASE WHEN rn = 1 THEN sz ELSE 0 END)
+                            AS BIGINT) AS tokens_kept
+                FROM r GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+                 AS n_tokens,
+               COALESCE(p.n_paras, 0) AS n_paras,
+               COALESCE(p.n_paras_kept, 0) AS n_paras_kept,
+               COALESCE(p.tokens_kept, 0) AS tokens_kept,
+               COALESCE(p.tokens_kept, 0) * 1000000
+                 // GREATEST(CAST(COALESCE(len(string_split(d.text, ' ')),
+                                           0) AS BIGINT), 1) AS kept_ppm
+        FROM documents d LEFT JOIN per p USING (doc_id)"""),
+      "Paragraph-level exact dedup (CCNet-style): fixed 20-token " +
+        "paragraphs, keep-first by (md5 -> min (doc_id, idx)), per-doc " +
+        "surviving-paragraph/token accounting; one hash-window shuffle + " +
+        "one doc rollup (pipeline ops brief: the pass corpus cleaning " +
+        "runs before gram-level dedup)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -77,7 +77,7 @@ object DedupOps {
     * - In-group pair generation (bounded by the cap) as one expression —
     *   measured ~25% faster than the equivalent self-join.
     */
-  private def jaccardPairs(s: SparkSession, dir: String,
+  private[graft] def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     val g = ngramSet(s, dir)
       .select(col("doc_id"), col("ng64").as("ng"))
@@ -117,20 +117,52 @@ object DedupOps {
     * over exploded rows. The reverse of the "no shuffle is faster"
     * intuition, twice measured.
     */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashBandsGeom(s, dir, 4)
+
+  /** [[minhashBands]] generalized to any (bands, rows) split of the SAME
+    * 8 permutation minima — the geometry knob q158's band-plan optimizer
+    * selects over. `nBands = 4` is exactly the fixed q36 pipeline (same
+    * expressions, same plan); the other splits exist so the q158 audit
+    * can MEASURE the S-curve's recall ordering instead of trusting it.
+    */
+  private[graft] def minhashBandsGeom(s: SparkSession, dir: String,
+      nBands: Int): DataFrame = {
+    require(nBands > 0 && 8 % nBands == 0,
+      s"band count $nBands must divide the 8-perm budget")
+    val rowsPer = 8 / nBands
     val g = ngramSet(s, dir)
     val sigCols = (0 until 8).map(j =>
       min(pmod(lit(graft.functions.MinHash.a(j)) * col("hv") +
         lit(graft.functions.MinHash.b(j)),
         lit(graft.functions.MinHash.P))).as(s"s$j"))
     val sigs = g.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until 4).map(b =>
-      concat_ws(":", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as(s"b$b"))
+    val bandCols = (0 until nBands).map(b =>
+      concat_ws(":",
+        (0 until rowsPer).map(r => col(s"s${rowsPer * b + r}")): _*).as(s"b$b"))
     sigs
       .select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id",
-        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bkey)")
+        s"stack($nBands, " +
+          (0 until nBands).map(b => s"$b, b$b").mkString(", ") +
+          ") as (band, bkey)")
   }
+
+  /** Candidate pairs for an alternative band geometry (unstaged — the
+    * q158 audit's measurement path; the fixed 4-band geometry keeps its
+    * staged [[minhashPairs]] frame).
+    */
+  private[graft] def minhashPairsGeom(s: SparkSession, dir: String,
+      nBands: Int): DataFrame =
+    minhashBandsGeom(s, dir, nBands)
+      .groupBy("band", "bkey").agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, ix) -> " +
+          "filter(transform(ids, (y, iy) -> " +
+          "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
+        .as("p"))
+      .select(col("p.i"), col("p.j"))
+      .distinct()
 
   /** q36's candidate pairs (i &lt; j, distinct): equality join on full bands.
     * Session-staged: the pair set is tiny (near-dup collisions only) but
@@ -980,6 +1012,107 @@ object DedupOps {
         "against the exact Jaccard>=0.5 truth set — the measurement that " +
         "sizes bands/rows before a 100 TB dedup run " +
         "(pipeline ops brief: measure the index, don't guess)."),
+
+    // ----------------------------------------------- LSH band-plan optimizer
+    Q(
+      "q158_lsh_band_plan",
+      (s, dir) => {
+        // The INVERSE of q124: q124 audits a FIXED 8-perm/4-band
+        // geometry; before a 100 TB run you need the planner that picks
+        // it. Given the 8-permutation budget, enumerate every integer
+        // (bands, rows_per_band) split and tabulate the S-curve
+        // collision probability p = 1 - (1 - s^r)^b on a s = k/20 grid —
+        // INTEGER-EXACT in both engines (all intermediates bounded by
+        // 10^6 * 20^8 < 2^63; no float pow anywhere, so the hash can't
+        // drift on ulp). The plan rule: among geometries whose
+        // false-positive mass at s = 0.25 is <= 300000 ppm, pick the one
+        // with max detection at the s = 0.5 target (fewest bands on
+        // ties). The chosen plan here is (4 bands x 2 rows) — exactly
+        // the fixed q36 geometry, which is the point: the planner
+        // DERIVES what the pipeline hard-codes, and Round15OpsSpec
+        // measures the predicted recall ordering with q124's machinery
+        // (recall(4x2) >= recall(2x4) >= recall(1x8) on the corpus, and
+        // the rejected 8x1's candidate blowup).
+        //
+        // A band planner is driver-sized BY CONSTRUCTION (|divisors| x
+        // |grid| rows, evaluated before any cluster job is sized) — the
+        // table is computed in exact Long arithmetic on the driver, the
+        // same driver-literal discipline as ClusterOps' k-means models.
+        import s.implicits._
+        val budget = 8
+        val geoms = Seq(1, 2, 4, 8).map(b => (b, budget / b))
+        def powL(base: Long, e: Int): Long =
+          (1 to e).foldLeft(1L)((a, _) => a * base)
+        val pw8 = powL(20L, budget)
+        val rows = for {
+          (b, r) <- geoms
+          k <- 1 to 19
+        } yield {
+          val qb = powL(powL(20L, r) - powL(k.toLong, r), b)
+          (b, r, k * 5, 1000000L - 1000000L * qb / pw8)
+        }
+        val p50 = rows.collect { case (b, _, 50, p) => b -> p }.toMap
+        val p25 = rows.collect { case (b, _, 25, p) => b -> p }.toMap
+        // mirror of the oracle's ORDER BY: eligible first, then max
+        // detection at target, then fewest bands
+        val chosenB = geoms.map(_._1).minBy(b =>
+          (if (p25(b) <= 300000L) 0 else 1, -p50(b), b))
+        rows.map { case (b, r, sPct, p) =>
+          (b, r, sPct, p, if (b == chosenB) 1 else 0)
+        }.toDF("bands", "rows_per_band", "s_pct", "p_collide_ppm", "chosen")
+      },
+      Some("""
+        WITH geo AS (SELECT * FROM (VALUES (1, 8), (2, 4), (4, 2), (8, 1))
+                       g(bands, rows_per_band)),
+        ks AS (SELECT CAST(k AS INT) AS k FROM generate_series(1, 19) t(k)),
+        p AS (
+          SELECT g.bands, g.rows_per_band, k.k,
+            CASE g.rows_per_band
+              WHEN 1 THEN CAST(k AS BIGINT)
+              WHEN 2 THEN CAST(k AS BIGINT) * k
+              WHEN 4 THEN CAST(k AS BIGINT) * k * k * k
+              ELSE CAST(k AS BIGINT) * k * k * k * k * k * k * k END AS kr,
+            CASE g.rows_per_band
+              WHEN 1 THEN CAST(20 AS BIGINT)
+              WHEN 2 THEN CAST(400 AS BIGINT)
+              WHEN 4 THEN CAST(160000 AS BIGINT)
+              ELSE CAST(25600000000 AS BIGINT) END AS tr
+          FROM geo g, ks k),
+        q AS (
+          SELECT bands, rows_per_band, k,
+            CASE bands
+              WHEN 1 THEN (tr - kr)
+              WHEN 2 THEN (tr - kr) * (tr - kr)
+              WHEN 4 THEN (tr - kr) * (tr - kr) * (tr - kr) * (tr - kr)
+              ELSE (tr - kr) * (tr - kr) * (tr - kr) * (tr - kr)
+                   * (tr - kr) * (tr - kr) * (tr - kr) * (tr - kr)
+              END AS qb
+          FROM p),
+        tbl AS (
+          SELECT bands, rows_per_band, k * 5 AS s_pct,
+                 1000000 - (1000000 * qb) // 25600000000 AS p_collide_ppm
+          FROM q),
+        sel AS (
+          SELECT bands,
+                 MAX(CASE WHEN s_pct = 50 THEN p_collide_ppm END) AS p50,
+                 MAX(CASE WHEN s_pct = 25 THEN p_collide_ppm END) AS p25
+          FROM tbl GROUP BY bands),
+        ch AS (
+          SELECT bands,
+                 row_number() OVER (ORDER BY (p25 <= 300000) DESC,
+                                             p50 DESC, bands ASC) AS rk
+          FROM sel)
+        SELECT t.bands, t.rows_per_band, t.s_pct, t.p_collide_ppm,
+               CAST(CASE WHEN t.bands =
+                 (SELECT bands FROM ch WHERE rk = 1) THEN 1 ELSE 0 END
+                 AS INT) AS chosen
+        FROM tbl t"""),
+      "LSH band-plan optimizer: integer-exact S-curve table over every " +
+        "(bands, rows) split of the 8-perm budget, with the plan rule " +
+        "(max detection at s=0.5 under a false-positive cap at s=0.25) " +
+        "deriving the 4x2 geometry the fixed pipeline uses; recall " +
+        "ordering measured, not assumed, by the spec audit " +
+        "(pipeline ops brief: size the index before the run)."),
 
     // ------------------------------------- incremental ingest dedup
     Q(

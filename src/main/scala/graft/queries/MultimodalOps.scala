@@ -335,7 +335,49 @@ object MultimodalOps {
       "Real RIFF/WAVE header parsing (chunk-walk to fmt/data) exercised " +
         "end-to-end by a hash-checked query over synthesized WAV " +
         "payloads; frames + duration derived from parsed fields " +
-        "(pipeline ops brief: audio decode plumbing)."))
+        "(pipeline ops brief: audio decode plumbing)."),
+
+    Q(
+      "q157_mp4_header_meta",
+      (s, dir) => {
+        // The video modality's decode plumbing, completing the triad
+        // (q56 image, q152 audio): every doc becomes a valid ISO-BMFF
+        // header whose mvhd/tkhd fields encode doc_id arithmetic, and
+        // parseMp4 walks the box tree for real — the fixture interposes
+        // `free` boxes at every level (and an mdat before moov on a
+        // third of the corpus), alternates mvhd/tkhd versions 0 and 1,
+        // and uses the 64-bit largesize form on a quarter, so a parser
+        // that assumes fixed offsets, one version, or 32-bit sizes
+        // breaks the hash. duration_ms is derived from the PARSED
+        // timescale+duration — a misread of either surfaces as a wrong
+        // integer against the oracle's replayed arithmetic.
+        decodeVideoStub(syntheticMp4s(s, dir)).toDF()
+          .select(col("mediaId").as("doc_id"),
+            col("timescale"), col("duration"),
+            col("width"), col("height"))
+          .withColumn("duration_ms",
+            expr("duration * 1000L div timescale"))
+          .withColumn("aspect_ppm",
+            expr("width * 1000000L div height"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+                 CAST((1000 + doc_id % 100000) * 3 AS BIGINT) AS duration,
+                 CAST(160 * (1 + doc_id % 8) AS INT) AS width,
+                 CAST(120 * (1 + doc_id % 6) AS INT) AS height
+          FROM documents)
+        SELECT doc_id, timescale, duration, width, height,
+               (duration * 1000) // timescale AS duration_ms,
+               (CAST(width AS BIGINT) * 1000000) // height AS aspect_ppm
+        FROM f"""),
+      "Real ISO-BMFF (MP4) header parsing: box-walk to moov/mvhd " +
+        "(timescale/duration, versions 0+1) and trak/tkhd (16.16 " +
+        "width/height), robust to interposed free/mdat boxes and the " +
+        "64-bit largesize form, exercised end-to-end by a hash-checked " +
+        "query over synthesized MP4 payloads (pipeline ops brief: video " +
+        "decode plumbing)."))
 
   // --------------------------------------------------- audio (RIFF/WAVE)
 
@@ -371,11 +413,13 @@ object MultimodalOps {
       if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length)
         fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
       else if (id == "data") data = Some(len)
-      // a declared chunk length past Int range would wrap negative in the
-      // advance below and walk BACKWARD (an adversarial payload could
-      // loop the parser forever) — nothing valid follows such a chunk in
-      // a buffer this parser accepts, so stop the walk instead
-      if (len > Int.MaxValue - 16) halted = true
+      // a declared chunk length whose advance can't stay in-bounds would
+      // wrap Int negative (walking BACKWARD — an adversarial payload could
+      // loop the parser forever) or index past the buffer on the next
+      // iteration's le32 — nothing valid follows such a chunk in a buffer
+      // this parser accepts, so stop the walk instead (b.length fits in
+      // Int, so this bound subsumes any past-Int-range declared length)
+      if (len > b.length - i - 8) halted = true
       // chunks are word-aligned; an odd payload length carries a pad byte
       else i += 8 + len.toInt + (len.toInt & 1)
     }
@@ -406,7 +450,10 @@ object MultimodalOps {
       for (s <- Seq(0, 8, 16, 24)) b.write(((v >>> s) & 0xff).toInt)
     val byteRate = rate.toLong * channels * (bits / 8)
     b.write("RIFF".getBytes("US-ASCII"))
-    le32(4 + 12 + 5 + 1 + 24 + 8 + dataBytes.toLong) // riff payload size
+    // riff payload size, as if the PCM payload were present: 4 (WAVE tag)
+    // + 14 (LIST: 8 hdr + 5 payload + 1 pad) + 24 (fmt: 8 hdr + 16)
+    // + 8 (data hdr) + dataBytes
+    le32(4 + 14 + 24 + 8 + dataBytes.toLong)
     b.write("WAVE".getBytes("US-ASCII"))
     // an odd-length LIST chunk FIRST: the walk must skip it (with its pad
     // byte) to find fmt — defeats any fixed-offset "parser"
@@ -432,6 +479,172 @@ object MultimodalOps {
       val bits = (id % 3) match { case 0 => 8; case 1 => 16; case _ => 32 }
       val dataBytes = (1000 + id % 100000).toInt
       MediaRow(id, "audio", wavHeader(channels, rate, bits, dataBytes),
+        Map.empty)
+    }
+  }
+
+  // --------------------------------------------- video (MP4 / ISO-BMFF)
+
+  /** Parsed MP4 movie-header fields (mvhd timescale/duration) plus the
+    * first track's presentation dimensions (tkhd, 16.16 fixed point).
+    */
+  final case class VideoMeta(
+      mediaId: Long,
+      timescale: Long,
+      duration: Long,
+      width: Int,
+      height: Int)
+
+  /** Real ISO-BMFF (MP4) header parse — pure JVM, no codec jars. Walks
+    * the top-level box list to `moov`, then nested walks to `mvhd`
+    * (timescale/duration, version 0 AND 1 layouts) and `trak`/`tkhd`
+    * (width/height as 16.16 fixed point, both versions). Box walks are
+    * robust the way [[parseWav]]'s chunk walk is: an interposed `free`
+    * box at ANY level is skipped by size, the 64-bit `largesize` form
+    * (size32 == 1) is honored, a `size32 == 0` box legally extends to
+    * the end of the buffer, and a declared size whose advance can't stay
+    * in-bounds halts the walk (truncation/garbage → None, never a crash
+    * — the drop-unparseable contract of the modality family).
+    */
+  def parseMp4(b: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int): String = new String(b.slice(i + 4, i + 8), "US-ASCII")
+
+    /** First box named `t` in [from, until): its (payloadStart, boxEnd). */
+    def findBox(from: Int, until: Int, t: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val sz32 = be32(i)
+        var hdr = 8L
+        var sz = sz32
+        if (sz32 == 1L) { // largesize form: 64-bit size after the type
+          if (i + 16 > until) return None
+          sz = be64(i + 8); hdr = 16L
+        } else if (sz32 == 0L) sz = (until - i).toLong // extends to end
+        // a size below the header length or past the scope is corrupt or
+        // truncated — nothing valid can follow; halt the walk
+        if (sz < hdr || sz > until - i) return None
+        if (typ(i) == t) return Some(((i + hdr).toInt, (i + sz).toInt))
+        i += sz.toInt
+      }
+      None
+    }
+
+    if (b.length < 8 || typ(0) != "ftyp") return None
+    for {
+      (ms, me) <- findBox(0, b.length, "moov")
+      (hs, he) <- findBox(ms, me, "mvhd")
+      tsDur <- {
+        // mvhd payload: version(1) flags(3), then v0 4-byte / v1 8-byte
+        // creation+modification times before timescale(4) and duration
+        val v = u8(hs)
+        if (v == 0 && hs + 20 <= he) Some((be32(hs + 12), be32(hs + 16)))
+        else if (v == 1 && hs + 32 <= he) Some((be32(hs + 20), be64(hs + 24)))
+        else None
+      }
+      (ks, ke) <- findBox(ms, me, "trak").flatMap { case (trs, tre) =>
+        findBox(trs, tre, "tkhd")
+      }
+      wh <- {
+        // tkhd payload: version/flags(4) + times/track_id/duration
+        // (20 bytes v0, 32 v1) + 52 bytes reserved/layer/volume/matrix,
+        // then width/height as 16.16 fixed point
+        val off = if (u8(ks) == 1) 88 else 76
+        if (ks + off + 8 <= ke)
+          Some(((be32(ks + off) >> 16).toInt, (be32(ks + off + 4) >> 16).toInt))
+        else None
+      }
+      if tsDur._1 > 0 && tsDur._2 >= 0 && wh._1 > 0 && wh._2 > 0
+    } yield VideoMeta(0L, tsDur._1, tsDur._2, wh._1, wh._2)
+  }
+
+  /** Batched executor-side video header decoder (the decodeStub shape for
+    * the video modality); unparseable payloads are dropped — the K6
+    * dirty-split pattern, exercised in the spec.
+    */
+  def decodeVideoStub(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap(r =>
+          parseMp4(r.content).map(_.copy(mediaId = r.mediaId)))
+      }
+    }
+  }
+
+  private def be16b(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32b(v: Long): Array[Byte] =
+    Array(24, 16, 8, 0).map(s => ((v >>> s) & 0xff).toByte)
+  private def be64b(v: Long): Array[Byte] = be32b(v >>> 32) ++ be32b(v)
+
+  /** One ISO-BMFF box: 32-bit size + 4-char type + payload. */
+  private def box(t: String, payload: Array[Byte]): Array[Byte] =
+    be32b(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+
+  /** The same box in the 64-bit `largesize` form (size32 == 1). */
+  private def largeBox(t: String, payload: Array[Byte]): Array[Byte] =
+    be32b(1L) ++ t.getBytes("US-ASCII") ++ be64b(16L + payload.length) ++
+      payload
+
+  private def mp4Header(timescale: Long, duration: Long, width: Int,
+      height: Int, v1: Boolean, largeFree: Boolean,
+      preMdat: Boolean): Array[Byte] = {
+    val zeros = (n: Int) => Array.fill[Byte](n)(0)
+    // mvhd: ver/flags + (v0: 4+4 / v1: 8+8 times) + timescale + duration
+    // (v0: 4 / v1: 8) + rate/volume/reserved/matrix/predefined/next_track
+    val mvhd = box("mvhd",
+      (if (v1) Array[Byte](1, 0, 0, 0) ++ zeros(16) ++
+        be32b(timescale) ++ be64b(duration)
+      else Array[Byte](0, 0, 0, 0) ++ zeros(8) ++
+        be32b(timescale) ++ be32b(duration)) ++
+        be32b(0x00010000L) ++ be16b(0x0100) ++ zeros(10) ++ zeros(36) ++
+        zeros(24) ++ be32b(1L))
+    // tkhd: ver/flags + times/track_id/duration (20 v0 / 32 v1) +
+    // reserved/layer/alternate/volume/reserved + matrix + 16.16 w/h
+    val tkhd = box("tkhd",
+      (if (v1) Array[Byte](1, 0, 0, 0) ++ zeros(16) ++ be32b(1L) ++
+        zeros(4) ++ zeros(8)
+      else Array[Byte](0, 0, 0, 0) ++ zeros(8) ++ be32b(1L) ++ zeros(4) ++
+        zeros(4)) ++
+        zeros(8) ++ zeros(8) ++ zeros(36) ++
+        be32b(width.toLong << 16) ++ be32b(height.toLong << 16))
+    // an odd-sized free box FIRST at every level — defeats any
+    // fixed-offset "parser" the way q152's LIST chunk does; one in four
+    // fixtures uses the 64-bit largesize form so that path is exercised
+    // by the hash-checked query, not only by a spec leg
+    val free = (p: Int) =>
+      if (largeFree) largeBox("free", zeros(p)) else box("free", zeros(p))
+    val trak = box("trak", free(5) ++ tkhd)
+    val moov = box("moov", free(7) ++ mvhd ++ trak)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32b(0L) ++ "isom".getBytes("US-ASCII"))
+    // one in three fixtures interposes a data box BEFORE moov: the
+    // top-level walk must skip payload boxes by size to reach moov
+    val mdat = if (preMdat) box("mdat", zeros(11)) else Array.emptyByteArray
+    ftyp ++ free(3) ++ mdat ++ moov
+  }
+
+  /** Documents replayed as REAL MP4 headers with mvhd/tkhd fields derived
+    * from doc_id — the video leg completing the modality triad
+    * (image [[syntheticContainers]], audio [[syntheticWavs]]). Both mvhd
+    * and tkhd versions (0/1), the largesize box form, and an interposed
+    * mdat all occur across the corpus, so the hash-checked query covers
+    * every parser branch.
+    */
+  def syntheticMp4s(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val timescale = 600L * (1 + id % 4)
+      val duration = (1000L + id % 100000) * 3
+      val width = (160 * (1 + id % 8)).toInt
+      val height = (120 * (1 + id % 6)).toInt
+      MediaRow(id, "video",
+        mp4Header(timescale, duration, width, height,
+          v1 = id % 2 == 1, largeFree = id % 4 == 0, preMdat = id % 3 == 0),
         Map.empty)
     }
   }

@@ -164,8 +164,24 @@ object StreamingNovelty {
         .localCheckpoint(true))
 
       // pruned fetch of the touched holders (keyed lookup at deployment)
-      val held = temp(latestBy("ng")(holderStore.frame
-          .join(batchMin.select(col("ng")), Seq("ng"), "left_semi"))
+      val pruned = temp(holderStore.frame
+        .join(batchMin.select(col("ng")), Seq("ng"), "left_semi")
+        .localCheckpoint(true))
+
+      // sanity: minima are monotone — a claimant above the holder never
+      // flips by the filter below; what CAN silently corrupt is a
+      // doctored store carrying duplicate (ng, seq) rows, where
+      // keep-latest picks an ARBITRARY holder and mis-routes the
+      // retraction — so check the PRE-keep-latest frame, where such
+      // duplicates are still visible (post-collapse the guard would be
+      // unreachable: latestBy's row_number leaves exactly one row per ng)
+      val dupHolders = pruned.groupBy(col("ng"), col("seq"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      if (dupHolders > 0) throw new IllegalStateException(
+        s"StreamingNovelty: $dupHolders (gram, seq) pairs carry duplicate " +
+          "holder rows — the holder store is corrupt, refusing")
+
+      val held = temp(latestBy("ng")(pruned)
         .select(col("ng"), col("holder"))
         .localCheckpoint(true))
 
@@ -175,15 +191,6 @@ object StreamingNovelty {
         .filter(col("holder").isNull || col("claimant") < col("holder"))
         .select(col("ng"), col("claimant"), col("holder"))
         .localCheckpoint(true))
-
-      // sanity: minima are monotone — a claimant above the holder never
-      // flips by the filter; what CAN silently corrupt is a doctored
-      // holder store where the same ng carries duplicate latest rows
-      val dupHolders = held.groupBy(col("ng")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).count()
-      if (dupHolders > 0) throw new IllegalStateException(
-        s"StreamingNovelty: $dupHolders grams carry duplicate holder " +
-          "rows — the holder store is corrupt, refusing")
 
       val gains = flips.groupBy(col("claimant").as("doc_id"))
         .agg(count(lit(1)).as("gain"))

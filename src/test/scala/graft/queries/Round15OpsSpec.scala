@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions: q157 MP4/ISO-BMFF header decode (completing the
+  * modality triad), q158 LSH band-plan optimizer (with the MEASURED
+  * recall-ordering audit the S-curve predicts), and q159 paragraph-level
+  * exact dedup. Planted-fixture geometry plus invariants the hash oracle
+  * can't state (parser fallback, recall ordering, keep-first survival).
+  */
+class Round15OpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String, dir: String = sfDir) =
+    graft.Registry.all.find(_.name == name).get.run(spark, dir)
+
+  // ------------------------------------------------------------- q157
+
+  test("q157: parseMp4 walks the box tree for real — garbage, " +
+    "truncation, no-moov, undersized and oversized boxes fall back to " +
+    "None; the size-0 (to-end) and largesize forms parse") {
+    import graft.queries.MultimodalOps._
+    assert(parseMp4("not an mp4".getBytes("US-ASCII")).isEmpty)
+    assert(parseMp4(Array.emptyByteArray).isEmpty)
+    // valid ftyp but no moov anywhere
+    def rawBox(t: String, payload: Array[Byte]): Array[Byte] =
+      Array(24, 16, 8, 0).map(s =>
+        (((8L + payload.length) >>> s) & 0xff).toByte) ++
+        t.getBytes("US-ASCII") ++ payload
+    val ftyp = rawBox("ftyp",
+      "isom".getBytes("US-ASCII") ++ new Array[Byte](4) ++
+        "isom".getBytes("US-ASCII"))
+    assert(parseMp4(ftyp ++ rawBox("mdat", new Array[Byte](9))).isEmpty)
+    // a full valid payload, then truncated mid-moov: must halt → None
+    val whole = {
+      val ds = syntheticMp4s(spark, sfDir).filter(_.mediaId == 7L).collect()
+      ds.head.content
+    }
+    assert(parseMp4(whole).nonEmpty)
+    assert(parseMp4(whole.dropRight(30)).isEmpty,
+      "truncated tkhd must not parse")
+    // declared box size below the header length (corrupt) halts the walk
+    val under = ftyp ++ Array[Byte](0, 0, 0, 3) ++
+      "moov".getBytes("US-ASCII") ++ new Array[Byte](16)
+    assert(parseMp4(under).isEmpty)
+    // declared size past the buffer halts the walk
+    val over = ftyp ++ Array[Byte](0x7f, -1, -1, -1) ++
+      "free".getBytes("US-ASCII") ++ new Array[Byte](16)
+    assert(parseMp4(over).isEmpty)
+    // size32 == 0 legally means "extends to the end of the enclosing
+    // scope": rebuild doc 7's payload with its trailing moov re-headed
+    // as a size-0 box — must parse to the same fields
+    val moovAt = {
+      // find the top-level moov header by walking sizes
+      var i = 0
+      var at = -1
+      while (at < 0 && i + 8 <= whole.length) {
+        val sz = ((whole(i) & 0xffL) << 24) | ((whole(i + 1) & 0xffL) << 16) |
+          ((whole(i + 2) & 0xffL) << 8) | (whole(i + 3) & 0xffL)
+        val t = new String(whole.slice(i + 4, i + 8), "US-ASCII")
+        if (t == "moov") at = i else i += sz.toInt
+      }
+      at
+    }
+    assert(moovAt > 0, "fixture must carry a top-level moov")
+    val zeroSized = whole.clone()
+    zeroSized(moovAt) = 0; zeroSized(moovAt + 1) = 0
+    zeroSized(moovAt + 2) = 0; zeroSized(moovAt + 3) = 0
+    assert(parseMp4(zeroSized) == parseMp4(whole),
+      "a size-0 trailing moov must parse identically")
+  }
+
+  test("q157: the synthetic fixture round-trips the doc_id arithmetic " +
+    "for every row — both mvhd/tkhd versions, the largesize form, and " +
+    "the interposed mdat all occur and parse") {
+    import graft.queries.MultimodalOps._
+    val metas = decodeVideoStub(syntheticMp4s(spark, sfDir)).collect()
+    assert(metas.length == 500, "every fixture row must parse")
+    for (m <- metas) {
+      val id = m.mediaId
+      assert(m.timescale == 600L * (1 + id % 4), s"doc $id timescale")
+      assert(m.duration == (1000L + id % 100000) * 3, s"doc $id duration")
+      assert(m.width == (160 * (1 + id % 8)).toInt, s"doc $id width")
+      assert(m.height == (120 * (1 + id % 6)).toInt, s"doc $id height")
+    }
+    // branch coverage is structural: ids 0/1 alternate versions, id%4==0
+    // rows use largesize, id%3==0 rows interpose mdat — all present
+    assert(metas.exists(_.mediaId % 2 == 0) && metas.exists(_.mediaId % 2 == 1))
+    assert(metas.exists(_.mediaId % 4 == 0) && metas.exists(_.mediaId % 3 == 0))
+  }
+
+  test("q157: unparseable payloads are dropped by the batched decoder " +
+    "(the K6 dirty-side contract), parseable ones all survive") {
+    import graft.queries.MultimodalOps._
+    val mixed = mediaFromDocs(spark, sfDir) // text bytes — none parse
+    assert(decodeVideoStub(mixed).isEmpty)
+    val good = syntheticMp4s(spark, sfDir)
+    assert(decodeVideoStub(good).count() == good.count())
+  }
+
+  // ------------------------------------------------------------- q158
+
+  test("q158 plan-table invariants: the rule derives the fixed 4x2 " +
+    "geometry; p is monotone in s per geometry and monotone in bands " +
+    "per s; the integer S-curve hits the exact rational endpoints") {
+    val rows = run("q158_lsh_band_plan").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getInt(4)))).toMap
+    assert(rows.size == 76, "4 geometries x 19 grid points")
+    // chosen: every (4,2) row and nothing else
+    for (((b, _, _), (_, ch)) <- rows)
+      assert(ch == (if (b == 4) 1 else 0), s"chosen flag wrong for bands=$b")
+    // monotone in s within a geometry; monotone in bands at fixed s
+    for (b <- Seq(1, 2, 4, 8); k <- 2 to 19)
+      assert(rows((b, 8 / b, 5 * k))._1 >= rows((b, 8 / b, 5 * (k - 1)))._1)
+    for (k <- 1 to 19; (lo, hi) <- Seq((1, 2), (2, 4), (4, 8)))
+      assert(rows((hi, 8 / hi, 5 * k))._1 >= rows((lo, 8 / lo, 5 * k))._1)
+    // exact rational checks (no float pow anywhere): at s=1/2, 4x2
+    // gives 1-(3/4)^4 = 1-81/256; 8x1 gives 1-(1/2)^8 = 1-1/256
+    assert(rows((4, 2, 50))._1 == 1000000L - 1000000L * 81L / 256L)
+    assert(rows((8, 1, 50))._1 == 1000000L - 1000000L / 256L)
+    // the constraint that rejects 8x1: its false-positive mass at
+    // s=0.25 is ~90%, far above the 300000 ppm cap; 4x2 sits under it
+    assert(rows((8, 1, 25))._1 > 300000L && rows((4, 2, 25))._1 <= 300000L)
+  }
+
+  test("q158 recall audit: the planned geometry's recall ordering is " +
+    "MEASURED with q124's machinery, not assumed — recall(4x2) >= " +
+    "recall(2x4) >= recall(1x8) on the corpus, the chosen pairs equal " +
+    "the fixed q36 pipeline's, and the rejected 8x1 shows its " +
+    "candidate blowup") {
+    val truth = DedupOps.jaccardPairs(spark, sfDir, 0.5)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "audit needs a non-empty truth set")
+    def cand(nBands: Int): Set[(Long, Long)] =
+      DedupOps.minhashPairsGeom(spark, sfDir, nBands).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byBands = Seq(1, 2, 4, 8).map(b => b -> cand(b)).toMap
+    def recall(b: Int): Double =
+      truth.count(byBands(b)).toDouble / truth.size
+    info(f"recall 1x8=${recall(1)}%.3f 2x4=${recall(2)}%.3f " +
+      f"4x2=${recall(4)}%.3f 8x1=${recall(8)}%.3f")
+    info(s"candidates 1x8=${byBands(1).size} 2x4=${byBands(2).size} " +
+      s"4x2=${byBands(4).size} 8x1=${byBands(8).size}")
+    // more bands = more OR-chances: candidate sets are supersets down
+    // the split chain, so recall is monotone — measured, per the plan
+    assert(recall(4) >= recall(2) && recall(2) >= recall(1))
+    // the chosen plan reproduces the fixed pipeline's candidates exactly
+    val fixed = run("q36_minhash_band_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byBands(4) == fixed)
+    // what the FP cap rejected: 8x1 buys its recall with a candidate
+    // set at least as large as every other geometry's
+    assert(byBands(8).size >= byBands(4).size &&
+      byBands(4).size >= byBands(2).size)
+  }
+
+  // ------------------------------------------------------------- q159
+
+  test("q159 planted fixture: cross-doc keep-first, within-doc " +
+    "repetition, short tails, exact-copy docs, offset copies, and " +
+    "null text all account exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q159_").toString
+    val p = (1 to 20).map(i => s"p$i")
+    val q = (1 to 20).map(i => s"q$i")
+    val r = (1 to 20).map(i => s"r$i")
+    val ss = (1 to 20).map(i => s"s$i")
+    Seq(
+      // doc 1: two unique paragraphs — everything survives
+      (1L, Some((p ++ q).mkString(" "))),
+      // doc 2: P0 duplicates doc 1's first paragraph (dropped), then a
+      // unique paragraph and a unique 5-token tail
+      (2L, Some((p ++ r ++ Seq("z1", "z2", "z3", "z4", "z5")).mkString(" "))),
+      // doc 3: the same paragraph twice WITHIN one doc — second dropped
+      (3L, Some((ss ++ ss).mkString(" "))),
+      // doc 4: null text — zero paragraphs, zero tokens
+      (4L, None),
+      // doc 5: an exact copy of doc 1 — every paragraph dropped
+      (5L, Some((p ++ q).mkString(" "))),
+      // doc 6: doc 1 shifted by one token — chunk boundaries no longer
+      // align, so NOTHING matches (paragraph dedup is alignment-bound;
+      // gram-level q149/q155 would catch this, which is why a recipe
+      // runs both)
+      (6L, Some((Seq("w0") ++ p ++ q).mkString(" "))))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = run("q159_paragraph_dedup", dir).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5)))).toMap
+    // (n_tokens, n_paras, n_paras_kept, tokens_kept, kept_ppm)
+    assert(out(1L) == ((40L, 2L, 2L, 40L, 1000000L)))
+    assert(out(2L) == ((45L, 3L, 2L, 25L, 25L * 1000000L / 45L)))
+    assert(out(3L) == ((40L, 2L, 1L, 20L, 500000L)))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(out(5L) == ((40L, 2L, 0L, 0L, 0L)))
+    assert(out(6L) == ((41L, 3L, 3L, 41L, 1000000L)))
+  }
+
+  test("q159 invariants on the driver corpus: chunk counts are exact, " +
+    "survivors equal distinct paragraphs, and the keep-first rule " +
+    "credits the minimal (doc_id, idx) occurrence") {
+    import graft.functions.TextFns.tokens
+    val rows = run("q159_paragraph_dedup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.size == 500)
+    for ((id, (nTok, nP, nKept, tokKept, ppm)) <- rows) {
+      assert(nP == (nTok + 19) / 20, s"doc $id chunk count")
+      assert(nKept >= 0 && nKept <= nP, s"doc $id survivors bounded")
+      assert(tokKept <= nTok, s"doc $id kept tokens bounded")
+      assert(ppm == tokKept * 1000000L / math.max(nTok, 1L), s"doc $id ppm")
+    }
+    // corpus-wide: total surviving paragraphs == distinct paragraph
+    // texts (keep-first keeps exactly one occurrence per distinct chunk)
+    val distinctParas = graft.Tables(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(explode(expr(
+        "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
+          "i -> array_join(slice(t, i*20+1, 20), ' '))")).as("c"))
+      .select(countDistinct(col("c"))).head().getLong(0)
+    assert(rows.values.map(_._3).sum == distinctParas,
+      "survivors must equal distinct paragraphs")
+    // the dup mass is real on this corpus (the operator has work): some
+    // doc must lose at least one paragraph
+    assert(rows.values.exists(v => v._3 < v._2),
+      "corpus carries no duplicate paragraphs — fixture regression")
+  }
+}

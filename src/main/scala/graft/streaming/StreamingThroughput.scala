@@ -134,6 +134,12 @@ object StreamingThroughput {
     def noveltyT(ds: Dataset[DocIn]) =
       Seq(StreamingNovelty.attach(ds.toDF(),
         StreamingNovelty.state(spark)))
+    // incremental q156 export manifest (foreachBatch ingest: all three
+    // retraction arms — canonical steal + bench contamination +
+    // keep-first holder flips — per micro-batch)
+    def exportT(ds: Dataset[MixIn]) =
+      Seq(StreamingExport.attach(ds.toDF(),
+        StreamingExport.state(spark)))
     def mixDocs(dir: String): Seq[MixIn] =
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text")).as[MixIn]
@@ -192,6 +198,8 @@ object StreamingThroughput {
       feed(x1Docs.take(BatchRows))(spansT)
     if (sel("novelty") || sel("novelty_desc"))
       feed(x1Docs.take(BatchRows))(noveltyT)
+    if (sel("export") || sel("export_desc"))
+      feed(x1Mix.take(BatchRows))(exportT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -250,6 +258,17 @@ object StreamingThroughput {
     if (sel("novelty_desc")) {
       emit("novelty_desc", "x1", x1Docs.size,
         feed(x1Docs.reverse)(noveltyT))
+    }
+    if (sel("export")) {
+      emit("export", "x1", x1Mix.size, feed(x1Mix)(exportT))
+      emit("export", "x10", x10Mix.size, feed(x10Mix)(exportT))
+    }
+    // the all-arms adversary: descending arrival maximizes canonical
+    // steals and keep-first flips AND lands every bench doc (doc_id <
+    // 10) at the very end, after the whole corpus has been exported —
+    // the maximal-retraction feed for all three arms at once
+    if (sel("export_desc")) {
+      emit("export_desc", "x1", x1Mix.size, feed(x1Mix.reverse)(exportT))
     }
     // a THIRD measured decade for the incremental mixture (500k docs
     // through the same foreachBatch ingest). OPT-IN only — never part of

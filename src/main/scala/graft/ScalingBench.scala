@@ -39,6 +39,12 @@ object ScalingBench {
     // window-cumsum budget selection
     "q149_dup_span_merge", "q150_token_budget_select",
     "q153_gram_novelty", "q155_dedup_removal_plan",
+    // round-15 additions: the export-manifest capstone (rides three
+    // already-swept arms plus doc_id semi/anti joins), the matryoshka
+    // recall audit (its brute-force truth arm is the quadratic risk —
+    // measured, not guessed), and paragraph-level keep-first dedup
+    "q154_matryoshka_recall", "q156_training_export_manifest",
+    "q159_paragraph_dedup",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -44,7 +44,7 @@ object ScalingBench {
     // recall audit (its brute-force truth arm is the quadratic risk —
     // measured, not guessed), and paragraph-level keep-first dedup
     "q154_matryoshka_recall", "q156_training_export_manifest",
-    "q159_paragraph_dedup",
+    "q159_paragraph_dedup", "q160_quality_threshold_sweep",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -2174,7 +2174,100 @@ object CorpusOps {
         "paragraphs, keep-first by (md5 -> min (doc_id, idx)), per-doc " +
         "surviving-paragraph/token accounting; one hash-window shuffle + " +
         "one doc rollup (pipeline ops brief: the pass corpus cleaning " +
-        "runs before gram-level dedup)."))
+        "runs before gram-level dedup)."),
+
+    // ------------------------------- quality-threshold selection sweep
+    Q(
+      "q160_quality_threshold_sweep",
+      (s, dir) => {
+        // The knob-tuning table for a quality floor: q150 FILLS a fixed
+        // token budget by quality rank; this emits the whole
+        // selection-rate curve — for every candidate threshold, how many
+        // docs and tokens each source would keep — so a recipe picks the
+        // floor by looking at the curve instead of re-running the
+        // pipeline per guess. Scoring is EXACTLY q150's type-token
+        // ratio in milli (integer-exact; 0..1000), so the chosen floor
+        // composes directly with q150's selection.
+        //
+        // Scale shape (100 TB): ONE corpus scan collapses to a
+        // (source, quality-bucket) rollup of at most |sources| x 11
+        // rows; the threshold sweep is a non-equi join + aggregate over
+        // that driver-sized rollup (an acceptable BNLJ — the frame is
+        // tiny by construction, like q139's pair stubs). No per-
+        // threshold corpus rescan ever.
+        val base = docs(s, dir)
+          .filter(col("source").isNotNull)
+          .select(col("source"), tokens(col("text")).as("tk"))
+          .select(col("source"),
+            coalesce(size(col("tk")), lit(0)).cast("long").as("n_tokens"),
+            coalesce(size(array_distinct(col("tk"))), lit(0))
+              .cast("long").as("n_distinct"))
+          .withColumn("quality_milli",
+            expr("n_distinct * 1000L div greatest(n_tokens, 1L)"))
+        val byBucket = base
+          .withColumn("b", expr("quality_milli div 100L"))
+          .groupBy(col("source"), col("b"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+        val srcTot = base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_src"), sum(col("n_tokens")).as("tok_src"))
+        val grid = srcTot.crossJoin(
+          s.range(0, 11).toDF("t"))
+        grid.as("g")
+          .join(byBucket.as("k"),
+            col("g.source") === col("k.source") && col("k.b") >= col("g.t"),
+            "left_outer")
+          .groupBy(col("g.source").as("source"), col("g.t"),
+            col("g.n_src"), col("g.tok_src"))
+          .agg(coalesce(sum(col("k.n_docs")), lit(0L)).as("n_docs_kept"),
+            coalesce(sum(col("k.toks")), lit(0L)).as("tokens_kept"))
+          .select(col("source"),
+            (col("t") * 100L).as("threshold_milli"),
+            col("n_docs_kept"), col("tokens_kept"),
+            expr("n_docs_kept * 1000000L div n_src").as("docs_kept_ppm"),
+            expr("tokens_kept * 1000000L div greatest(tok_src, 1L)")
+              .as("tokens_kept_ppm"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT source,
+                 CAST(COALESCE(len(string_split(text, ' ')), 0)
+                      AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(len(list_distinct(string_split(text, ' '))),
+                               0) AS BIGINT) AS n_distinct
+          FROM documents WHERE source IS NOT NULL),
+        q AS (SELECT source, n_tokens,
+                     (n_distinct * 1000) // GREATEST(n_tokens, 1)
+                       AS quality_milli
+              FROM base),
+        bk AS (SELECT source, quality_milli // 100 AS b,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(n_tokens) AS BIGINT) AS toks
+               FROM q GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src,
+                       CAST(SUM(n_tokens) AS BIGINT) AS tok_src
+                FROM q GROUP BY 1),
+        grid AS (SELECT tot.source, tot.n_src, tot.tok_src,
+                        CAST(t AS BIGINT) AS t
+                 FROM tot, generate_series(0, 10) s(t)),
+        swept AS (
+          SELECT g.source, g.t, g.n_src, g.tok_src,
+                 CAST(COALESCE(SUM(bk.n_docs), 0) AS BIGINT)
+                   AS n_docs_kept,
+                 CAST(COALESCE(SUM(bk.toks), 0) AS BIGINT) AS tokens_kept
+          FROM grid g LEFT JOIN bk
+            ON bk.source = g.source AND bk.b >= g.t
+          GROUP BY 1, 2, 3, 4)
+        SELECT source, t * 100 AS threshold_milli, n_docs_kept,
+               tokens_kept,
+               n_docs_kept * 1000000 // n_src AS docs_kept_ppm,
+               tokens_kept * 1000000 // GREATEST(tok_src, 1)
+                 AS tokens_kept_ppm
+        FROM swept"""),
+      "Quality-threshold selection sweep: the per-source kept-docs/" +
+        "kept-tokens curve over every candidate type-token-ratio floor " +
+        "(q150's exact scoring), from one corpus scan + a driver-sized " +
+        "bucket rollup — the table a recipe reads to pick its quality " +
+        "floor (pipeline ops brief: tune the knob without rescanning)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -140,6 +140,11 @@ object StreamingThroughput {
     def exportT(ds: Dataset[MixIn]) =
       Seq(StreamingExport.attach(ds.toDF(),
         StreamingExport.state(spark)))
+    // incremental q159 paragraph keep-first (foreachBatch ingest:
+    // claimant-vs-holder flips + token-weighted deltas per micro-batch)
+    def paragraphT(ds: Dataset[DocIn]) =
+      Seq(StreamingParagraph.attach(ds.toDF(),
+        StreamingParagraph.state(spark)))
     def mixDocs(dir: String): Seq[MixIn] =
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text")).as[MixIn]
@@ -200,6 +205,8 @@ object StreamingThroughput {
       feed(x1Docs.take(BatchRows))(noveltyT)
     if (sel("export") || sel("export_desc"))
       feed(x1Mix.take(BatchRows))(exportT)
+    if (sel("paragraph") || sel("paragraph_desc"))
+      feed(x1Docs.take(BatchRows))(paragraphT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -269,6 +276,16 @@ object StreamingThroughput {
     // the maximal-retraction feed for all three arms at once
     if (sel("export_desc")) {
       emit("export_desc", "x1", x1Mix.size, feed(x1Mix.reverse)(exportT))
+    }
+    if (sel("paragraph")) {
+      emit("paragraph", "x1", x1Docs.size, feed(x1Docs)(paragraphT))
+      emit("paragraph", "x10", x10Docs.size, feed(x10Docs)(paragraphT))
+    }
+    // maximal-steal adversary: descending arrival makes every colliding
+    // paragraph occurrence out-rank the stored holder
+    if (sel("paragraph_desc")) {
+      emit("paragraph_desc", "x1", x1Docs.size,
+        feed(x1Docs.reverse)(paragraphT))
     }
     // a THIRD measured decade for the incremental mixture (500k docs
     // through the same foreachBatch ingest). OPT-IN only — never part of

@@ -230,4 +230,69 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows.values.exists(v => v._3 < v._2),
       "corpus carries no duplicate paragraphs — fixture regression")
   }
+
+  // ------------------------------------------------------------- q160
+
+  test("q160 planted fixture: the threshold sweep counts exactly at " +
+    "every floor, with the bucket boundaries inclusive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q160_").toString
+    Seq(
+      // src a: TTR 1000 (all distinct), TTR 500 (each token twice),
+      // TTR 250 (each token four times)
+      (1L, "a", (1 to 8).map(i => s"t$i").mkString(" ")),
+      (2L, "a", ((1 to 4) ++ (1 to 4)).map(i => s"u$i").mkString(" ")),
+      (3L, "a", Seq.fill(4)(Seq("v1", "v2")).flatten.mkString(" ")),
+      // src b: one doc at TTR 1000
+      (4L, "b", "w1 w2 w3"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = run("q160_quality_threshold_sweep", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size == 22, "2 sources x 11 thresholds")
+    // src a (3 docs, 24 tokens): floor 0 keeps all; floor 300 drops the
+    // TTR-250 doc; floor 600 drops the TTR-500 doc too; floor 1000
+    // (boundary INCLUSIVE) still keeps the all-distinct doc
+    assert(out(("a", 0L)) == ((3L, 24L, 1000000L, 1000000L)))
+    assert(out(("a", 300L)) == ((2L, 16L, 2000000L / 3, 16L * 1000000L / 24)))
+    assert(out(("a", 500L)) == ((2L, 16L, 2000000L / 3, 16L * 1000000L / 24)))
+    assert(out(("a", 600L)) == ((1L, 8L, 1000000L / 3, 8L * 1000000L / 24)))
+    assert(out(("a", 1000L)) == ((1L, 8L, 1000000L / 3, 8L * 1000000L / 24)))
+    assert(out(("b", 1000L)) == ((1L, 3L, 1000000L, 1000000L)))
+  }
+
+  test("q160 invariants on the driver corpus: kept counts are monotone " +
+    "nonincreasing in the threshold, floor 0 keeps everything, and the " +
+    "curve agrees with a direct per-threshold recount") {
+    import graft.functions.TextFns.tokens
+    val rows = run("q160_quality_threshold_sweep").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val sources = rows.keySet.map(_._1)
+    for (s <- sources; t <- 1 to 10) {
+      val (dPrev, kPrev) = rows((s, (t - 1) * 100L))
+      val (d, k) = rows((s, t * 100L))
+      assert(d <= dPrev && k <= kPrev, s"$s: kept grew at floor ${t * 100}")
+    }
+    // floor 0 ≡ the whole source; one spot floor recounted directly
+    val base = graft.Tables(spark, sfDir, "documents")
+      .filter(col("source").isNotNull)
+      .select(col("source"),
+        coalesce(size(tokens(col("text"))), lit(0)).cast("long").as("n"),
+        coalesce(size(array_distinct(tokens(col("text")))), lit(0))
+          .cast("long").as("d"))
+      .withColumn("q", expr("d * 1000L div greatest(n, 1L)"))
+    val all = base.groupBy("source")
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("tk")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((s, (c, tk)) <- all) assert(rows((s, 0L)) == ((c, tk)))
+    val spot = base.filter(expr("q div 100L >= 7"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("tk")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (s <- sources)
+      assert(rows((s, 700L)) == spot.getOrElse(s, (0L, 0L)),
+        s"$s: floor-700 recount mismatch")
+  }
 }

@@ -45,6 +45,7 @@ object ScalingBench {
     // measured, not guessed), and paragraph-level keep-first dedup
     "q154_matryoshka_recall", "q156_training_export_manifest",
     "q159_paragraph_dedup", "q160_quality_threshold_sweep",
+    "q161_vocab_coverage_plan",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -122,5 +122,80 @@ object TextOps {
       },
       "BPE-ish pretokenizer counts (GPT-2 pattern in the RE2∩Java subset): " +
         "corpus sizing in subword-ish tokens at scan speed " +
-        "(pipeline ops brief: token counting)."))
+        "(pipeline ops brief: token counting)."),
+
+    // ------------------------------------ vocabulary coverage planning
+    Q(
+      "q161_vocab_coverage_plan",
+      (s, dir) => {
+        // Tokenizer-vocabulary sizing: for each corpus-coverage target
+        // (50/90/95/99%), the minimal top-K vocabulary (frequency rank,
+        // word tiebreak) that reaches it, with the achieved coverage and
+        // the frequency cutoff at rank K — the table that picks a vocab
+        // size BEFORE training a tokenizer, from one pass over the
+        // corpus. The global rank and the cumulative coverage both ride
+        // the two-pass RangeOps library (range buckets → broadcast
+        // offsets → bucket-local window), so there is NO single-task
+        // global sort anywhere; target extraction is a map-side
+        // filter+explode over the ranked frame (no vocab×targets join).
+        //
+        // Scale note: cum * 1,000,000 stays in Long up to ~9.2e12 corpus
+        // tokens — the repo-wide ppm headroom (q153/q159 share it).
+        import graft.operators.RangeOps
+        val vocab = Tables.parallel(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
+        val total = vocab.agg(sum(col("cnt"))).head()
+        if (total.isNullAt(0)) {
+          import s.implicits._
+          Seq.empty[(Long, Long, Long, Long)]
+            .toDF("target_ppm", "vocab_k", "achieved_ppm", "cutoff_count")
+        } else {
+          val tot = total.getLong(0)
+          val (ranked, _) = RangeOps.globalRowNumber(
+            vocab.withColumn("neg", -col("cnt")), "neg", "w", "rank")
+          val cov = RangeOps
+            .runningSum(ranked.drop("neg"), "rank", "cnt", "cum")
+            .withColumn("cum_ppm", expr(s"cum * 1000000L div ${tot}L"))
+          val ks = cov.select(col("rank"),
+              explode(expr("filter(array(500000L, 900000L, 950000L, " +
+                "990000L), t -> cum_ppm >= t)")).as("target_ppm"))
+            .groupBy(col("target_ppm"))
+            .agg(min(col("rank")).as("vocab_k"))
+          cov.join(broadcast(ks), col("rank") === col("vocab_k"))
+            .select(col("target_ppm"), col("vocab_k"),
+              col("cum_ppm").as("achieved_ppm"),
+              col("cnt").as("cutoff_count"))
+        }
+      },
+      Some("""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents WHERE text IS NOT NULL),
+        v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        r AS (SELECT w, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, w) AS rank
+              FROM v),
+        c AS (SELECT rank, cnt,
+                     CAST(SUM(cnt) OVER (ORDER BY rank
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM r),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v),
+        cov AS (SELECT rank, cnt, cum * 1000000 // tot.t AS cum_ppm
+                FROM c, tot),
+        k AS (SELECT CAST(t.target_ppm AS BIGINT) AS target_ppm,
+                     MIN(rank) AS vocab_k
+              FROM cov, (VALUES (500000), (900000), (950000), (990000))
+                t(target_ppm)
+              WHERE cov.cum_ppm >= t.target_ppm
+              GROUP BY 1)
+        SELECT k.target_ppm, k.vocab_k, cov.cum_ppm AS achieved_ppm,
+               cov.cnt AS cutoff_count
+        FROM k JOIN cov ON cov.rank = k.vocab_k"""),
+      "Vocabulary coverage planning: minimal top-K vocab per coverage " +
+        "target (50/90/95/99%) with achieved ppm and the rank-K " +
+        "frequency cutoff, via the two-pass RangeOps global rank + " +
+        "running sum — no single-task sort at any corpus size " +
+        "(pipeline ops brief: size the tokenizer vocab before training " +
+        "it)."))
 }

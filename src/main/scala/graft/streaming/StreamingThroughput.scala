@@ -297,6 +297,13 @@ object StreamingThroughput {
       val m100 = mixDocs(s"$scaleRoot/x100")
       emit("mixture", "x100", m100.size, feed(m100)(mixtureT))
     }
+    // opt-in third decade for the paragraph twin (500k docs through the
+    // same foreachBatch ingest) — same contract as mixture_x100: never
+    // part of the default sweep
+    if (only.exists(_.contains("paragraph_x100"))) {
+      val p100 = docs(s"$scaleRoot/x100")
+      emit("paragraph", "x100", p100.size, feed(p100)(paragraphT))
+    }
     if (sel("ann_ingest")) {
       emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))
       emit("ann_ingest", "x10", x10Vecs.size, feed(x10Vecs)(ann(annModel)))

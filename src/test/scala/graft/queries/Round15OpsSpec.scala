@@ -295,4 +295,56 @@ class Round15OpsSpec extends SparkSpec {
       assert(rows((s, 700L)) == spot.getOrElse(s, (0L, 0L)),
         s"$s: floor-700 recount mismatch")
   }
+
+  // ------------------------------------------------------------- q161
+
+  test("q161 planted fixture: the coverage plan hits exact ranks, " +
+    "achieved ppm, and frequency cutoffs on a known word distribution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q161_").toString
+    // counts: a=4, b=2, c=1, d=1 over 8 tokens; rank order a,b,c,d
+    // (count desc, word asc tiebreak) → cum ppm 500000/750000/875000/1e6
+    Seq((1L, "a a a a b b"), (2L, "c d"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = run("q161_vocab_coverage_plan", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out == Map(
+      500000L -> ((1L, 500000L, 4L)),
+      900000L -> ((4L, 1000000L, 1L)),
+      950000L -> ((4L, 1000000L, 1L)),
+      990000L -> ((4L, 1000000L, 1L))))
+  }
+
+  test("q161 invariants on the driver corpus: vocab_k monotone in the " +
+    "target, achieved >= target, and the 50% plan agrees with an " +
+    "independent driver-side recount") {
+    import graft.functions.TextFns.tokens
+    val rows = run("q161_vocab_coverage_plan").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows.keySet == Set(500000L, 900000L, 950000L, 990000L))
+    val ks = Seq(500000L, 900000L, 950000L, 990000L).map(t => rows(t)._1)
+    assert(ks == ks.sorted, s"vocab_k must be monotone: $ks")
+    for ((t, (_, achieved, cutoff)) <- rows) {
+      assert(achieved >= t, s"target $t: achieved $achieved below target")
+      assert(cutoff >= 1L, s"target $t: cutoff must be a real count")
+    }
+    // independent recount: collect the (tiny at sf0.001) vocab, sort by
+    // (count desc, word asc) in plain Scala, find the minimal 50% prefix
+    val counts = graft.Tables(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val ordered = counts.sortBy { case (w, c) => (-c, w) }
+    val tot = ordered.map(_._2).sum
+    var cum = 0L
+    val k50 = ordered.indexWhere { case (_, c) =>
+      cum += c; cum * 1000000L / tot >= 500000L
+    } + 1
+    assert(rows(500000L)._1 == k50.toLong,
+      s"50% plan ${rows(500000L)._1} != driver recount $k50")
+  }
 }

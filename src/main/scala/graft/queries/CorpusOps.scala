@@ -32,6 +32,102 @@ object CorpusOps {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}"
 
+  /** Export-surviving docs with per-doc kept-token accounting — the
+    * doc-level frame the q156 manifest rolls up and the q162 shard plan
+    * packs: corpus-side (doc_id >= 10, the q63 bench/corpus split),
+    * exact-dup canonical (q34 min-doc_id-per-normalized-fingerprint),
+    * decontaminated (q63 5-gram rule over the broadcast bench set), and
+    * kept = n_tokens − q155 keep-first substring removal. Each arm is its
+    * own already-proven geometry (one fp window shuffle; broadcast gram
+    * probe over the staged grams5 frame; two shuffles over positional
+    * triples); the combining joins are doc_id-keyed semi/anti/outer.
+    */
+  private def exportSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.normText
+    val d = docs(s, dir)
+    val fpCol =
+      md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+    val canonical = d.select(col("doc_id"), fpCol.as("fp"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    val g5 = Grams.hashed(s, dir, 5)
+    val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
+    val contaminated = g5.filter(col("doc_id") >= 10)
+      .join(broadcast(benchG), "ng").select("doc_id").distinct()
+    val g10 = graft.operators.DupSpans
+      .positionalGrams(Tables.parallel(s, dir, "documents"))
+    val byOccurrence = Window.partitionBy(col("ng"))
+      .orderBy(col("doc_id"), col("pos"))
+    val removed = graft.operators.DupSpans.perDocStats(
+      g10.withColumn("rn", row_number().over(byOccurrence))
+        .filter(col("rn") >= 2)
+        .select(col("doc_id"), col("pos")))
+      .select(col("doc_id"), col("dup_tokens").as("removed"))
+    d.select(col("doc_id"), col("source"),
+        coalesce(size(tokens(col("text"))), lit(0))
+          .cast("long").as("n_tokens"))
+      .filter(col("doc_id") >= 10)
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(removed, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("removed"), lit(0L))).as("kept"))
+  }
+
+  /** Oracle CTE chain ending in `survivors(doc_id, source, n_tokens,
+    * kept)` — the SQL twin of [[exportSurvivors]], shared by the q156
+    * and q162 oracles.
+    */
+  private val survivorsCte = """
+        WITH canon AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
+                     list_sort(string_split(trim(regexp_replace(
+                       lower(text), '\s+', ' ', 'g')), ' ')), ' ')))
+                     AS canonical_id
+            FROM documents)
+          WHERE doc_id = canonical_id),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        bench AS (SELECT DISTINCT ng FROM g5 WHERE doc_id < 10),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM g5
+          JOIN bench USING (ng) WHERE doc_id >= 10),
+        g10 AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS ng
+                FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
+        r AS (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY ng
+                       ORDER BY doc_id, pos) AS rn
+              FROM g10),
+        rem AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+        fl AS (SELECT doc_id, pos,
+                      CASE WHEN pos - LAG(pos) OVER w <= 10 THEN 0
+                           ELSE 1 END AS new_span
+               FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (SELECT doc_id, pos,
+                       SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM fl),
+        spans AS (SELECT doc_id, MAX(pos) + 9 - MIN(pos) + 1 AS span_tokens
+                  FROM isl GROUP BY doc_id, island),
+        removed AS (SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS removed
+                    FROM spans GROUP BY doc_id),
+        survivors AS (
+          SELECT d.doc_id, d.source,
+                 CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+                   AS n_tokens,
+                 CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+                   - COALESCE(rm.removed, 0) AS kept
+          FROM documents d
+          JOIN canon c ON c.doc_id = d.doc_id
+          LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
+          LEFT JOIN removed rm ON rm.doc_id = d.doc_id
+          WHERE d.doc_id >= 10 AND ct.doc_id IS NULL)"""
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------- stratified sampling
     Q(
@@ -654,39 +750,10 @@ object CorpusOps {
         // one fp shuffle via a window; q63 broadcast probe over the
         // staged gram frame; q155 two shuffles over positional triples);
         // the final joins are doc_id-keyed semi/anti joins and the
-        // rollup is |sources|-sized.
-        import graft.functions.TextFns.normText
-        val d = docs(s, dir)
-        val fpCol =
-          md5(array_join(array_sort(tokens(normText(col("text")))), " "))
-        val canonical = d.select(col("doc_id"), fpCol.as("fp"))
-          .withColumn("canonical_id",
-            min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-          .filter(col("doc_id") === col("canonical_id"))
-          .select(col("doc_id"))
-        val g5 = Grams.hashed(s, dir, 5)
-        val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
-        val contaminated = g5.filter(col("doc_id") >= 10)
-          .join(broadcast(benchG), "ng").select("doc_id").distinct()
-        val g10 = graft.operators.DupSpans
-          .positionalGrams(Tables.parallel(s, dir, "documents"))
-        val byOccurrence = Window.partitionBy(col("ng"))
-          .orderBy(col("doc_id"), col("pos"))
-        val removed = graft.operators.DupSpans.perDocStats(
-          g10.withColumn("rn", row_number().over(byOccurrence))
-            .filter(col("rn") >= 2)
-            .select(col("doc_id"), col("pos")))
-          .select(col("doc_id"), col("dup_tokens").as("removed"))
-        d.select(col("doc_id"), col("source"),
-            coalesce(size(tokens(col("text"))), lit(0))
-              .cast("long").as("n_tokens"))
-          .filter(col("doc_id") >= 10)
-          .join(canonical, Seq("doc_id"), "left_semi")
-          .join(contaminated, Seq("doc_id"), "left_anti")
-          .join(removed, Seq("doc_id"), "left_outer")
-          .select(col("source"), col("n_tokens"),
-            (col("n_tokens") - coalesce(col("removed"), lit(0L)))
-              .as("kept"))
+        // rollup is |sources|-sized. The survivor frame is the shared
+        // [[exportSurvivors]] helper (q162 packs the same frame into
+        // physical shards).
+        exportSurvivors(s, dir)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs_exported"),
             sum(col("n_tokens")).as("tokens_raw"),
@@ -694,65 +761,87 @@ object CorpusOps {
           .withColumn("kept_ppm",
             expr("tokens_exported * 1000000L div greatest(tokens_raw, 1L)"))
       },
-      Some("""
-        WITH canon AS (
-          SELECT doc_id FROM (
-            SELECT doc_id,
-                   MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
-                     list_sort(string_split(trim(regexp_replace(
-                       lower(text), '\s+', ' ', 'g')), ' ')), ' ')))
-                     AS canonical_id
-            FROM documents)
-          WHERE doc_id = canonical_id),
-        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
-               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
-        bench AS (SELECT DISTINCT ng FROM g5 WHERE doc_id < 10),
-        contaminated AS (
-          SELECT DISTINCT doc_id FROM g5
-          JOIN bench USING (ng) WHERE doc_id >= 10),
-        g10 AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS ng
-                FROM tk, UNNEST(generate_series(1, len(t) - 9)) AS s(i)),
-        r AS (SELECT doc_id, pos,
-                     row_number() OVER (PARTITION BY ng
-                       ORDER BY doc_id, pos) AS rn
-              FROM g10),
-        rem AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
-        fl AS (SELECT doc_id, pos,
-                      CASE WHEN pos - LAG(pos) OVER w <= 10 THEN 0
-                           ELSE 1 END AS new_span
-               FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        isl AS (SELECT doc_id, pos,
-                       SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                                           ROWS UNBOUNDED PRECEDING) AS island
-                FROM fl),
-        spans AS (SELECT doc_id, MAX(pos) + 9 - MIN(pos) + 1 AS span_tokens
-                  FROM isl GROUP BY doc_id, island),
-        removed AS (SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS removed
-                    FROM spans GROUP BY doc_id),
-        exported AS (
-          SELECT d.source,
-                 CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
-                   AS n_tokens,
-                 CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
-                   - COALESCE(rm.removed, 0) AS kept
-          FROM documents d
-          JOIN canon c ON c.doc_id = d.doc_id
-          LEFT JOIN contaminated ct ON ct.doc_id = d.doc_id
-          LEFT JOIN removed rm ON rm.doc_id = d.doc_id
-          WHERE d.doc_id >= 10 AND ct.doc_id IS NULL)
+      Some(survivorsCte + """
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs_exported,
                CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
                CAST(SUM(kept) AS BIGINT) AS tokens_exported,
                (CAST(SUM(kept) AS BIGINT) * 1000000)
                  // GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1) AS kept_ppm
-        FROM exported GROUP BY source"""),
+        FROM survivors GROUP BY source"""),
       "Training export manifest — the capstone composition: corpus-side " +
         "docs, decontaminated (q63 rule), exact-dup canonical (q34 " +
         "rule), with exported tokens counted after q155's keep-first " +
         "substring removal; one per-source rollup (pipeline ops brief: " +
         "the manifest a data recipe signs off on)."),
+
+    // ----------------------------------------- physical export shard plan
+    Q(
+      "q162_export_shard_plan",
+      (s, dir) => {
+        // The artifact a trainer PHYSICALLY reads: q156 says WHAT to
+        // export and q146 says in WHAT ORDER; this emits the sharded,
+        // size-bounded manifest composing them. Every surviving doc
+        // (exportSurvivors — q156's set with q155 kept-token accounting)
+        // gets a deterministic pack position in q146's epoch-1 seeded-hash
+        // permutation (hash32("1:"+doc_id) — replayable months later, the
+        // q58/q142 sampling contract), a prefix-sum of kept tokens places
+        // it, and shard_id = start div C assigns it to a ~C-token shard.
+        // Per shard: doc count, exported tokens, first/last doc in pack
+        // order, and an order-independent integer checksum (sum of
+        // hash32(doc_id:kept)) a writer verifies after materializing.
+        //
+        // Scale shape: the global order rides the two-pass RangeOps
+        // library (range buckets → broadcast offsets → bucket-local
+        // window) — NO single-task sort; the hash order column is uniform
+        // by construction so the range buckets never skew; the rollup is
+        // |shards|-sized (corpus_tokens / C). Shard sizes are bounded by
+        // construction: every non-final shard holds C ± max_doc_kept
+        // tokens (spec-pinned), so no downstream reader ever sees a
+        // pathological shard.
+        import graft.operators.RangeOps
+        val C = 4096L
+        val surv = exportSurvivors(s, dir)
+          .withColumn("hv", hash32(concat_ws(":", lit(1), col("doc_id"))))
+        val (ranked, _) = RangeOps.globalRowNumber(surv, "hv", "doc_id", "pos")
+        RangeOps.runningSum(ranked, "pos", "kept", "cum")
+          .withColumn("shard_id", expr(s"(cum - kept) div ${C}L"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("n_tokens"),
+            min_by(col("doc_id"), col("pos")).as("first_doc"),
+            max_by(col("doc_id"), col("pos")).as("last_doc"),
+            sum(hash32(concat_ws(":", col("doc_id"), col("kept"))))
+              .as("checksum"))
+      },
+      Some(survivorsCte + """,
+        h AS (SELECT doc_id, kept,
+                     CAST(('0x' || substr(md5(1 || ':' || doc_id), 1, 8))
+                          AS BIGINT) AS hv
+              FROM survivors),
+        rk AS (SELECT doc_id, kept, hv,
+                      row_number() OVER (ORDER BY hv, doc_id) AS pos
+               FROM h),
+        cm AS (SELECT doc_id, kept, pos,
+                      CAST(SUM(kept) OVER (ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM rk),
+        sh AS (SELECT (cum - kept) // 4096 AS shard_id, doc_id, kept, pos
+               FROM cm)
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_tokens,
+               arg_min(doc_id, pos) AS first_doc,
+               arg_max(doc_id, pos) AS last_doc,
+               CAST(SUM(CAST(('0x' || substr(md5(doc_id || ':' || kept), 1, 8))
+                             AS BIGINT)) AS BIGINT) AS checksum
+        FROM sh GROUP BY shard_id"""),
+      "Physical export shard plan: q156's surviving set packed in q146's " +
+        "seeded-hash epoch order into ~4096-token shards via the two-pass " +
+        "RangeOps prefix sum (no single-task sort); per shard docs, " +
+        "tokens, first/last doc, and an order-independent integer " +
+        "checksum — the size-bounded manifest a trainer's loader " +
+        "physically reads (pipeline ops brief: the export artifact)."),
 
     // ------------------------------------- bloom-filter decontamination
     Q(

@@ -498,7 +498,10 @@ object MultimodalOps {
   /** Real ISO-BMFF (MP4) header parse — pure JVM, no codec jars. Walks
     * the top-level box list to `moov`, then nested walks to `mvhd`
     * (timescale/duration, version 0 AND 1 layouts) and `trak`/`tkhd`
-    * (width/height as 16.16 fixed point, both versions). Box walks are
+    * (width/height as 16.16 fixed point, both versions); sibling trak
+    * boxes are iterated until one yields positive dimensions, so an
+    * audio-first track order — the common real-world layout — still
+    * resolves the video trak. Box walks are
     * robust the way [[parseWav]]'s chunk walk is: an interposed `free`
     * box at ANY level is skipped by size, the 64-bit `largesize` form
     * (size32 == 1) is honored, a `size32 == 0` box legally extends to
@@ -545,19 +548,36 @@ object MultimodalOps {
         else if (v == 1 && hs + 32 <= he) Some((be32(hs + 20), be64(hs + 24)))
         else None
       }
-      (ks, ke) <- findBox(ms, me, "trak").flatMap { case (trs, tre) =>
-        findBox(trs, tre, "tkhd")
-      }
       wh <- {
         // tkhd payload: version/flags(4) + times/track_id/duration
         // (20 bytes v0, 32 v1) + 52 bytes reserved/layer/volume/matrix,
         // then width/height as 16.16 fixed point
-        val off = if (u8(ks) == 1) 88 else 76
-        if (ks + off + 8 <= ke)
-          Some(((be32(ks + off) >> 16).toInt, (be32(ks + off + 4) >> 16).toInt))
-        else None
+        def tkhdDims(ks: Int, ke: Int): Option[(Int, Int)] = {
+          val off = if (u8(ks) == 1) 88 else 76
+          if (ks + off + 8 <= ke) {
+            val w = (be32(ks + off) >> 16).toInt
+            val h = (be32(ks + off + 4) >> 16).toInt
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } else None
+        }
+        // real MP4s commonly order a non-video (audio) trak FIRST, whose
+        // tkhd carries width/height 0 — iterate SIBLING trak boxes until
+        // one yields positive 16.16 dimensions instead of taking the
+        // first and dropping the whole file
+        var dims: Option[(Int, Int)] = None
+        var i = ms
+        while (dims.isEmpty && i < me) {
+          findBox(i, me, "trak") match {
+            case Some((trs, tre)) =>
+              dims = findBox(trs, tre, "tkhd")
+                .flatMap { case (ks, ke) => tkhdDims(ks, ke) }
+              i = tre
+            case None => i = me
+          }
+        }
+        dims
       }
-      if tsDur._1 > 0 && tsDur._2 >= 0 && wh._1 > 0 && wh._2 > 0
+      if tsDur._1 > 0 && tsDur._2 >= 0
     } yield VideoMeta(0L, tsDur._1, tsDur._2, wh._1, wh._2)
   }
 

@@ -143,7 +143,9 @@ object StreamingExport {
       docStore.reset(docs.select(col("doc_id"), col("seq"), col("fp"),
         col("source"), col("n_tokens"), col("canonical"),
         col("contaminated"), col("removed")))
-      fpStore.reset(fps.select(col("nfp"), col("seq"), col("holder")))
+      fpStore.reset(fps.select(
+        coalesce(col("nfp"), lit("<null-text>")).as("nfp"),
+        col("seq"), col("holder")))
       benchStore.reset(bench.select(col("ng")))
       cg5Store.reset(cg5.select(col("ng"), col("doc_id")))
       g10Store.reset(g10
@@ -180,9 +182,18 @@ object StreamingExport {
           col("text"),
           coalesce(size(tokens(col("text"))), lit(0)).cast("long")
             .as("n_tokens"),
-          xxhash64(col("text")).as("fp"),
-          md5(array_join(array_sort(tokens(normText(col("text")))), " "))
-            .as("nfp"),
+          // null-safe replay fingerprint: xxhash64(null) is NULL and the
+          // replay check's equality would read a re-delivered null-text
+          // doc as "fingerprint differs" — refusing a legitimate replay
+          coalesce(xxhash64(col("text")), lit(0L)).as("fp"),
+          // null-safe: batch q156's Window.partitionBy groups NULL
+          // fingerprints into ONE group, but equality joins on the fps
+          // store would never match NULL — coalesce to a sentinel that
+          // no 32-hex md5 can collide with, so null-text docs form one
+          // canonical group here exactly as they do in the batch plan
+          coalesce(
+            md5(array_join(array_sort(tokens(normText(col("text")))), " ")),
+            lit("<null-text>")).as("nfp"),
           // null text → null array; the explode below emits no rows
           array_distinct(wordNgrams(tokens(col("text")), 5)).as("gs5"))
         .localCheckpoint(true))

@@ -72,6 +72,36 @@ class Round15OpsSpec extends SparkSpec {
       "a size-0 trailing moov must parse identically")
   }
 
+  test("q157: an audio-first trak order (width/height 0 in the first " +
+    "tkhd) still resolves the video trak's dimensions; a file with NO " +
+    "video trak is dropped") {
+    import graft.queries.MultimodalOps._
+    def be32b(v: Long): Array[Byte] =
+      Array(24, 16, 8, 0).map(s => ((v >>> s) & 0xff).toByte)
+    def rawBox(t: String, payload: Array[Byte]): Array[Byte] =
+      be32b(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    val ftyp = rawBox("ftyp",
+      "isom".getBytes("US-ASCII") ++ new Array[Byte](4) ++
+        "isom".getBytes("US-ASCII"))
+    // v0 mvhd: ver/flags + 8 bytes times + timescale + duration + tail
+    val mvhd = rawBox("mvhd", new Array[Byte](12) ++ be32b(600L) ++
+      be32b(2400L) ++ new Array[Byte](80))
+    // v0 tkhd: 76 bytes ver/flags/times/track_id/reserved/layer/matrix,
+    // then 16.16 width/height
+    def tkhd(w: Int, h: Int): Array[Byte] = rawBox("trak",
+      rawBox("tkhd", new Array[Byte](76) ++
+        be32b(w.toLong << 16) ++ be32b(h.toLong << 16)))
+    // the common real-world layout: audio trak (0x0 dims) FIRST
+    val audioFirst = ftyp ++ rawBox("moov",
+      mvhd ++ tkhd(0, 0) ++ tkhd(640, 360))
+    assert(parseMp4(audioFirst) ==
+      Some(VideoMeta(0L, 600L, 2400L, 640, 360)),
+      "must iterate past the non-video first trak")
+    // no video trak anywhere: drop the file (the unparseable contract)
+    val noVideo = ftyp ++ rawBox("moov", mvhd ++ tkhd(0, 0) ++ tkhd(0, 0))
+    assert(parseMp4(noVideo).isEmpty)
+  }
+
   test("q157: the synthetic fixture round-trips the doc_id arithmetic " +
     "for every row — both mvhd/tkhd versions, the largesize form, and " +
     "the interposed mdat all occur and parse") {

@@ -134,6 +134,51 @@ class StreamingExportSpec extends SparkSpec {
     batchEq(all, "step3")
   }
 
+  test("null-text docs: one fingerprint GROUP across batches (the nfp " +
+    "null-safety fix) — a late lower-id null doc steals canonical, " +
+    "exactly one null doc exports, and every prefix equals batch q156") {
+    import spark.implicits._
+    val st = StreamingExport.state(spark)
+    def manifest = rowsOf(st.snapshot())
+    var all = Map[Long, (String, String)]()
+    def ingest(rows: (Long, String, String)*): Unit = {
+      st.ingest(rows.toSeq.toDF("doc_id", "source", "text"))
+      all ++= rows.map { case (id, src, txt) => id -> ((src, txt)) }
+    }
+    def batchEq(tag: String): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_expnull_$tag").toString
+      all.toSeq.map { case (id, (src, txt)) => (id, src, txt) }
+        .toDF("doc_id", "source", "text")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      assert(manifest == q156(dir), s"$tag diverged from batch q156")
+    }
+    // batch 1: one null-text doc plus a normal doc — the null doc is its
+    // group's only member, so it exports (0 tokens, ppm 0)
+    ingest((30L, "sn", null), (40L, "st", "y1 y2"))
+    assert(manifest == Set(("sn", 1L, 0L, 0L, 0L),
+      ("st", 1L, 2L, 2L, 1000000L)), s"step 1: $manifest")
+    batchEq("step1")
+    // batch 2: TWO more null-text docs in a later batch. Before the fix,
+    // the equality joins on the fps store never matched the stored NULL
+    // key, so each batch re-granted canonical to its own min without
+    // demoting doc 30 — exporting multiple null docs. Fixed: one group,
+    // doc 25 steals canonical from 30, 35 never exports.
+    ingest((25L, "sn2", null), (35L, "sn3", null))
+    assert(manifest == Set(("sn2", 1L, 0L, 0L, 0L),
+      ("st", 1L, 2L, 2L, 1000000L)), s"step 2: $manifest")
+    assert(!st.docsFrame.filter(col("doc_id") === 30)
+      .orderBy(col("seq").desc).head().getBoolean(5),
+      "doc 30's latest doc-store row must be demoted (canonical=false)")
+    batchEq("step2")
+    // replay the null-carrying batch whole: must SKIP (the null-safe fp
+    // fix — xxhash64(null) is NULL and the old equality read a null-text
+    // replay as content drift), leaving the manifest unchanged
+    ingest((25L, "sn2", null), (35L, "sn3", null))
+    assert(manifest == Set(("sn2", 1L, 0L, 0L, 0L),
+      ("st", 1L, 2L, 2L, 1000000L)), s"replay: $manifest")
+  }
+
   test("replay handling: whole-batch re-delivery skips; partial overlap " +
     "and content drift fail loud; state untouched after refusals") {
     import spark.implicits._

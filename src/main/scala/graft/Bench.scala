@@ -261,7 +261,10 @@ object Bench {
       "q63_decontamination", "q96_repeated_ngram_dedup",
       "q95_pagerank_neardup",
       // q145 stages the kmeans_converged loop (the Lloyd iteration)
-      "q145_kmeans_converged")
+      "q145_kmeans_converged",
+      // q161 stages the vocab word-count frame (shared with q164's merge
+      // loop — round-16: the round-15 verdict's staging fix)
+      "q161_vocab_coverage_plan")
     queries.filter(q => warmupNames(q._1)).foreach { case (_, fn) =>
       try once(fn) catch { case _: Throwable => () }
     }

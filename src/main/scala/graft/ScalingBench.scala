@@ -46,6 +46,13 @@ object ScalingBench {
     "q154_matryoshka_recall", "q156_training_export_manifest",
     "q159_paragraph_dedup", "q160_quality_threshold_sweep",
     "q161_vocab_coverage_plan",
+    // round-16 additions: the physical shard plan (rides the survivor
+    // arms + two RangeOps passes), perceptual image near-dup (real PGM
+    // pixel decode + banded pair join), BPE merge training (12 rounds
+    // over the staged vocab — corpus scanned once), and the bigram
+    // surprisal score (in-row bigrams + broadcast bucket model)
+    "q162_export_shard_plan", "q163_image_perceptual_neardup",
+    "q164_bpe_merge_train", "q165_bigram_surprisal",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

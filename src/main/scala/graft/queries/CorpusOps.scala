@@ -42,7 +42,7 @@ object CorpusOps {
     * probe over the staged grams5 frame; two shuffles over positional
     * triples); the combining joins are doc_id-keyed semi/anti/outer.
     */
-  private def exportSurvivors(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def exportSurvivors(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFns.normText
     val d = docs(s, dir)
     val fpCol =
@@ -2356,7 +2356,104 @@ object CorpusOps {
         "kept-tokens curve over every candidate type-token-ratio floor " +
         "(q150's exact scoring), from one corpus scan + a driver-sized " +
         "bucket rollup — the table a recipe reads to pick its quality " +
-        "floor (pipeline ops brief: tune the knob without rescanning)."))
+        "floor (pipeline ops brief: tune the knob without rescanning)."),
+
+    // --------------------------------------- bigram-interpolated surprisal
+    Q(
+      "q165_bigram_surprisal",
+      (s, dir) => {
+        // q122's quality score reads each token ALONE — a doc that
+        // repeats one fluent sentence forever scores exactly like prose.
+        // This is the bigram-interpolated form: mean per-bigram surprisal
+        // in whole bits under the corpus bigram model, float-free
+        // (bit-length of integer quotients — q122's discipline). The
+        // bigram model is HASHED into 2^20 buckets (CMS depth 1:
+        // collisions only ever LOWER a surprisal, identically in both
+        // engines) and DF-CAPPED — only buckets seen >= 2 times ship; a
+        // once-seen bigram BACKS OFF to the right token's unigram
+        // surprisal plus a one-bit penalty. Conditional surprisal is
+        // bits(w2|w1) = bitlen(c(w1) div cb): frequent continuations of
+        // frequent heads cost ~0 bits, rare continuations cost the
+        // head's full frequency in bits.
+        //
+        // Scale shape: bigrams form IN-ROW (transform over the token
+        // array, no self-join); the capped bucket model is bounded by
+        // 2^20 rows REGARDLESS of corpus size — it broadcasts; the two
+        // unigram joins are q122's vocab-keyed shape (head broadcasts at
+        // real scale, tail is rare by definition); one per-doc rollup.
+        val ws = expr(
+          "filter(split(lower(text), '[^\\\\p{L}\\\\p{Nd}]+'), x -> x != '')")
+        val base = docs(s, dir).select(col("doc_id"), ws.as("ws"))
+        val uni = base.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val n = uni.agg(sum(col("f")).as("n"))
+        val bg = base.select(col("doc_id"), explode(expr(
+            "transform(slice(ws, 1, size(ws) - 1), " +
+              "(x, i) -> struct(x AS w1, ws[i + 1] AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+            pmod(hash32(concat_ws(" ", col("p.w1"), col("p.w2"))),
+              lit(1048576L)).as("bk"))
+        val model = bg.groupBy(col("bk")).agg(count(lit(1)).as("cb"))
+          .filter(col("cb") >= 2)
+        bg
+          .join(broadcast(model), Seq("bk"), "left_outer")
+          .join(uni.select(col("w").as("w1"), col("f").as("f1")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("f").as("f2")), Seq("w2"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"),
+            when(col("cb").isNotNull,
+              (length(bin(greatest(expr("f1 div cb"), lit(1L)))) - 1)
+                .cast("long"))
+              .otherwise(
+                (length(bin(expr("n div f2"))) - 1).cast("long") + 1L)
+              .as("bits"),
+            col("cb").isNull.cast("long").as("backoff"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("bits")).as("total_bits"),
+            sum(col("backoff")).as("n_backoff"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("total_bits * 1000 div n_bigrams").as("surprisal_mbits"),
+            expr("n_backoff * 1000000L div n_bigrams").as("backoff_ppm"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^\pL\p{Nd}]+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+                FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+        nn AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM uni),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+                      CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]),
+                                           1, 8)) AS BIGINT) % 1048576 AS bk
+               FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)),
+        model AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS cb FROM bg
+                  GROUP BY bk HAVING COUNT(*) >= 2),
+        sc AS (SELECT b.doc_id,
+                      CASE WHEN m.cb IS NOT NULL
+                           THEN CAST(length(bin(GREATEST(u1.f // m.cb, 1)))
+                                     - 1 AS BIGINT)
+                           ELSE CAST(length(bin(nn.n // u2.f)) - 1
+                                     AS BIGINT) + 1
+                      END AS bits,
+                      CASE WHEN m.cb IS NULL THEN 1 ELSE 0 END AS backoff
+               FROM bg b
+               LEFT JOIN model m ON b.bk = m.bk
+               JOIN uni u1 ON u1.w = b.w1
+               JOIN uni u2 ON u2.w = b.w2, nn)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(bits) AS BIGINT) * 1000 // COUNT(*)
+                 AS surprisal_mbits,
+               CAST(SUM(backoff) AS BIGINT) * 1000000 // COUNT(*)
+                 AS backoff_ppm
+        FROM sc GROUP BY doc_id"""),
+      "Bigram-interpolated surprisal quality: mean whole-bit conditional " +
+        "surprisal under a hashed (2^20-bucket), df-capped corpus bigram " +
+        "model with one-bit-penalty unigram backoff — integer-exact, " +
+        "catches the repetitive-but-fluent docs q122's unigram score " +
+        "cannot (pipeline ops brief: context-aware quality scoring)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

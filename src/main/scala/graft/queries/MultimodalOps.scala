@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A multimodal record: opaque media bytes + typed metadata (the brief's
@@ -212,6 +213,130 @@ object MultimodalOps {
     }
   }
 
+  // ------------------------------------- perceptual near-dup (image)
+
+  /** Real PGM (P5) pixel decode — pure JVM, no codec jars; the first
+    * modality payload whose PIXELS (not just header fields) are parsed
+    * for real. Handles the format's actual grammar: arbitrary whitespace
+    * between header fields, `#` comment lines anywhere in the header,
+    * maxval, exactly ONE whitespace byte, then w*h raw bytes. Returns
+    * None on anything malformed (bad magic, maxval > 255, truncated
+    * raster) — the drop-unparseable contract of the modality family.
+    */
+  def parsePgm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    var i = 2
+    def ws(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        go = false
+        while (i < b.length && ws(b(i))) { i += 1; go = true }
+        if (i < b.length && b(i) == '#') {
+          while (i < b.length && b(i) != '\n') i += 1
+          go = true
+        }
+      }
+    }
+    def int(): Option[Int] = {
+      skipWs()
+      var v = 0L
+      var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    if (b.length < 2 || b(0) != 'P' || b(1) != '5') return None
+    for {
+      w <- int(); h <- int(); mx <- int()
+      if w > 0 && h > 0 && mx > 0 && mx <= 255
+      // exactly one whitespace byte separates maxval from the raster
+      // (a '#' here would be raster data, not a comment)
+      if i < b.length && ws(b(i))
+      px <- {
+        i += 1
+        if (w.toLong * h <= b.length - i)
+          Some(Array.tabulate(w * h)(k => b(i + k) & 0xff))
+        else None
+      }
+    } yield (w, h, px)
+  }
+
+  /** 56-bit difference hash over an 8x8 grayscale raster: bit (y*7+x) is
+    * set iff pixel(x+1, y) > pixel(x, y) — the row-wise gradient sign,
+    * the classic dHash. 7 comparisons x 8 rows = 56 bits, which keeps
+    * the signature (and the oracle's SUM of shifted bits) safely inside
+    * a signed 64-bit value in both engines and splits evenly into
+    * 4 x 14-bit Hamming bands (q126's pigeonhole geometry). Rasters of
+    * any other shape are dropped (a production pipeline resizes to the
+    * hash grid first — q74's stage).
+    */
+  def dHash(w: Int, h: Int, px: Array[Int]): Option[Long] =
+    if (w != 8 || h != 8) None
+    else {
+      var sig = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 7) {
+          if (px(y * 8 + x + 1) > px(y * 8 + x)) sig |= 1L << (y * 7 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(sig)
+    }
+
+  /** Batched executor-side pixel decoder + dHash (the decodeStub shape);
+    * unparseable or non-8x8 payloads are dropped — the K6 dirty-side
+    * pattern, exercised in the spec.
+    */
+  def decodeDHash(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap(r => parsePgm(r.content)
+          .flatMap { case (w, h, px) => dHash(w, h, px) }
+          .map(sig => (r.mediaId, sig)))
+      }
+    }
+  }
+
+  /** One synthetic 8x8 pixel: a tiny integer formula both engines replay.
+    * Range 0..250 so the near-dup +1 perturbation never clips at 255.
+    */
+  private def pgmPixel(base: Long, x: Int, y: Int): Int =
+    ((base * 31 + x * 7 + y * 13) % 251).toInt
+
+  /** Synthetic PGM payload for one doc: ids with id % 5 == 4 carry the
+    * PREVIOUS id's pixels with pixel (0,0) perturbed by +1 — a planted
+    * near-duplicate at Hamming distance <= 1. A comment line sits inside
+    * the header so a fixed-offset "parser" can never pass.
+    */
+  private def pgmImage(id: Long): Array[Byte] = {
+    val base = if (id % 5 == 4) id - 1 else id
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(s"P5\n# graft synthetic $id\n8 8\n255\n".getBytes("US-ASCII"))
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val p = pgmPixel(base, x, y) +
+        (if (id % 5 == 4 && x == 0 && y == 0) 1 else 0)
+      b.write(p)
+    }
+    b.toByteArray
+  }
+
+  /** Documents replayed as real PGM payloads (the q56/q152/q157
+    * discipline for the pixel modality).
+    */
+  def syntheticPgms(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "image", pgmImage(id), Map.empty))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q40_multimodal_meta",
@@ -377,7 +502,88 @@ object MultimodalOps {
         "width/height), robust to interposed free/mdat boxes and the " +
         "64-bit largesize form, exercised end-to-end by a hash-checked " +
         "query over synthesized MP4 payloads (pipeline ops brief: video " +
-        "decode plumbing)."))
+        "decode plumbing)."),
+
+    Q(
+      "q163_image_perceptual_neardup",
+      (s, dir) => {
+        // The composition the modality family existed for: dedup OVER
+        // decoded pixels. Every doc becomes a real PGM payload (pixels
+        // from doc_id arithmetic; ids ≡ 4 mod 5 are planted 1-bit
+        // near-dups of their predecessor), decodeDHash parses the raster
+        // for real and emits the 56-bit gradient dHash, and pairs within
+        // Hamming distance 3 are found by q126's pigeonhole-complete
+        // geometry — 4 bands of 14 bits (3 flips break at most 3 bands,
+        // so every qualifying pair shares an intact band), bit_count(xor)
+        // verify, the 100-doc bucket cap bounding pairwork. A parser or
+        // hash misread of any pixel breaks the hash against the
+        // arithmetic oracle.
+        //
+        // Scale shape: decode is scan-speed mapPartitions (header+raster
+        // bounded); the band join is bucketed, never all-pairs; pair
+        // work is O(cap² · buckets) like q126.
+        val sigs = decodeDHash(syntheticPgms(s, dir)).toDF("doc_id", "dhash")
+        val bands = sigs
+          .select(col("doc_id"), col("dhash"),
+            posexplode(array((0 until 4).map(b =>
+              shiftright(col("dhash"), 14 * b).bitwiseAND(16383)): _*))
+              .as(Seq("band", "bv")))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("band"), col("bv"))))
+          .filter(col("n") <= 100)
+        bands
+          .groupBy(col("band"), col("bv"))
+          .agg(collect_list(struct(col("doc_id").as("d"),
+            col("dhash").as("sg"))).as("ids"))
+          .select(explode(expr(
+            "flatten(transform(ids, (x, ix) -> " +
+              "filter(transform(ids, (y, iy) -> " +
+              "IF(x.d < y.d, struct(x.d AS i, x.sg AS si, y.d AS j, y.sg AS sj), " +
+              "NULL)), p -> p IS NOT NULL)))"))
+            .as("p"))
+          .select(col("p.i"), col("p.j"),
+            bit_count(col("p.si").bitwiseXOR(col("p.sj"))).cast("int")
+              .as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END
+                   AS base
+          FROM documents),
+        bits AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN
+                     ((base * 31 + (x + 1) * 7 + y * 13) % 251)
+                     > ((base * 31 + x * 7 + y * 13) % 251
+                        + CASE WHEN doc_id % 5 = 4 AND x = 0 AND y = 0
+                               THEN 1 ELSE 0 END)
+                   THEN CAST(1 AS BIGINT) << (y * 7 + x) ELSE 0 END)
+                   AS BIGINT) AS dhash
+          FROM ids, UNNEST(generate_series(0, 6)) AS xs(x),
+               UNNEST(generate_series(0, 7)) AS ys(y)
+          GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, dhash, band, bv FROM (
+            SELECT doc_id, dhash, b AS band,
+                   (dhash >> (14 * b)) & 16383 AS bv,
+                   COUNT(*) OVER (PARTITION BY b,
+                     (dhash >> (14 * b)) & 16383) AS n
+            FROM bits, UNNEST(generate_series(0, 3)) AS s(b))
+          WHERE n <= 100),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                 CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT i, j, hamming FROM cand WHERE hamming <= 3"""),
+      "Perceptual image near-dup: real PGM pixel decode → 56-bit gradient " +
+        "dHash → 4x14-bit Hamming bands (pigeonhole-complete for d<=3) + " +
+        "bit_count(xor) verify — the dedup x multimodal composition, " +
+        "hash-checked against an arithmetic oracle replaying the pixels " +
+        "(pipeline ops brief: image dedup)."))
 
   // --------------------------------------------------- audio (RIFF/WAVE)
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the `documents`
@@ -11,6 +12,71 @@ import org.apache.spark.sql.functions._
   * 100 TB they run at scan speed.
   */
 object TextOps {
+
+  /** Session-staged corpus vocabulary (word → count): ONE tokenize +
+    * groupBy per (session, dir) serves q161's RangeOps rank/coverage
+    * passes AND q164's merge loop. Staging this frame is the round-15
+    * verdict's fix: unstaged, q161 re-paid the corpus-sized
+    * tokenize+groupBy scan ~4× (total, cutpoint pass, ranked frame,
+    * running-sum bucket pass); staged, every pass reads the
+    * vocabulary-sized persisted frame.
+    */
+  private def vocabFrame(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, dir, "vocab") {
+      Tables.parallel(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
+    }
+
+  /** Driver-bounded BPE merge rounds for q164 (the q145 pinned-rounds
+    * discipline: the oracle unrolls exactly this many).
+    */
+  private val MergeRounds = 12
+
+  /** Oracle twin of q164's loop: `n` unrolled merge rounds, each one
+    * pair-count aggregation + deterministic argmax (count desc, pair
+    * asc) + a leftmost non-overlapping merge via the double-space
+    * separator replace — byte-identical semantics to the Spark loop.
+    */
+  private def bpeMergeSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """
+        WITH wf AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+          WHERE regexp_full_match(w, '[a-z]+')
+          GROUP BY w),
+        w1 AS MATERIALIZED (
+          SELECT w, freq,
+                 array_to_string(list_transform(range(1, length(w) + 1),
+                   i -> w[i]), '  ') AS rep
+          FROM wf)"""
+    for (r <- 1 to n) {
+      sb ++= s""",
+        p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b,
+                       CAST(SUM(freq) AS BIGINT) AS c
+                FROM (SELECT freq, string_split(rep, '  ') AS sy FROM w$r),
+                     UNNEST(generate_series(1, len(sy) - 1)) AS u(i)
+                GROUP BY 1, 2),
+        m$r AS MATERIALIZED (
+          SELECT CAST($r AS BIGINT) AS merge_rank, a, b, c
+          FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+        w${r + 1} AS MATERIALIZED (
+          SELECT w.w, w.freq,
+                 replace(w.rep, m.a || '  ' || m.b, m.a || m.b) AS rep
+          FROM w$r w, m$r m),
+        t$r AS (SELECT CAST(SUM(freq * len(string_split(rep, '  ')))
+                            AS BIGINT) AS tokens_after
+                FROM w${r + 1})"""
+    }
+    sb ++= (1 to n).map(r => s"""
+        SELECT m.merge_rank, m.a AS lhs, m.b AS rhs, m.c AS pair_count,
+               t.tokens_after
+        FROM m$r m, t$r t""").mkString("", " UNION ALL", "")
+    sb.toString
+  }
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------- token/quality/fingerprint
@@ -140,12 +206,14 @@ object TextOps {
         // filter+explode over the ranked frame (no vocab×targets join).
         //
         // Scale note: cum * 1,000,000 stays in Long up to ~9.2e12 corpus
-        // tokens — the repo-wide ppm headroom (q153/q159 share it).
+        // tokens — the repo-wide ppm headroom (q153/q159 share it). The
+        // vocab frame is SESSION-STAGED ([[vocabFrame]]): the RangeOps
+        // passes (total, cutpoints, rank window, running-sum offsets)
+        // each read the vocabulary-sized persisted frame instead of
+        // re-paying the corpus tokenize+groupBy scan per pass — the
+        // round-15 verdict's one flagged redundancy, fixed.
         import graft.operators.RangeOps
-        val vocab = Tables.parallel(s, dir, "documents")
-          .filter(col("text").isNotNull)
-          .select(explode(tokens(col("text"))).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
+        val vocab = vocabFrame(s, dir)
         val total = vocab.agg(sum(col("cnt"))).head()
         if (total.isNullAt(0)) {
           import s.implicits._
@@ -197,5 +265,72 @@ object TextOps {
         "frequency cutoff, via the two-pass RangeOps global rank + " +
         "running sum — no single-task sort at any corpus size " +
         "(pipeline ops brief: size the tokenizer vocab before training " +
-        "it)."))
+        "it)."),
+
+    // ---------------------------------------------- BPE merge training
+    Q(
+      "q164_bpe_merge_train",
+      (s, dir) => {
+        // The merge loop itself — q61 pretokenizes and q161 sizes the
+        // vocab; this TRAINS the first MergeRounds BPE merges. The
+        // corpus collapses ONCE into the staged (word, count) vocabulary
+        // (BPE pair statistics are frequency-weighted sums over words,
+        // so no merge round ever rescans the corpus — the vocabulary is
+        // the working set, exactly how production BPE trainers scale).
+        // Each round is one distributed pair-count aggregation over the
+        // current symbolization plus a driver-side argmax (count desc,
+        // pair asc — deterministic), and the chosen merge applies as a
+        // map-side string replace: symbols ride a DOUBLE-space separator
+        // so replace() is exactly BPE's leftmost non-overlapping merge
+        // ([a,a,a] + merge(a,a) → [aa, a] — adjacent matches share a
+        // symbol, never a separator byte). The whole round-r
+        // symbolization chains as ONE nested codegen'd expression over
+        // the persisted vocab (no lineage growth — the q145
+        // driver-literal-model loop discipline).
+        //
+        // Output: the merge table a tokenizer ships — per round the
+        // merged pair, its frequency at merge time, and the corpus token
+        // count after applying it (the compression curve a vocab-size
+        // decision reads).
+        import s.implicits._
+        val words = vocabFrame(s, dir)
+          .filter(col("w").rlike("^[a-z]+$"))
+          .select(col("w"), col("cnt").as("freq"))
+        // chars joined by the double-space separator (regexp_extract_all
+        // avoids split("")'s trailing empty match)
+        var rep: Column =
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  ")
+        val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+        for (r <- 1 to MergeRounds) {
+          val top = words
+            .select(col("freq"), split(rep, "  ").as("sy"))
+            .select(col("freq"), explode(expr(
+              "transform(slice(sy, 1, size(sy) - 1), " +
+                "(x, i) -> struct(x AS a, sy[i + 1] AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).as("c"))
+            .orderBy(col("c").desc, col("a"), col("b"))
+            .limit(1).collect()
+          if (top.isEmpty) throw new IllegalStateException(
+            s"q164: pair statistics exhausted at merge round $r — the " +
+              "corpus cannot support MergeRounds merges (fail loud, " +
+              "never ship a silently short merge table)")
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          rep = replace(rep, lit(a + "  " + b), lit(a + b))
+          val after = words
+            .select(sum(col("freq") * size(split(rep, "  ")).cast("long")))
+            .head().getLong(0)
+          out += ((r.toLong, a, b, c, after))
+        }
+        out.result().toDF("merge_rank", "lhs", "rhs", "pair_count",
+          "tokens_after")
+      },
+      Some(bpeMergeSql(MergeRounds)),
+      "BPE merge training: the first 12 merges learned from the staged " +
+        "word-frequency vocabulary — per round one distributed " +
+        "pair-count aggregation + driver argmax + map-side leftmost " +
+        "non-overlapping merge (double-space separator replace), corpus " +
+        "never rescanned; oracle replays the pinned rounds exactly " +
+        "(pipeline ops brief: train the tokenizer, not just size it)."))
 }

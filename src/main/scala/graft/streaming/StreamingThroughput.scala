@@ -145,6 +145,10 @@ object StreamingThroughput {
     def paragraphT(ds: Dataset[DocIn]) =
       Seq(StreamingParagraph.attach(ds.toDF(),
         StreamingParagraph.state(spark)))
+    // incremental q162 shard pack (foreachBatch ingest: the full export
+    // twin's three arms PLUS the grant/assignment layer per micro-batch)
+    def shardsT(ds: Dataset[MixIn]) =
+      Seq(StreamingShards.attach(ds.toDF(), StreamingShards.state(spark)))
     def mixDocs(dir: String): Seq[MixIn] =
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text")).as[MixIn]
@@ -207,6 +211,8 @@ object StreamingThroughput {
       feed(x1Mix.take(BatchRows))(exportT)
     if (sel("paragraph") || sel("paragraph_desc"))
       feed(x1Docs.take(BatchRows))(paragraphT)
+    if (sel("shards") || sel("shards_desc"))
+      feed(x1Mix.take(BatchRows))(shardsT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -286,6 +292,17 @@ object StreamingThroughput {
     if (sel("paragraph_desc")) {
       emit("paragraph_desc", "x1", x1Docs.size,
         feed(x1Docs.reverse)(paragraphT))
+    }
+    if (sel("shards")) {
+      emit("shards", "x1", x1Mix.size, feed(x1Mix)(shardsT))
+      emit("shards", "x10", x10Mix.size, feed(x10Mix)(shardsT))
+    }
+    // the all-arms adversary inherited from the export twin, plus the
+    // grant layer's worst case: descending arrival maximizes canonical
+    // steals (every granted doc is eventually demoted to a HOLE) and the
+    // late bench docs retract whole shards at the very end
+    if (sel("shards_desc")) {
+      emit("shards_desc", "x1", x1Mix.size, feed(x1Mix.reverse)(shardsT))
     }
     // a THIRD measured decade for the incremental mixture (500k docs
     // through the same foreachBatch ingest). OPT-IN only — never part of

@@ -65,15 +65,24 @@ object CorpusOps {
         .filter(col("rn") >= 2)
         .select(col("doc_id"), col("pos")))
       .select(col("doc_id"), col("dup_tokens").as("removed"))
-    d.select(col("doc_id"), col("source"),
-        coalesce(size(tokens(col("text"))), lit(0))
-          .cast("long").as("n_tokens"))
-      .filter(col("doc_id") >= 10)
-      .join(canonical, Seq("doc_id"), "left_semi")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .join(removed, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("removed"), lit(0L))).as("kept"))
+    // SESSION-STAGED (round 16): q156 reads it once, but q162's RangeOps
+    // passes (cutpoints, per-bucket counts, rank window, running-sum
+    // offsets) would otherwise re-run all three arms — the canonical
+    // window, the gram probe, and the positional-gram rank — per pass
+    // (the q161 vocab lesson: measured 139 s x100 steady unstaged).
+    // The staged frame is DOC-level (4 columns/surviving doc), orders of
+    // magnitude smaller than the gram frames already staged.
+    graft.Staging.stage(s, dir, "export_survivors") {
+      d.select(col("doc_id"), col("source"),
+          coalesce(size(tokens(col("text"))), lit(0))
+            .cast("long").as("n_tokens"))
+        .filter(col("doc_id") >= 10)
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(removed, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("removed"), lit(0L))).as("kept"))
+    }
   }
 
   /** Oracle CTE chain ending in `survivors(doc_id, source, n_tokens,
@@ -2377,28 +2386,41 @@ object CorpusOps {
         // head's full frequency in bits.
         //
         // Scale shape: bigrams form IN-ROW (transform over the token
-        // array, no self-join); the capped bucket model is bounded by
-        // 2^20 rows REGARDLESS of corpus size — it broadcasts; the two
-        // unigram joins are q122's vocab-keyed shape (head broadcasts at
-        // real scale, tail is rare by definition); one per-doc rollup.
+        // array, no self-join), and BOTH models are hashed into 2^20
+        // buckets — unigram too, not just bigram — so each is bounded by
+        // 2^20 rows REGARDLESS of corpus size and BROADCASTS. Every
+        // scoring join is therefore map-side; the only corpus-sized
+        // shuffles are the two long-keyed model aggregations (map-side
+        // combined into ≤2^20 groups) and the final doc rollup. (The
+        // first cut joined occurrences to an exact vocab table by word —
+        // two corpus-sized string sort-shuffles; the x1→x10 sweep read
+        // super-linear, 1.6 s → 27.8 s. Bucketing the unigram model the
+        // way the bigram model already was removes both shuffles and is
+        // the shape that survives a vocabulary too big to broadcast.)
+        val M = 1048576L
         val ws = expr(
           "filter(split(lower(text), '[^\\\\p{L}\\\\p{Nd}]+'), x -> x != '')")
         val base = docs(s, dir).select(col("doc_id"), ws.as("ws"))
-        val uni = base.select(explode(col("ws")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("f"))
-        val n = uni.agg(sum(col("f")).as("n"))
-        val bg = base.select(col("doc_id"), explode(expr(
+        val uniModel = base.select(explode(col("ws")).as("w"))
+          .select(pmod(hash32(col("w")), lit(M)).as("ub"))
+          .groupBy(col("ub")).agg(count(lit(1)).as("f"))
+        val n = uniModel.agg(sum(col("f")).as("n"))
+        val occ = base.select(col("doc_id"), explode(expr(
             "transform(slice(ws, 1, size(ws) - 1), " +
               "(x, i) -> struct(x AS w1, ws[i + 1] AS w2))")).as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+          .select(col("doc_id"),
+            pmod(hash32(col("p.w1")), lit(M)).as("u1"),
+            pmod(hash32(col("p.w2")), lit(M)).as("u2"),
             pmod(hash32(concat_ws(" ", col("p.w1"), col("p.w2"))),
-              lit(1048576L)).as("bk"))
-        val model = bg.groupBy(col("bk")).agg(count(lit(1)).as("cb"))
+              lit(M)).as("bk"))
+        val model = occ.groupBy(col("bk")).agg(count(lit(1)).as("cb"))
           .filter(col("cb") >= 2)
-        bg
+        occ
           .join(broadcast(model), Seq("bk"), "left_outer")
-          .join(uni.select(col("w").as("w1"), col("f").as("f1")), Seq("w1"))
-          .join(uni.select(col("w").as("w2"), col("f").as("f2")), Seq("w2"))
+          .join(broadcast(uniModel.select(col("ub").as("u1"),
+            col("f").as("f1"))), Seq("u1"))
+          .join(broadcast(uniModel.select(col("ub").as("u2"),
+            col("f").as("f2"))), Seq("u2"))
           .crossJoin(broadcast(n))
           .select(col("doc_id"),
             when(col("cb").isNotNull,
@@ -2422,10 +2444,16 @@ object CorpusOps {
                  list_filter(string_split_regex(lower(text), '[^\pL\p{Nd}]+'),
                              x -> x <> '') AS ws
           FROM documents),
-        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-                FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+        uni AS (SELECT CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                         % 1048576 AS ub,
+                       CAST(COUNT(*) AS BIGINT) AS f
+                FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1),
         nn AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM uni),
-        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+        bg AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(ws[i]), 1, 8)) AS BIGINT)
+                        % 1048576 AS u1,
+                      CAST(('0x' || substr(md5(ws[i + 1]), 1, 8)) AS BIGINT)
+                        % 1048576 AS u2,
                       CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]),
                                            1, 8)) AS BIGINT) % 1048576 AS bk
                FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)),
@@ -2433,16 +2461,16 @@ object CorpusOps {
                   GROUP BY bk HAVING COUNT(*) >= 2),
         sc AS (SELECT b.doc_id,
                       CASE WHEN m.cb IS NOT NULL
-                           THEN CAST(length(bin(GREATEST(u1.f // m.cb, 1)))
+                           THEN CAST(length(bin(GREATEST(h1.f // m.cb, 1)))
                                      - 1 AS BIGINT)
-                           ELSE CAST(length(bin(nn.n // u2.f)) - 1
+                           ELSE CAST(length(bin(nn.n // h2.f)) - 1
                                      AS BIGINT) + 1
                       END AS bits,
                       CASE WHEN m.cb IS NULL THEN 1 ELSE 0 END AS backoff
                FROM bg b
                LEFT JOIN model m ON b.bk = m.bk
-               JOIN uni u1 ON u1.w = b.w1
-               JOIN uni u2 ON u2.w = b.w2, nn)
+               JOIN uni h1 ON h1.ub = b.u1
+               JOIN uni h2 ON h2.ub = b.u2, nn)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                CAST(SUM(bits) AS BIGINT) * 1000 // COUNT(*)
                  AS surprisal_mbits,
@@ -2450,8 +2478,9 @@ object CorpusOps {
                  AS backoff_ppm
         FROM sc GROUP BY doc_id"""),
       "Bigram-interpolated surprisal quality: mean whole-bit conditional " +
-        "surprisal under a hashed (2^20-bucket), df-capped corpus bigram " +
-        "model with one-bit-penalty unigram backoff — integer-exact, " +
+        "surprisal under hashed (2^20-bucket) corpus models — bigram " +
+        "df-capped, unigram bucketed too so BOTH broadcast at any corpus " +
+        "size — with one-bit-penalty unigram backoff; integer-exact, " +
         "catches the repetitive-but-fluent docs q122's unigram score " +
         "cannot (pipeline ops brief: context-aware quality scoring)."))
 

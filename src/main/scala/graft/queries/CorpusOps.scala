@@ -2400,7 +2400,12 @@ object CorpusOps {
         val M = 1048576L
         val ws = expr(
           "filter(split(lower(text), '[^\\\\p{L}\\\\p{Nd}]+'), x -> x != '')")
-        val base = docs(s, dir).select(col("doc_id"), ws.as("ws"))
+        // parallelism-floored entry scan (gram-explode-class per-row work:
+        // a regex split + ~2 md5s per token, re-read by the model build
+        // and the scoring pass — a single-row-group corpus file must not
+        // serialize six tokenize passes on one core)
+        val base = Tables.parallel(s, dir, "documents")
+          .select(col("doc_id"), ws.as("ws"))
         val uniModel = base.select(explode(col("ws")).as("w"))
           .select(pmod(hash32(col("w")), lit(M)).as("ub"))
           .groupBy(col("ub")).agg(count(lit(1)).as("f"))

@@ -53,6 +53,12 @@ object ScalingBench {
     // surprisal score (in-row bigrams + broadcast bucket model)
     "q162_export_shard_plan", "q163_image_perceptual_neardup",
     "q164_bpe_merge_train", "q165_bigram_surprisal",
+    // round-16 second wave: BPE encoding (vocab-sized merge chain + one
+    // corpus tokenize + vocab join), the context-length sweep (one scan
+    // to a bucket rollup), the cascade audit (labeled-corpus aggregation
+    // over staged arms), and the dup-cap accounting (one fp window)
+    "q166_bpe_encode", "q167_context_length_plan",
+    "q168_dedup_cascade_audit", "q169_dup_cap_curation",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

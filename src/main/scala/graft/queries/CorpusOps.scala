@@ -2487,7 +2487,84 @@ object CorpusOps {
         "df-capped, unigram bucketed too so BOTH broadcast at any corpus " +
         "size — with one-bit-penalty unigram backoff; integer-exact, " +
         "catches the repetitive-but-fluent docs q122's unigram score " +
-        "cannot (pipeline ops brief: context-aware quality scoring)."))
+        "cannot (pipeline ops brief: context-aware quality scoring)."),
+
+    // ------------------------------------- context-length budget planning
+    Q(
+      "q167_context_length_plan",
+      (s, dir) => {
+        // The sequence-length knob's tuning table: for every candidate
+        // context length C (128..2048, doubling), what one-doc-per-
+        // sequence training at C would see — docs that fit vs get
+        // truncated, tokens kept (fitting docs whole + C per truncated
+        // doc), tokens lost to truncation, padding burned on fitting
+        // docs, and slot utilization in ppm (kept / C·docs). The table a
+        // recipe reads before picking max_seq_len; q87's packer then
+        // fills the chosen C.
+        //
+        // Scale shape (the q160 sweep discipline): ONE corpus scan
+        // collapses each doc to its SMALLEST-FITTING grid bucket —
+        // n ≤ C ⇔ bucket ≤ C exactly, because buckets are grid values —
+        // so the rollup is ≤ |grid|+1 rows and the per-C sweep is a
+        // broadcast cross over that driver-sized frame. No per-C corpus
+        // rescan, no row multiplication on the corpus side.
+        import s.implicits._
+        val grid = Seq(128L, 256L, 512L, 1024L, 2048L)
+        val bucket = grid.foldRight(lit(-1L): Column)((c, acc) =>
+          when(col("n") <= c, lit(c)).otherwise(acc))
+        val byB = docs(s, dir)
+          .select(coalesce(size(tokens(col("text"))), lit(0))
+            .cast("long").as("n"))
+          .select(bucket.as("b"), col("n"))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n")).as("tok"))
+        val fit = col("b") =!= -1L && col("b") <= col("ctx_len")
+        byB.crossJoin(broadcast(grid.toDF("ctx_len")))
+          .groupBy(col("ctx_len"))
+          .agg(
+            sum(when(fit, col("cnt")).otherwise(0L)).as("docs_fit"),
+            sum(when(fit, col("tok")).otherwise(0L)).as("fit_tok"),
+            sum(col("cnt")).as("tot_docs"),
+            sum(col("tok")).as("tot_tok"))
+          .withColumn("kept_tokens",
+            col("fit_tok") + col("ctx_len") * (col("tot_docs") - col("docs_fit")))
+          .select(col("ctx_len"), col("docs_fit"),
+            (col("tot_docs") - col("docs_fit")).as("docs_trunc"),
+            col("kept_tokens"),
+            (col("tot_tok") - col("kept_tokens")).as("trunc_tokens"),
+            (col("ctx_len") * col("docs_fit") - col("fit_tok"))
+              .as("pad_tokens"),
+            expr("kept_tokens * 1000000L div (ctx_len * tot_docs)")
+              .as("util_ppm"))
+      },
+      Some("""
+        WITH n AS (SELECT CAST(COALESCE(len(string_split(text, ' ')), 0)
+                            AS BIGINT) AS n
+                   FROM documents),
+        g AS (SELECT CAST(c AS BIGINT) AS ctx_len
+              FROM (VALUES (128), (256), (512), (1024), (2048)) t(c)),
+        a AS (SELECT ctx_len,
+                     CAST(SUM(CASE WHEN n <= ctx_len THEN 1 ELSE 0 END)
+                          AS BIGINT) AS docs_fit,
+                     CAST(SUM(CASE WHEN n <= ctx_len THEN n ELSE 0 END)
+                          AS BIGINT) AS fit_tok,
+                     CAST(COUNT(*) AS BIGINT) AS tot_docs,
+                     CAST(SUM(n) AS BIGINT) AS tot_tok
+              FROM g, n GROUP BY 1),
+        k AS (SELECT *, fit_tok + ctx_len * (tot_docs - docs_fit)
+                          AS kept_tokens
+              FROM a)
+        SELECT ctx_len, docs_fit, tot_docs - docs_fit AS docs_trunc,
+               kept_tokens, tot_tok - kept_tokens AS trunc_tokens,
+               ctx_len * docs_fit - fit_tok AS pad_tokens,
+               kept_tokens * 1000000 // (ctx_len * tot_docs) AS util_ppm
+        FROM k"""),
+      "Context-length budget planning: per candidate max_seq_len the " +
+        "fit/truncation/padding accounting of one-doc-per-sequence " +
+        "training, from one corpus scan collapsed to a smallest-fitting-" +
+        "bucket rollup + a driver-sized sweep (q160's discipline; " +
+        "pipeline ops brief: pick the sequence length before packing " +
+        "it)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -1351,5 +1351,205 @@ object DedupOps {
         "docs/tokens under the near-dup representative rule, with " +
         "renormalized integer-ppm mixture weights — dedup changes the " +
         "mixture the trainer sees; this is the step that re-measures it " +
-        "(pipeline ops brief)."))
+        "(pipeline ops brief)."),
+
+    // -------------------------------------------- dedup cascade audit
+    Q(
+      "q168_dedup_cascade_audit",
+      (s, dir) => {
+        // The marginal-yield table of a staged cleaning cascade — what
+        // each pass removes GIVEN everything before it: exact-dup (q34's
+        // min-doc_id canonical rule) → MinHash near-dup (a doc falls iff
+        // an mh_pair links it to a SMALLER stage-1 survivor — the
+        // single-pass pair rule, deliberately not transitive closure, so
+        // the oracle can replay it with one EXISTS) → benchmark
+        // decontamination (q63's 5-gram rule). Real pipelines run the
+        // passes in exactly this order (cheap-and-sure first); this is
+        // the table that says what each one was worth.
+        //
+        // Scale shape: every arm is an already-proven geometry — one fp
+        // window shuffle, the session-staged mh_pairs set (near-dup-
+        // sized), the broadcast bench-gram probe over staged grams5.
+        // Each doc gets ONE removal-stage label (the when-chain encodes
+        // the cascade precedence), so the audit is a single aggregation
+        // over the labeled corpus; the three report rows unfold from
+        // that one row driver-side, never rescanning anything.
+        val corpus = docs(s, dir).filter(col("doc_id") >= 10)
+        val fpCol =
+          md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+        val canon = corpus
+          .select(col("doc_id"), fpCol.as("fp"))
+          .withColumn("m",
+            min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+          .select(col("doc_id"), (col("doc_id") === col("m")).as("keep1"))
+        val s1 = canon.filter(col("keep1")).select(col("doc_id"))
+        val removed2 = minhashPairs(s, dir)
+          .join(s1.select(col("doc_id").as("i")), Seq("i"), "left_semi")
+          .join(s1.select(col("doc_id").as("j")), Seq("j"), "left_semi")
+          .select(col("j").as("doc_id")).distinct()
+        val g5 = Grams.hashed(s, dir, 5)
+        val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
+        val contaminated = g5.filter(col("doc_id") >= 10)
+          .join(broadcast(benchG), "ng").select("doc_id").distinct()
+        val labeled = corpus
+          .select(col("doc_id"),
+            coalesce(size(tokens(col("text"))), lit(0))
+              .cast("long").as("tok"))
+          .join(canon.select(col("doc_id"), col("keep1")), "doc_id")
+          .join(removed2.withColumn("r2", lit(1)), Seq("doc_id"), "left_outer")
+          .join(contaminated.withColumn("r3", lit(1)), Seq("doc_id"),
+            "left_outer")
+          .select(col("tok"),
+            when(!col("keep1"), 1L)
+              .when(col("r2") === 1, 2L)
+              .when(col("r3") === 1, 3L).as("rs"))
+        labeled
+          .agg(count(lit(1)).as("n0"),
+            coalesce(sum(col("tok")), lit(0L)).as("t0"),
+            coalesce(sum(when(col("rs") === 1, 1L).otherwise(0L)), lit(0L))
+              .as("d1"),
+            coalesce(sum(when(col("rs") === 1, col("tok")).otherwise(0L)),
+              lit(0L)).as("k1"),
+            coalesce(sum(when(col("rs") === 2, 1L).otherwise(0L)), lit(0L))
+              .as("d2"),
+            coalesce(sum(when(col("rs") === 2, col("tok")).otherwise(0L)),
+              lit(0L)).as("k2"),
+            coalesce(sum(when(col("rs") === 3, 1L).otherwise(0L)), lit(0L))
+              .as("d3"),
+            coalesce(sum(when(col("rs") === 3, col("tok")).otherwise(0L)),
+              lit(0L)).as("k3"))
+          .select(explode(expr("""array(
+              struct(CAST(1 AS BIGINT) AS stage, 'exact_dup' AS rule,
+                     n0 AS docs_in, t0 AS tokens_in,
+                     d1 AS docs_removed, k1 AS tokens_removed),
+              struct(CAST(2 AS BIGINT) AS stage, 'minhash_neardup' AS rule,
+                     n0 - d1 AS docs_in, t0 - k1 AS tokens_in,
+                     d2 AS docs_removed, k2 AS tokens_removed),
+              struct(CAST(3 AS BIGINT) AS stage, 'decontamination' AS rule,
+                     n0 - d1 - d2 AS docs_in, t0 - k1 - k2 AS tokens_in,
+                     d3 AS docs_removed, k3 AS tokens_removed))"""))
+            .as("r"))
+          .select(col("r.stage"), col("r.rule"), col("r.docs_in"),
+            col("r.tokens_in"), col("r.docs_removed"),
+            col("r.tokens_removed"),
+            (col("r.docs_in") - col("r.docs_removed")).as("docs_out"),
+            (col("r.tokens_in") - col("r.tokens_removed")).as("tokens_out"))
+      },
+      Some(minhashPairsCte + """,
+        dd AS (SELECT doc_id,
+                      CAST(COALESCE(len(string_split(text, ' ')), 0)
+                           AS BIGINT) AS tok
+               FROM documents WHERE doc_id >= 10),
+        canon AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY
+                        md5(array_to_string(list_sort(string_split(
+                          trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ')), ' ')))
+                      THEN 1 ELSE 0 END AS keep1
+          FROM documents WHERE doc_id >= 10),
+        s1 AS (SELECT doc_id FROM canon WHERE keep1 = 1),
+        r2 AS (SELECT DISTINCT p.j AS doc_id
+               FROM mh_pairs p
+               JOIN s1 a ON p.i = a.doc_id
+               JOIN s1 b ON p.j = b.doc_id),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng5
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        bench AS (SELECT DISTINCT ng5 FROM g5 WHERE doc_id < 10),
+        cont AS (SELECT DISTINCT g5.doc_id FROM g5
+                 JOIN bench USING (ng5) WHERE g5.doc_id >= 10),
+        lab AS (SELECT dd.tok,
+                       CASE WHEN c.keep1 = 0 THEN 1
+                            WHEN r2.doc_id IS NOT NULL THEN 2
+                            WHEN ct.doc_id IS NOT NULL THEN 3 END AS rs
+                FROM dd
+                JOIN canon c USING (doc_id)
+                LEFT JOIN r2 ON dd.doc_id = r2.doc_id
+                LEFT JOIN cont ct ON dd.doc_id = ct.doc_id),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                     CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS t0,
+                     CAST(SUM(CASE WHEN rs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                     CAST(SUM(CASE WHEN rs = 1 THEN tok ELSE 0 END) AS BIGINT) AS k1,
+                     CAST(SUM(CASE WHEN rs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                     CAST(SUM(CASE WHEN rs = 2 THEN tok ELSE 0 END) AS BIGINT) AS k2,
+                     CAST(SUM(CASE WHEN rs = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+                     CAST(SUM(CASE WHEN rs = 3 THEN tok ELSE 0 END) AS BIGINT) AS k3
+              FROM lab)
+        SELECT CAST(1 AS BIGINT) AS stage, 'exact_dup' AS rule,
+               n0 AS docs_in, t0 AS tokens_in, d1 AS docs_removed,
+               k1 AS tokens_removed, n0 - d1 AS docs_out,
+               t0 - k1 AS tokens_out
+        FROM a
+        UNION ALL
+        SELECT 2, 'minhash_neardup', n0 - d1, t0 - k1, d2, k2,
+               n0 - d1 - d2, t0 - k1 - k2
+        FROM a
+        UNION ALL
+        SELECT 3, 'decontamination', n0 - d1 - d2, t0 - k1 - k2, d3, k3,
+               n0 - d1 - d2 - d3, t0 - k1 - k2 - k3
+        FROM a"""),
+      "Dedup cascade audit: marginal docs/tokens removed by exact-dup -> " +
+        "MinHash near-dup (smaller-surviving-pair rule) -> benchmark " +
+        "decontamination, each pass conditioned on the previous one's " +
+        "survivors; one labeled-corpus aggregation over already-staged " +
+        "arms (pipeline ops brief: know what each cleaning pass was " +
+        "worth)."),
+
+    // ------------------------------------------ duplication-cap curation
+    Q(
+      "q169_dup_cap_curation",
+      (s, dir) => {
+        // Soft dedup (the RefinedWeb/C4 flavor): instead of collapsing
+        // every exact-dup cluster to one canonical doc (q34), KEEP up to
+        // MaxCopies copies per normalized fingerprint (doc_id order) —
+        // bounded duplication preserves naturally popular content's
+        // training weight while capping the pathological tail. Output is
+        // the per-source curation accounting a recipe reads.
+        //
+        // Scale shape: one shuffle on the fingerprint (the window's
+        // partition key — dup-cluster-sized groups, same bound as q34's
+        // groupBy) carrying (source, tok) through; the per-source rollup
+        // is a map-side-combined aggregation to |sources| rows.
+        val MaxCopies = 3
+        val fpCol =
+          md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        docs(s, dir)
+          .select(col("doc_id"), col("source"), fpCol.as("fp"),
+            coalesce(size(tokens(col("text"))), lit(0))
+              .cast("long").as("tok"))
+          .withColumn("keep",
+            (row_number().over(w) <= MaxCopies).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("keep")).as("docs_kept"),
+            (count(lit(1)) - sum(col("keep"))).as("docs_dropped"),
+            sum(col("tok") * col("keep")).as("tokens_kept"),
+            sum(col("tok") * (lit(1L) - col("keep"))).as("tokens_dropped"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, source,
+                 CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+                   AS tok,
+                 md5(array_to_string(list_sort(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   ' ')), ' ')) AS fp
+          FROM documents),
+        r AS (SELECT source, tok,
+                     CASE WHEN row_number() OVER (PARTITION BY fp
+                            ORDER BY doc_id) <= 3
+                          THEN 1 ELSE 0 END AS keep
+              FROM f)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS docs_kept,
+               CAST(COUNT(*) - SUM(keep) AS BIGINT) AS docs_dropped,
+               CAST(SUM(tok * keep) AS BIGINT) AS tokens_kept,
+               CAST(SUM(tok * (1 - keep)) AS BIGINT) AS tokens_dropped
+        FROM r GROUP BY source"""),
+      "Duplication-cap curation (soft dedup): keep up to 3 copies per " +
+        "normalized fingerprint by doc_id order — q34's rule relaxed to " +
+        "a copy budget — with per-source kept/dropped docs+tokens; one " +
+        "fingerprint-window shuffle + a tiny source rollup (pipeline " +
+        "ops brief: cap the dup tail without flattening popularity)."))
 }

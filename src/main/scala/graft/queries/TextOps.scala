@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.collection.concurrent.TrieMap
+
 import graft.{Q, Tables}
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -34,12 +36,15 @@ object TextOps {
     */
   private val MergeRounds = 12
 
-  /** Oracle twin of q164's loop: `n` unrolled merge rounds, each one
-    * pair-count aggregation + deterministic argmax (count desc, pair
-    * asc) + a leftmost non-overlapping merge via the double-space
-    * separator replace — byte-identical semantics to the Spark loop.
+  /** Oracle CTE chain for the BPE merge loop: `n` unrolled merge rounds,
+    * each one pair-count aggregation + deterministic argmax (count desc,
+    * pair asc) + a leftmost non-overlapping merge via the double-space
+    * separator replace — byte-identical semantics to the Spark loop. Ends
+    * with `w{n+1}(w, freq, rep)`, the fully merged symbolization, so BOTH
+    * the q164 merge-table oracle and the q166 encoder oracle compose on
+    * top of it.
     */
-  private def bpeMergeSql(n: Int): String = {
+  private def bpeChainSql(n: Int): String = {
     val sb = new StringBuilder
     sb ++= """
         WITH wf AS MATERIALIZED (
@@ -71,11 +76,64 @@ object TextOps {
                             AS BIGINT) AS tokens_after
                 FROM w${r + 1})"""
     }
-    sb ++= (1 to n).map(r => s"""
+    sb.toString
+  }
+
+  /** q164's oracle: the chain plus one merge-table row per round. */
+  private def bpeMergeSql(n: Int): String =
+    bpeChainSql(n) ++ (1 to n).map(r => s"""
         SELECT m.merge_rank, m.a AS lhs, m.b AS rhs, m.c AS pair_count,
                t.tokens_after
         FROM m$r m, t$r t""").mkString("", " UNION ALL", "")
-    sb.toString
+
+  /** The learned merge table `(rank, lhs, rhs, pair_count, tokens_after)`,
+    * memoized per (session, dir): q164 RETURNS it and q166 APPLIES it, and
+    * a bench pass running both must pay the 2·MergeRounds-job training
+    * loop once — the driver-side analog of [[graft.Staging]] for a result
+    * that is a tokenizer artifact (a few dozen driver rows), not a frame.
+    * The synchronized block serializes racing learners exactly like
+    * Staging serializes racing frame builds (sbt runs suites in parallel
+    * against a shared session; a lost race would train twice for an
+    * identical table).
+    */
+  private val mergeMemo =
+    TrieMap.empty[(SparkSession, String), Seq[(Long, String, String, Long, Long)]]
+
+  private[graft] def learnedMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, Long, Long)] = mergeMemo.synchronized {
+    mergeMemo.getOrElseUpdate((s, dir), {
+      val words = vocabFrame(s, dir)
+        .filter(col("w").rlike("^[a-z]+$"))
+        .select(col("w"), col("cnt").as("freq"))
+      // chars joined by the double-space separator (regexp_extract_all
+      // avoids split("")'s trailing empty match)
+      var rep: Column =
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  ")
+      val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+      for (r <- 1 to MergeRounds) {
+        val top = words
+          .select(col("freq"), split(rep, "  ").as("sy"))
+          .select(col("freq"), explode(expr(
+            "transform(slice(sy, 1, size(sy) - 1), " +
+              "(x, i) -> struct(x AS a, sy[i + 1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) throw new IllegalStateException(
+          s"q164: pair statistics exhausted at merge round $r — the " +
+            "corpus cannot support MergeRounds merges (fail loud, " +
+            "never ship a silently short merge table)")
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        rep = replace(rep, lit(a + "  " + b), lit(a + b))
+        val after = words
+          .select(sum(col("freq") * size(split(rep, "  ")).cast("long")))
+          .head().getLong(0)
+        out += ((r.toLong, a, b, c, after))
+      }
+      out.result()
+    })
   }
 
   val all: Seq[Q] = Seq(
@@ -291,39 +349,11 @@ object TextOps {
         // Output: the merge table a tokenizer ships — per round the
         // merged pair, its frequency at merge time, and the corpus token
         // count after applying it (the compression curve a vocab-size
-        // decision reads).
+        // decision reads). The loop itself lives in [[learnedMerges]],
+        // memoized per (session, dir) so q166's encoder applies the SAME
+        // trained table without re-paying the training jobs.
         import s.implicits._
-        val words = vocabFrame(s, dir)
-          .filter(col("w").rlike("^[a-z]+$"))
-          .select(col("w"), col("cnt").as("freq"))
-        // chars joined by the double-space separator (regexp_extract_all
-        // avoids split("")'s trailing empty match)
-        var rep: Column =
-          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  ")
-        val out = Seq.newBuilder[(Long, String, String, Long, Long)]
-        for (r <- 1 to MergeRounds) {
-          val top = words
-            .select(col("freq"), split(rep, "  ").as("sy"))
-            .select(col("freq"), explode(expr(
-              "transform(slice(sy, 1, size(sy) - 1), " +
-                "(x, i) -> struct(x AS a, sy[i + 1] AS b))")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("freq")).as("c"))
-            .orderBy(col("c").desc, col("a"), col("b"))
-            .limit(1).collect()
-          if (top.isEmpty) throw new IllegalStateException(
-            s"q164: pair statistics exhausted at merge round $r — the " +
-              "corpus cannot support MergeRounds merges (fail loud, " +
-              "never ship a silently short merge table)")
-          val (a, b, c) = (top(0).getString(0), top(0).getString(1),
-            top(0).getLong(2))
-          rep = replace(rep, lit(a + "  " + b), lit(a + b))
-          val after = words
-            .select(sum(col("freq") * size(split(rep, "  ")).cast("long")))
-            .head().getLong(0)
-          out += ((r.toLong, a, b, c, after))
-        }
-        out.result().toDF("merge_rank", "lhs", "rhs", "pair_count",
+        learnedMerges(s, dir).toDF("merge_rank", "lhs", "rhs", "pair_count",
           "tokens_after")
       },
       Some(bpeMergeSql(MergeRounds)),
@@ -332,5 +362,84 @@ object TextOps {
         "pair-count aggregation + driver argmax + map-side leftmost " +
         "non-overlapping merge (double-space separator replace), corpus " +
         "never rescanned; oracle replays the pinned rounds exactly " +
-        "(pipeline ops brief: train the tokenizer, not just size it)."))
+        "(pipeline ops brief: train the tokenizer, not just size it)."),
+
+    // ---------------------------------------------------- BPE encoding
+    Q(
+      "q166_bpe_encode",
+      (s, dir) => {
+        // The other half of a tokenizer's life: q164 TRAINS the merge
+        // table, this APPLIES it to the corpus and reports what a trainer
+        // budgets by — per-doc subword token counts under the learned
+        // merges, against the char-level baseline the merges compress.
+        //
+        // Scale shape: encoding is per-WORD, so the merge chain (12
+        // nested codegen'd replaces over the double-space symbolization —
+        // the training loop's own representation) runs over the staged
+        // VOCABULARY, never the corpus: vocabulary-sized work by Heaps
+        // law, like q164. The corpus pays one tokenize into per-doc word
+        // counts (aggregated BEFORE the join, so the join input is
+        // distinct (doc_id, word) pairs, not raw token occurrences) and
+        // one equi-join against the encoded vocab — vocab-sized build
+        // side, AQE broadcasts it at driver scale and falls back to a
+        // hash join when a 100 TB corpus's vocabulary outgrows the
+        // broadcast threshold (which is why no broadcast() hint is
+        // forced here, unlike genuinely bounded frames). Words outside
+        // the trained [a-z]+ alphabet fall back to char-level tokens
+        // (length(w)) — exactly the byte-fallback a real BPE encoder
+        // applies to out-of-alphabet input.
+        val merges = learnedMerges(s, dir)
+        var rep: Column =
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  ")
+        for ((_, a, b, _, _) <- merges)
+          rep = replace(rep, lit(a + "  " + b), lit(a + b))
+        val enc = vocabFrame(s, dir)
+          .filter(col("w").rlike("^[a-z]+$"))
+          .select(col("w"), size(split(rep, "  ")).cast("long").as("n_sub"))
+        val docWords = Tables.parallel(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).cast("long").as("k"))
+        docWords
+          .join(enc, Seq("w"), "left_outer")
+          .select(col("doc_id"), col("k"),
+            length(col("w")).cast("long").as("wlen"),
+            coalesce(col("n_sub"), length(col("w")).cast("long")).as("nt"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_words"),
+            sum(col("k") * col("nt")).as("n_bpe_tokens"),
+            sum(col("k") * col("wlen")).as("n_char_tokens"))
+          .withColumn("compression_ppm",
+            when(col("n_bpe_tokens") > 0,
+              expr("n_char_tokens * 1000000L div n_bpe_tokens")))
+      },
+      Some(bpeChainSql(MergeRounds) + s""",
+        enc AS (SELECT w, CAST(len(string_split(rep, '  ')) AS BIGINT)
+                          AS n_sub
+                FROM w${MergeRounds + 1}),
+        dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL)
+               GROUP BY 1, 2),
+        j AS (SELECT doc_id, k,
+                     CAST(length(dw.w) AS BIGINT) AS wlen,
+                     COALESCE(enc.n_sub, CAST(length(dw.w) AS BIGINT)) AS nt
+              FROM dw LEFT JOIN enc ON dw.w = enc.w),
+        agg AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+                       CAST(SUM(k * nt) AS BIGINT) AS n_bpe_tokens,
+                       CAST(SUM(k * wlen) AS BIGINT) AS n_char_tokens
+                FROM j GROUP BY 1)
+        SELECT doc_id, n_words, n_bpe_tokens, n_char_tokens,
+               CASE WHEN n_bpe_tokens > 0
+                    THEN n_char_tokens * 1000000 // n_bpe_tokens END
+                 AS compression_ppm
+        FROM agg"""),
+      "BPE encoding: apply q164's learned merge table (memoized — trained " +
+        "once per session/dir) to the staged vocabulary and roll " +
+        "per-doc subword/char-baseline token counts with a compression " +
+        "ratio; vocabulary-sized merge work, corpus pays one tokenize + " +
+        "one vocab join, char-level fallback outside the trained " +
+        "alphabet (pipeline ops brief: budget the corpus in the " +
+        "tokenizer's own tokens)."))
 }

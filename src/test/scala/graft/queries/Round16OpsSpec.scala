@@ -287,4 +287,263 @@ class Round16OpsSpec extends SparkSpec {
     // docs with exactly one word produce no bigram row
     assert(rows.keySet == words.filter(_._2 >= 2).keySet)
   }
+
+  // ------------------------------------------------------------- q166
+
+  /** Apply a learned merge list to one word — the reference encoder. */
+  private def encodeRef(w: String,
+      merges: Seq[(Long, String, String, Long, Long)]): Int = {
+    var syms = w.map(_.toString).toList
+    for ((_, a, b, _, _) <- merges) {
+      def app(ss: List[String]): List[String] = ss match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: app(rest)
+        case x :: rest => x :: app(rest)
+        case Nil => Nil
+      }
+      syms = app(syms)
+    }
+    syms.size
+  }
+
+  test("q166 planted fixture: per-doc subword counts equal an " +
+    "independent reference encode under the reference-learned merges, " +
+    "out-of-alphabet words fall back to char-level, and the trained-" +
+    "word total reconciles with q164's final tokens_after") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q166_").toString
+    // q164's classic corpus split across three docs (same vocabulary ->
+    // same merge table), plus a fourth doc with out-of-alphabet words
+    val d1 = Seq.fill(5)("low") ++ Seq.fill(2)("lower")
+    val d2 = Seq.fill(6)("newest")
+    val d3 = Seq.fill(3)("widest") ++ Seq("aaaa")
+    val d4 = Seq("ab3", "low", "x9z")
+    val docsFx = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+    docsFx.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val freq = (d1 ++ d2 ++ d3 ++ d4).filter(_.matches("[a-z]+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val merges = bpeRef(freq, 12)
+    val expected = docsFx.map { case (id, ws) =>
+      val bpe = ws.map(w =>
+        if (w.matches("[a-z]+")) encodeRef(w, merges).toLong
+        else w.length.toLong).sum
+      id -> ((ws.size.toLong, bpe, ws.map(_.length.toLong).sum))
+    }.toMap
+    val got = run("q166_bpe_encode", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == expected, s"encode diverged: $got vs $expected")
+    // reconciliation: summing freq * encoded-length over the TRAINED
+    // vocabulary is exactly q164's round-12 tokens_after
+    val after12 = run("q164_bpe_merge_train", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap.apply(12L)
+    val trainedTotal = freq.map { case (w, f) =>
+      f * encodeRef(w, merges) }.sum
+    assert(trainedTotal == after12,
+      "reference encode must reconcile with the q164 compression curve")
+  }
+
+  test("q166 invariants on the driver corpus: merges never lengthen " +
+    "(n_bpe_tokens <= n_char_tokens, compression_ppm >= 1e6) and " +
+    "word counts agree with q122's tokenization base") {
+    val rows = run("q166_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    for ((id, nw, bpe, chars, ppm) <- rows) {
+      assert(bpe <= chars, s"doc $id: merges lengthened the encoding")
+      assert(bpe >= nw, s"doc $id: a word encodes to >= 1 token")
+      assert(ppm.forall(_ >= 1000000L), s"doc $id compression < 1")
+    }
+    // whitespace-token totals must match q32's per-doc n_tokens for the
+    // same docs (null-text docs excluded on both sides)
+    val q32 = run("q32_text_stats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, nw, _, _, _) <- rows)
+      assert(nw == q32(id), s"doc $id word count diverged from q32")
+  }
+
+  // ------------------------------------------------------------- q167
+
+  test("q167 planted fixture: fit/truncation/padding accounting is " +
+    "exact on hand-computed token counts spanning the grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q167_").toString
+    val ns = Seq(100, 128, 129, 2048, 3000)
+    ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val grid = Seq(128L, 256L, 512L, 1024L, 2048L)
+    val expected = grid.map { c =>
+      val fit = ns.filter(_ <= c)
+      val kept = fit.map(_.toLong).sum + c * (ns.size - fit.size)
+      c -> ((fit.size.toLong, (ns.size - fit.size).toLong, kept,
+        ns.map(_.toLong).sum - kept, c * fit.size - fit.map(_.toLong).sum,
+        kept * 1000000L / (c * ns.size)))
+    }.toMap
+    val got = run("q167_context_length_plan", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, s"plan diverged: $got vs $expected")
+  }
+
+  test("q167 invariants on the driver corpus: docs_fit and kept_tokens " +
+    "monotone in ctx_len, conservation against totals, padding and " +
+    "utilization bounded") {
+    val rows = run("q167_context_length_plan").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == Seq(128L, 256L, 512L, 1024L, 2048L))
+    val totDocs = rows.head._2 + rows.head._3
+    val totTok = rows.head._4 + rows.head._5
+    for (Seq(a, b) <- rows.sliding(2)) {
+      assert(a._2 <= b._2, "docs_fit must grow with ctx_len")
+      assert(a._4 <= b._4, "kept_tokens must grow with ctx_len")
+    }
+    for ((c, fit, trunc, kept, tr, pad, util) <- rows) {
+      assert(fit + trunc == totDocs, s"C=$c doc conservation")
+      assert(kept + tr == totTok, s"C=$c token conservation")
+      assert(pad >= 0 && pad <= c * fit, s"C=$c padding bounds")
+      assert(util >= 0 && util <= 1000000L, s"C=$c utilization bounds")
+    }
+  }
+
+  // ------------------------------------------------------------- q168
+
+  test("q168 planted fixture: cascade precedence is exact — a doc that " +
+    "is both an exact dup and contaminated counts at stage 1; a " +
+    "same-shingle-set (guaranteed-pair) doc falls at stage 2; a clean " +
+    "contaminated doc at stage 3") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q168_").toString
+    val benchTxt = "b1 b2 b3 b4 b5"
+    // 20-token base docs (distinct vocab per doc, > 3 tokens for grams)
+    def mk(tag: String, n: Int) =
+      (0 until n).map(j => s"$tag$j").mkString(" ")
+    val docs = Seq(
+      (1L, benchTxt), // bench side (doc_id < 10)
+      (10L, mk("a", 20)), // clean survivor
+      (11L, mk("a", 20)), // exact dup of 10 AND would-be contaminated? no
+      (12L, mk("c", 17) + " b1 b2 b3 b4 b5"), // exact-dup... no: unique; contaminated (shares bench 5-gram)
+      (13L, mk("c", 17) + " b1 b2 b3 b4 b5"), // exact dup of 12 AND contaminated -> stage 1
+      // 14/15: same distinct 3-gram set, different token bags -> a
+      // GUARANTEED identical minhash signature pair, different fps
+      (14L, "p1 p2 p3 p1 p2 p3"),
+      (15L, "p1 p2 p3 p1 p2 p3 p1"),
+      (16L, mk("z", 20))) // clean survivor
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = run("q168_dedup_cascade_audit", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val toks = docs.filter(_._1 >= 10).map(_._2.split(" ").length.toLong).sum
+    // stage 1: 7 corpus docs in; 11 (dup of 10, 20 tok) and 13 (dup of
+    // 12, 22 tok) fall — 13 is ALSO contaminated, but precedence says 1
+    assert(got(1L) == ((7L, toks, 2L, 42L, 5L, toks - 42L)),
+      s"stage 1 diverged: ${got(1L)}")
+    // stage 2: 15 falls (guaranteed pair with surviving 14)
+    assert(got(2L) == ((5L, toks - 42L, 1L, 7L, 4L, toks - 49L)),
+      s"stage 2 diverged: ${got(2L)}")
+    // stage 3: 12 falls (shares the bench 5-gram)
+    assert(got(3L) == ((4L, toks - 49L, 1L, 22L, 3L, toks - 71L)),
+      s"stage 3 diverged: ${got(3L)}")
+  }
+
+  test("q168 on the driver corpus: the audit equals an independent " +
+    "recomposition from the registered q34/q36/q63 outputs") {
+    val d = graft.Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "CAST(COALESCE(size(split(text, ' ')), 0) AS LONG) AS tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 >= 10L).toMap
+    // q34 gives (fp, canonical_id, dup_cnt) over ALL docs; recompute the
+    // corpus-side canonical rule in-test from raw text instead
+    val raw = graft.Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .filter(_._1 >= 10L)
+    def fp(t: String): String = {
+      if (t == null) return "<null>"
+      val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+      norm.split(" ", -1).sorted.mkString(" ")
+    }
+    val byFp = raw.groupBy(p => fp(p._2))
+    val keep1 = raw.map(_._1).filter(id =>
+      byFp.values.exists(g => g.minBy(_._1)._1 == id)).toSet
+    val pairs = run("q36_minhash_band_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val removed2 = pairs.filter { case (i, j) =>
+      keep1(i) && keep1(j) }.map(_._2).toSet
+    val contaminated = run("q63_decontamination").collect()
+      .filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    val stageOf = raw.map(_._1).map { id =>
+      id -> (if (!keep1(id)) 1
+        else if (removed2(id)) 2
+        else if (contaminated(id)) 3 else 0)
+    }.toMap
+    def stats(ids: Iterable[Long]) =
+      (ids.size.toLong, ids.map(d).sum)
+    val all3 = run("q168_dedup_cascade_audit").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    var in = raw.map(_._1).toSeq
+    for (st <- 1 to 3) {
+      val (nIn, tIn) = stats(in)
+      val fall = in.filter(stageOf(_) == st)
+      val (nF, tF) = stats(fall)
+      val out = in.filterNot(stageOf(_) == st)
+      val (nO, tO) = stats(out)
+      assert(all3(st.toLong) == ((nIn, tIn, nF, tF, nO, tO)),
+        s"stage $st diverged from the recomposition: ${all3(st.toLong)} " +
+          s"vs ${(nIn, tIn, nF, tF, nO, tO)}")
+      in = out
+    }
+  }
+
+  // ------------------------------------------------------------- q169
+
+  test("q169 planted fixture: the 3-copy cap keeps by doc_id order and " +
+    "accounts kept/dropped per source exactly, across sources sharing " +
+    "a fingerprint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q169_").toString
+    val dup = "d1 d2 d3 d4" // 4 tokens, same fp everywhere
+    val docs = Seq(
+      (1L, "s1", dup), (2L, "s1", dup), (3L, "s2", dup),
+      (4L, "s2", dup), (5L, "s1", dup), // copies 4/5 (ids 4, 5) drop
+      (6L, "s1", "u1 u2 u3"), // unique, kept
+      // lower+collapse-normalizes to the same fingerprint as `dup` —
+      // copy 6 of the fp, so it drops under the 3-copy cap
+      (7L, "s2", "D1  d2 d3 d4"))
+    docs.toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = run("q169_dup_cap_curation", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // fp order by doc_id: 1,2,3 kept; 4 (s2), 5 (s1), 7 (s2) dropped.
+    // Token counts ride the RAW text split, so doc 7's double space
+    // contributes an empty token (5 raw tokens) even though its
+    // NORMALIZED fingerprint equals the others'
+    assert(got("s1") == ((4L, 3L, 1L, 11L, 4L)), s"s1: ${got("s1")}")
+    assert(got("s2") == ((3L, 1L, 2L, 4L, 9L)), s"s2: ${got("s2")}")
+  }
+
+  test("q169 invariants on the driver corpus: per-source conservation, " +
+    "and the cap can only drop docs q34 sees as duplicates") {
+    val rows = run("q169_dup_cap_curation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    for ((src, n, kept, dropped, tk, td) <- rows) {
+      assert(kept + dropped == n, s"$src doc conservation")
+      assert(kept >= 0 && dropped >= 0 && tk >= 0 && td >= 0)
+    }
+    val droppedTotal = rows.map(_._4).sum
+    val beyondCap = run("q34_exact_dedup").collect()
+      .map(_.getLong(2)).map(c => math.max(0L, c - 3L)).sum
+    assert(droppedTotal == beyondCap,
+      "total dropped must equal q34's copies beyond the cap")
+  }
 }

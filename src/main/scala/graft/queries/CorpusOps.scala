@@ -2410,8 +2410,12 @@ object CorpusOps {
           .select(pmod(hash32(col("w")), lit(M)).as("ub"))
           .groupBy(col("ub")).agg(count(lit(1)).as("f"))
         val n = uniModel.agg(sum(col("f")).as("n"))
+        // greatest(..., 0): a ZERO-word doc (empty/whitespace text — the
+        // dirty-corpus class) makes size(ws) - 1 read -1, which ANSI
+        // slice rejects outright; the guard yields an empty slice → no
+        // bigram rows, exactly the <2-word contract (DirtyCorpusSpec)
         val occ = base.select(col("doc_id"), explode(expr(
-            "transform(slice(ws, 1, size(ws) - 1), " +
+            "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
               "(x, i) -> struct(x AS w1, ws[i + 1] AS w2))")).as("p"))
           .select(col("doc_id"),
             pmod(hash32(col("p.w1")), lit(M)).as("u1"),

@@ -58,7 +58,17 @@ class DirtyCorpusSpec extends SparkSpec {
     "q149_dup_span_merge", "q150_token_budget_select",
     "q151_curriculum_schedule", "q152_wav_header_meta",
     "q153_gram_novelty", "q155_dedup_removal_plan",
-    "q156_training_export_manifest")
+    "q156_training_export_manifest",
+    // rounds 15-16 (q158 is omitted as driver-local-only — it reads no
+    // corpus table; this dirty vocabulary still supports q164/q166's 12
+    // merge rounds, and the merge-STARVED corpus gets its own fail-loud
+    // contract leg below)
+    "q157_mp4_header_meta", "q159_paragraph_dedup",
+    "q160_quality_threshold_sweep", "q161_vocab_coverage_plan",
+    "q162_export_shard_plan", "q163_image_perceptual_neardup",
+    "q164_bpe_merge_train", "q165_bigram_surprisal", "q166_bpe_encode",
+    "q167_context_length_plan", "q168_dedup_cascade_audit",
+    "q169_dup_cap_curation")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>
@@ -66,6 +76,24 @@ class DirtyCorpusSpec extends SparkSpec {
       catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("q164/q166 fail LOUD, not silently short, on a merge-starved " +
+    "vocabulary (a corpus that cannot support 12 merges)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_starved_").toString
+    // one two-char word: round 1 merges (a,b) -> [ab]; round 2 has no
+    // pairs left anywhere — the documented IllegalStateException, never
+    // a silently short merge table
+    Seq((1L, "ab")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    for (q <- Seq("q164_bpe_merge_train", "q166_bpe_encode")) {
+      val e = intercept[IllegalStateException] {
+        graft.SparkEntry.queries(q)(spark, dir).count()
+      }
+      assert(e.getMessage.contains("pair statistics exhausted"),
+        s"$q: wrong failure mode: ${e.getMessage}")
+    }
   }
 
   test("gram-less and null docs pair with nothing; the exact dup is found") {

@@ -59,6 +59,10 @@ object ScalingBench {
     // over staged arms), and the dup-cap accounting (one fp window)
     "q166_bpe_encode", "q167_context_length_plan",
     "q168_dedup_cascade_audit", "q169_dup_cap_curation",
+    // round-16 third wave: the IVF serving-knob sweep (query-bounded
+    // candidate work — one assignment + one scoring pass at the widest
+    // knob) and the per-language fertility rollup over q166's frame
+    "q170_ivf_nprobe_sweep", "q171_tokenizer_fertility",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

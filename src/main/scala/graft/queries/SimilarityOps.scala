@@ -1225,5 +1225,148 @@ object SimilarityOps {
       "Semantic decontamination: corpus vectors flagged by max cosine " +
         "against a broadcast held-out benchmark set — catches paraphrased " +
         "leakage that gram-based decon (q63/q130/q132) cannot see " +
-        "(pipeline ops brief)."))
+        "(pipeline ops brief)."),
+
+    // ------------------------------------------- IVF nprobe recall sweep
+    Q(
+      "q170_ivf_nprobe_sweep",
+      (s, dir) => {
+        import graft.functions.VectorFns.cosine
+        // The serving-knob table for the IVF family: q46 runs ONE fixed
+        // nprobe; this measures the whole recall/cost curve — recall@5
+        // against the exact q38 truth and the candidate count actually
+        // scanned, per nprobe in {1, 2, 4, 8} of the 16 lists — so an
+        // operator picks the probe budget from the curve (q158's
+        // band-plan discipline applied to IVF).
+        //
+        // Scale shape: assignment runs ONCE at the WIDEST knob — corpus
+        // vectors rank-1 into lists, queries keep their top-8 centroid
+        // ranks — and candidate similarities compute once per (query,
+        // neighbor); each narrower nprobe is a crank-filter over that
+        // frame (no re-scoring, no re-probing per knob, the q160/q167
+        // sweep discipline). A neighbor lives in exactly one list, so
+        // candidate rows never duplicate. The truth arm is q38's
+        // broadcast-query brute force, query-bounded.
+        import s.implicits._
+        val nCentroids = 16; val K = 5
+        val probeGrid = Seq(1L, 2L, 4L, 8L)
+        val base = vecs(s, dir)
+        val centroids = broadcast(base.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+        val wN = Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("cdist").desc, col("cid"))
+        val lists = base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+          .crossJoin(centroids)
+          .withColumn("cdist", cosine(col("nv"), col("cv")))
+          .withColumn("crank", row_number().over(wN))
+          .filter(col("crank") <= 1)
+          .select(col("neighbor_id"), col("nv"), col("cid"))
+        val wQ = Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist").desc, col("cid"))
+        val probes = base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .crossJoin(centroids)
+          .withColumn("cdist", cosine(col("qv"), col("cv")))
+          .withColumn("crank", row_number().over(wQ))
+          .filter(col("crank") <= probeGrid.max)
+          .select(col("query_id"), col("qv"), col("cid"), col("crank"))
+        val cands = probes.join(lists, "cid")
+          .withColumn("sim", cosine(col("qv"), col("nv")))
+          .select(col("query_id"), col("neighbor_id"), col("crank"),
+            col("sim"))
+        val exact = base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv2"))
+          .crossJoin(broadcast(base.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("v").as("qv2"))))
+          .withColumn("sim", cosine(col("qv2"), col("nv2")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("sim").desc, col("neighbor_id"))))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("neighbor_id"))
+        val grid = broadcast(probeGrid.toDF("nprobe"))
+        val swept = cands.crossJoin(grid)
+          .filter(col("crank") <= col("nprobe"))
+        val wS = Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        val hits = swept
+          .withColumn("rank", row_number().over(wS))
+          .filter(col("rank") <= K)
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+        val costs = swept.groupBy(col("nprobe"))
+          .agg(count(lit(1)).as("n_candidates"))
+        val denom = broadcast(exact.agg(
+          countDistinct(col("query_id")).as("nq")))
+        grid
+          .join(costs, Seq("nprobe"), "left_outer")
+          .join(hits, Seq("nprobe"), "left_outer")
+          .crossJoin(denom)
+          .select(col("nprobe"),
+            expr(s"coalesce(n_hits, 0L) * 1000000L div (${K}L * nq)")
+              .as("recall_ppm"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        corp AS (SELECT vec_id AS neighbor_id, v AS nv FROM e WHERE vec_id >= 5),
+        qry  AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        la AS (SELECT neighbor_id, nv, cid,
+                      row_number() OVER (PARTITION BY neighbor_id ORDER BY
+                        list_dot_product(nv, cv) /
+                          (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cid) AS rn
+               FROM corp, cent),
+        lists AS (SELECT neighbor_id, nv, cid FROM la WHERE rn <= 1),
+        pa AS (SELECT query_id, qv, cid,
+                      row_number() OVER (PARTITION BY query_id ORDER BY
+                        list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cid) AS rn
+               FROM qry, cent),
+        probes AS (SELECT query_id, qv, cid, CAST(rn AS BIGINT) AS crank
+                   FROM pa WHERE rn <= 8),
+        cand AS (SELECT query_id, neighbor_id, crank,
+                        list_dot_product(qv, nv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+                 FROM probes JOIN lists USING (cid)),
+        ts AS (SELECT query_id, neighbor_id,
+                      list_dot_product(qv, nv) /
+                        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+               FROM qry, corp),
+        truth AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn
+                    FROM ts)
+                  WHERE rn <= 5),
+        grid AS (SELECT CAST(n AS BIGINT) AS nprobe
+                 FROM (VALUES (1), (2), (4), (8)) t(n)),
+        sw AS (SELECT g.nprobe, c.query_id, c.neighbor_id, c.sim
+               FROM grid g JOIN cand c ON c.crank <= g.nprobe),
+        tops AS (SELECT nprobe, query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY nprobe, query_id
+                          ORDER BY sim DESC, neighbor_id) AS rn
+                 FROM sw),
+        hits AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+                 FROM tops JOIN truth USING (query_id, neighbor_id)
+                 WHERE rn <= 5 GROUP BY 1),
+        costs AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+                  FROM sw GROUP BY 1),
+        nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS nq
+               FROM truth)
+        SELECT g.nprobe,
+               COALESCE(h.n_hits, 0) * 1000000 // (5 * nq.nq) AS recall_ppm,
+               COALESCE(c.n_candidates, 0) AS n_candidates
+        FROM grid g
+        LEFT JOIN costs c USING (nprobe)
+        LEFT JOIN hits h USING (nprobe), nq"""),
+      "IVF nprobe recall sweep: recall@5 vs the exact q38 truth and the " +
+        "candidates actually scanned, per probe budget 1/2/4/8 of 16 " +
+        "lists — one assignment pass at the widest knob, one scoring " +
+        "pass, each narrower nprobe a filter (pipeline ops brief: pick " +
+        "the serving knob from the measured curve, q158's discipline " +
+        "for IVF)."))
 }

@@ -86,6 +86,62 @@ object TextOps {
                t.tokens_after
         FROM m$r m, t$r t""").mkString("", " UNION ALL", "")
 
+  /** Oracle CTE chain ending in `bpe_doc(doc_id, n_words, n_bpe_tokens,
+    * n_char_tokens)` — the SQL twin of [[bpeDocFrame]], shared by the
+    * q166 and q171 oracles.
+    */
+  private def bpeDocSql(n: Int): String =
+    bpeChainSql(n) + s""",
+        enc AS (SELECT w, CAST(len(string_split(rep, '  ')) AS BIGINT)
+                          AS n_sub
+                FROM w${n + 1}),
+        dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL)
+               GROUP BY 1, 2),
+        jj AS (SELECT doc_id, k,
+                      CAST(length(dw.w) AS BIGINT) AS wlen,
+                      COALESCE(enc.n_sub, CAST(length(dw.w) AS BIGINT)) AS nt
+               FROM dw LEFT JOIN enc ON dw.w = enc.w),
+        bpe_doc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+                           CAST(SUM(k * nt) AS BIGINT) AS n_bpe_tokens,
+                           CAST(SUM(k * wlen) AS BIGINT) AS n_char_tokens
+                    FROM jj GROUP BY 1)"""
+
+  /** Per-doc token accounting under the learned merges — q166's body and
+    * q171's input: (doc_id, n_words, n_bpe_tokens, n_char_tokens). The
+    * merge chain runs over the STAGED vocabulary (Heaps-law work); the
+    * corpus pays one tokenize into (doc, word, k) counts + one vocab
+    * equi-join (AQE broadcasts the vocab at driver scale; a 100 TB
+    * vocabulary past the threshold falls back to a hash join, which is
+    * why no broadcast() hint is forced). Words outside the trained
+    * [a-z]+ alphabet fall back to char-level tokens — the byte-fallback
+    * a real BPE encoder applies to out-of-alphabet input.
+    */
+  private def bpeDocFrame(s: SparkSession, dir: String): DataFrame = {
+    val merges = learnedMerges(s, dir)
+    var rep: Column =
+      array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  ")
+    for ((_, a, b, _, _) <- merges)
+      rep = replace(rep, lit(a + "  " + b), lit(a + b))
+    val enc = vocabFrame(s, dir)
+      .filter(col("w").rlike("^[a-z]+$"))
+      .select(col("w"), size(split(rep, "  ")).cast("long").as("n_sub"))
+    Tables.parallel(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("long").as("k"))
+      .join(enc, Seq("w"), "left_outer")
+      .select(col("doc_id"), col("k"),
+        length(col("w")).cast("long").as("wlen"),
+        coalesce(col("n_sub"), length(col("w")).cast("long")).as("nt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("nt")).as("n_bpe_tokens"),
+        sum(col("k") * col("wlen")).as("n_char_tokens"))
+  }
+
   /** The learned merge table `(rank, lhs, rhs, pair_count, tokens_after)`,
     * memoized per (session, dir): q164 RETURNS it and q166 APPLIES it, and
     * a bench pass running both must pay the 2·MergeRounds-job training
@@ -373,73 +429,98 @@ object TextOps {
         // budgets by — per-doc subword token counts under the learned
         // merges, against the char-level baseline the merges compress.
         //
-        // Scale shape: encoding is per-WORD, so the merge chain (12
-        // nested codegen'd replaces over the double-space symbolization —
-        // the training loop's own representation) runs over the staged
-        // VOCABULARY, never the corpus: vocabulary-sized work by Heaps
-        // law, like q164. The corpus pays one tokenize into per-doc word
-        // counts (aggregated BEFORE the join, so the join input is
-        // distinct (doc_id, word) pairs, not raw token occurrences) and
-        // one equi-join against the encoded vocab — vocab-sized build
-        // side, AQE broadcasts it at driver scale and falls back to a
-        // hash join when a 100 TB corpus's vocabulary outgrows the
-        // broadcast threshold (which is why no broadcast() hint is
-        // forced here, unlike genuinely bounded frames). Words outside
-        // the trained [a-z]+ alphabet fall back to char-level tokens
-        // (length(w)) — exactly the byte-fallback a real BPE encoder
-        // applies to out-of-alphabet input.
-        val merges = learnedMerges(s, dir)
-        var rep: Column =
-          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  ")
-        for ((_, a, b, _, _) <- merges)
-          rep = replace(rep, lit(a + "  " + b), lit(a + b))
-        val enc = vocabFrame(s, dir)
-          .filter(col("w").rlike("^[a-z]+$"))
-          .select(col("w"), size(split(rep, "  ")).cast("long").as("n_sub"))
-        val docWords = Tables.parallel(s, dir, "documents")
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-          .groupBy(col("doc_id"), col("w"))
-          .agg(count(lit(1)).cast("long").as("k"))
-        docWords
-          .join(enc, Seq("w"), "left_outer")
-          .select(col("doc_id"), col("k"),
-            length(col("w")).cast("long").as("wlen"),
-            coalesce(col("n_sub"), length(col("w")).cast("long")).as("nt"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("k")).as("n_words"),
-            sum(col("k") * col("nt")).as("n_bpe_tokens"),
-            sum(col("k") * col("wlen")).as("n_char_tokens"))
+        // Scale shape: see [[bpeDocFrame]] — vocabulary-sized merge work,
+        // one corpus tokenize + one vocab equi-join.
+        bpeDocFrame(s, dir)
           .withColumn("compression_ppm",
             when(col("n_bpe_tokens") > 0,
               expr("n_char_tokens * 1000000L div n_bpe_tokens")))
       },
-      Some(bpeChainSql(MergeRounds) + s""",
-        enc AS (SELECT w, CAST(len(string_split(rep, '  ')) AS BIGINT)
-                          AS n_sub
-                FROM w${MergeRounds + 1}),
-        dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
-                 SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                 FROM documents WHERE text IS NOT NULL)
-               GROUP BY 1, 2),
-        j AS (SELECT doc_id, k,
-                     CAST(length(dw.w) AS BIGINT) AS wlen,
-                     COALESCE(enc.n_sub, CAST(length(dw.w) AS BIGINT)) AS nt
-              FROM dw LEFT JOIN enc ON dw.w = enc.w),
-        agg AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
-                       CAST(SUM(k * nt) AS BIGINT) AS n_bpe_tokens,
-                       CAST(SUM(k * wlen) AS BIGINT) AS n_char_tokens
-                FROM j GROUP BY 1)
+      Some(bpeDocSql(MergeRounds) + """
         SELECT doc_id, n_words, n_bpe_tokens, n_char_tokens,
                CASE WHEN n_bpe_tokens > 0
                     THEN n_char_tokens * 1000000 // n_bpe_tokens END
                  AS compression_ppm
-        FROM agg"""),
+        FROM bpe_doc"""),
       "BPE encoding: apply q164's learned merge table (memoized — trained " +
         "once per session/dir) to the staged vocabulary and roll " +
         "per-doc subword/char-baseline token counts with a compression " +
         "ratio; vocabulary-sized merge work, corpus pays one tokenize + " +
         "one vocab join, char-level fallback outside the trained " +
         "alphabet (pipeline ops brief: budget the corpus in the " +
-        "tokenizer's own tokens)."))
+        "tokenizer's own tokens)."),
+
+    // --------------------------------------- tokenizer fertility audit
+    Q(
+      "q171_tokenizer_fertility",
+      (s, dir) => {
+        // The multilingual-tokenizer acceptance table: FERTILITY (subword
+        // tokens per word) by predicted language under the learned
+        // merges. A tokenizer trained on one language's statistics
+        // over-segments the others — fertility is the number that says
+        // by how much, and a per-language compute budget reads straight
+        // off it. Language is q33's stopword-argmax prediction (the
+        // honest in-pipeline signal — at curation time there is no gold
+        // lang label); token accounting is exactly q166's per-doc frame,
+        // so the two queries can never drift apart.
+        //
+        // Scale shape: [[bpeDocFrame]]'s cost (vocab-sized merges, one
+        // tokenize, one vocab join) + one doc_id-keyed join against the
+        // per-doc language projection + a ≤|langs| rollup.
+        val toks = tokens(col("text"))
+        val cEn = size(tokensIn(toks, StopEn))
+        val cDe = size(tokensIn(toks, StopDe))
+        val cFr = size(tokensIn(toks, StopFr))
+        val cEs = size(tokensIn(toks, StopEs))
+        val pred = when(cEn >= cDe && cEn >= cFr && cEn >= cEs, "en")
+          .when(cDe >= cFr && cDe >= cEs, "de")
+          .when(cFr >= cEs, "fr")
+          .otherwise("es")
+        val langs = Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), pred.as("pred_lang"))
+        bpeDocFrame(s, dir)
+          .join(langs, "doc_id")
+          .groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+          .withColumn("fertility_ppm",
+            expr("n_bpe_tokens * 1000000L div greatest(n_words, 1L)"))
+      },
+      Some(bpeDocSql(MergeRounds) + """,
+        lc AS (
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','of','and','to','is'))) AS c_en,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('der','die','und','das','ist','ein'))) AS c_de,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('le','la','les','et','est','une'))) AS c_fr,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('el','los','las','y','es','por'))) AS c_es
+          FROM documents WHERE text IS NOT NULL),
+        pl AS (
+          SELECT doc_id,
+                 CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                        THEN 'en'
+                      WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                      WHEN c_fr >= c_es THEN 'fr'
+                      ELSE 'es' END AS pred_lang
+          FROM lc),
+        fr AS (
+          SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_words) AS BIGINT) AS n_words,
+                 CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+          FROM bpe_doc JOIN pl USING (doc_id)
+          GROUP BY 1)
+        SELECT pred_lang, n_docs, n_words, n_bpe_tokens,
+               n_bpe_tokens * 1000000 // GREATEST(n_words, 1)
+                 AS fertility_ppm
+        FROM fr"""),
+      "Tokenizer fertility audit: subword tokens per word by predicted " +
+        "language (q33's argmax) under the learned merges — q166's " +
+        "per-doc accounting rolled to a per-language table, the number " +
+        "that says how much a tokenizer over-segments each language " +
+        "(pipeline ops brief: multilingual token-budget planning)."))
 }

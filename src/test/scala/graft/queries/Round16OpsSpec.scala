@@ -546,4 +546,80 @@ class Round16OpsSpec extends SparkSpec {
     assert(droppedTotal == beyondCap,
       "total dropped must equal q34's copies beyond the cap")
   }
+
+  // ------------------------------------------------------------- q170
+
+  test("q170 equals an independent plain-Scala IVF sweep on the driver " +
+    "embeddings (same fold order, same tie rules), and the curve is " +
+    "monotone in nprobe") {
+    import spark.implicits._
+    val vs = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var k = 0
+      while (k < a.length) { acc += a(k) * b(k); k += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = (0L until 16L).map(c => c -> vs(c))
+    val corp = vs.keys.filter(_ >= 5L).toSeq.sorted
+    val qrys = vs.keys.filter(_ < 5L).toSeq.sorted
+    def rankCents(v: Array[Double]) = cents
+      .map { case (c, cv) => (c, cos(v, cv)) }
+      .sortBy { case (c, s) => (-s, c) }.map(_._1)
+    val listOf = corp.map(n => n -> rankCents(vs(n)).head).toMap
+    val probesOf = qrys.map(q => q -> rankCents(vs(q)).take(8)).toMap
+    val truth = qrys.map { q =>
+      q -> corp.map(n => (n, cos(vs(q), vs(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(5).map(_._1).toSet
+    }.toMap
+    val expected = Seq(1, 2, 4, 8).map { np =>
+      val cand = qrys.map { q =>
+        q -> corp.filter(n => probesOf(q).take(np).contains(listOf(n)))
+      }.toMap
+      val nCand = cand.values.map(_.size.toLong).sum
+      val hits = qrys.map { q =>
+        cand(q).map(n => (n, cos(vs(q), vs(n))))
+          .sortBy { case (n, s) => (-s, n) }.take(5).map(_._1)
+          .count(truth(q))
+      }.sum
+      np.toLong -> ((hits.toLong * 1000000L / (5L * qrys.size), nCand))
+    }.toMap
+    val got = run("q170_ivf_nprobe_sweep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"sweep diverged: $got vs $expected")
+    val byNp = got.toSeq.sortBy(_._1)
+    for (Seq((_, (r1, c1)), (_, (r2, c2))) <- byNp.sliding(2)) {
+      assert(r1 <= r2, "recall must be monotone in nprobe")
+      assert(c1 <= c2, "candidate cost must be monotone in nprobe")
+    }
+    assert(byNp.forall { case (_, (r, _)) => r >= 0 && r <= 1000000L })
+  }
+
+  // ------------------------------------------------------------- q171
+
+  test("q171 reconciles with q166 and q33: per-language token sums " +
+    "partition the corpus totals, doc counts match the q33 argmax, and " +
+    "fertility is a real >= 1 ratio") {
+    val fert = run("q171_tokenizer_fertility").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(fert.nonEmpty)
+    val q166 = run("q166_bpe_encode").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(fert.values.map(_._2).sum == q166.map(_._1).sum,
+      "word totals must partition q166's")
+    assert(fert.values.map(_._3).sum == q166.map(_._2).sum,
+      "bpe token totals must partition q166's")
+    val q33 = run("q33_langid").collect()
+      .map(_.getString(2)).groupBy(identity).view.mapValues(_.size.toLong)
+    for ((lang, (nDocs, nWords, nBpe, fppm)) <- fert) {
+      assert(nDocs == q33(lang), s"$lang doc count diverged from q33")
+      assert(fppm >= 1000000L, s"$lang fertility < 1 token per word")
+      assert(nBpe >= nWords, s"$lang token accounting inverted")
+    }
+  }
 }

@@ -2568,7 +2568,92 @@ object CorpusOps {
         "training, from one corpus scan collapsed to a smallest-fitting-" +
         "bucket rollup + a driver-sized sweep (q160's discipline; " +
         "pipeline ops brief: pick the sequence length before packing " +
-        "it)."))
+        "it)."),
+
+    // -------------------------------------- data-constrained epoch plan
+    Q(
+      "q172_epoch_repeat_plan",
+      (s, dir) => {
+        // The data-constrained-scaling allocation (repeat good data
+        // before reaching for worse): a compute budget of B = 2× the
+        // corpus's tokens is filled in source-quality order, each source
+        // repeating up to MaxEpochs = 4 before the next rank gets any —
+        // the published repeat-up-to-~4-epochs regime expressed as a
+        // deterministic integer plan. Quality is q150's type-token
+        // scoring, source-mean in milli, so the plan composes with the
+        // doc-level selection that runs inside each chosen source.
+        //
+        // Scale shape: ONE corpus scan collapses to a |sources|-row
+        // frame; the greedy fill is CLOSED-FORM on that frame (rank +
+        // exclusive running sum of 4× capacity — no iteration), and the
+        // unpartitioned windows run on |sources| rows, never the corpus.
+        val MaxEpochs = 4L
+        val base = docs(s, dir)
+          .filter(col("source").isNotNull)
+          .select(col("source"), tokens(col("text")).as("tk"))
+          .select(col("source"),
+            coalesce(size(col("tk")), lit(0)).cast("long").as("n_tokens"),
+            coalesce(size(array_distinct(col("tk"))), lit(0))
+              .cast("long").as("n_distinct"))
+          .withColumn("q",
+            expr("n_distinct * 1000L div greatest(n_tokens, 1L)"))
+        val src = base.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("src_tokens"),
+            expr("sum(q) div count(1)").as("q_milli"))
+        val tot = src.agg(sum(col("src_tokens")).as("t"))
+        val byQuality = Window.orderBy(col("q_milli").desc, col("source"))
+        src.crossJoin(broadcast(tot))
+          .withColumn("q_rank", row_number().over(byQuality).cast("long"))
+          .withColumn("cum_before", coalesce(
+            sum(col("src_tokens") * MaxEpochs).over(
+              byQuality.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("served_tokens", expr(
+            s"least(src_tokens * ${MaxEpochs}L, " +
+              "greatest(t * 2L - cum_before, 0L))"))
+          .select(col("source"), col("q_rank"), col("q_milli"),
+            col("src_tokens"), col("served_tokens"),
+            expr("served_tokens * 1000000L div greatest(src_tokens, 1L)")
+              .as("epochs_ppm"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT source,
+                 CAST(COALESCE(len(string_split(text, ' ')), 0)
+                      AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(len(list_distinct(string_split(text, ' '))),
+                               0) AS BIGINT) AS n_distinct
+          FROM documents WHERE source IS NOT NULL),
+        q AS (SELECT source, n_tokens,
+                     (n_distinct * 1000) // GREATEST(n_tokens, 1) AS q
+              FROM base),
+        src AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+                       CAST(SUM(q) // COUNT(*) AS BIGINT) AS q_milli
+                FROM q GROUP BY source),
+        tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS t FROM src),
+        rk AS (SELECT source, src_tokens, q_milli,
+                      CAST(row_number() OVER (ORDER BY q_milli DESC, source)
+                           AS BIGINT) AS q_rank,
+                      CAST(COALESCE(SUM(src_tokens * 4) OVER (
+                             ORDER BY q_milli DESC, source
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+               FROM src),
+        plan AS (SELECT source, q_rank, q_milli, src_tokens,
+                        CAST(LEAST(src_tokens * 4,
+                               GREATEST(t * 2 - cum_before, 0)) AS BIGINT)
+                          AS served_tokens
+                 FROM rk, tot)
+        SELECT source, q_rank, q_milli, src_tokens, served_tokens,
+               served_tokens * 1000000 // GREATEST(src_tokens, 1)
+                 AS epochs_ppm
+        FROM plan"""),
+      "Data-constrained epoch plan: fill a 2x-corpus compute budget in " +
+        "source-quality order with up to 4 epochs per source (the " +
+        "repeat-good-data regime), closed-form greedy on a " +
+        "|sources|-row rollup — rank + exclusive running capacity sum, " +
+        "no iteration (pipeline ops brief: decide what to repeat before " +
+        "training)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

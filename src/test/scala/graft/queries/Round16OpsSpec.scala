@@ -622,4 +622,45 @@ class Round16OpsSpec extends SparkSpec {
       assert(nBpe >= nWords, s"$lang token accounting inverted")
     }
   }
+
+  // ------------------------------------------------------------- q172
+
+  test("q172 planted fixture: the greedy fill serves 4 epochs down the " +
+    "quality ranks, a partial epoch at the budget edge, zero beyond") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q172_").toString
+    // three sources, 10 tokens each (total 30, budget 60, capacity 40
+    // per source): quality order hi > mid > lo by construction —
+    // hi all-distinct tokens (q=1000), mid half-repeated (q=500),
+    // lo one token repeated (q=100)
+    Seq(
+      (1L, "hi", (0 until 10).map(i => s"h$i").mkString(" ")),
+      (2L, "mid", "m0 m1 m2 m3 m4 m0 m1 m2 m3 m4"),
+      (3L, "lo", "x x x x x x x x x x"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = run("q172_epoch_repeat_plan", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // budget 60: hi serves 40 (4 epochs), mid the remaining 20
+    // (2 epochs), lo nothing
+    assert(got("hi") == ((1L, 1000L, 10L, 40L, 4000000L)), s"${got("hi")}")
+    assert(got("mid") == ((2L, 500L, 10L, 20L, 2000000L)), s"${got("mid")}")
+    assert(got("lo") == ((3L, 100L, 10L, 0L, 0L)), s"${got("lo")}")
+  }
+
+  test("q172 invariants on the driver corpus: served tokens exactly " +
+    "exhaust the 2x budget (capacity always suffices at a 4-epoch cap), " +
+    "epochs are capped and nonincreasing down the ranks") {
+    val rows = run("q172_epoch_repeat_plan").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(_._1)
+    assert(rows.nonEmpty)
+    val tot = rows.map(_._2).sum
+    assert(rows.map(_._3).sum == 2L * tot,
+      "the whole 2x budget must be allocated")
+    for (Seq((_, _, _, e1), (_, _, _, e2)) <- rows.sliding(2))
+      assert(e1 >= e2, "epochs must be nonincreasing down the ranks")
+    assert(rows.forall(_._4 <= 4000000L), "the 4-epoch cap binds")
+  }
 }

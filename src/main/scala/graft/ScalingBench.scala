@@ -63,7 +63,7 @@ object ScalingBench {
     // candidate work — one assignment + one scoring pass at the widest
     // knob) and the per-language fertility rollup over q166's frame
     "q170_ivf_nprobe_sweep", "q171_tokenizer_fertility",
-    "q172_epoch_repeat_plan",
+    "q172_epoch_repeat_plan", "q173_boilerplate_removal",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -137,6 +137,30 @@ object CorpusOps {
           LEFT JOIN removed rm ON rm.doc_id = d.doc_id
           WHERE d.doc_id >= 10 AND ct.doc_id IS NULL)"""
 
+  /** Session-staged 20-token paragraph chunks of every non-null-text doc:
+    * (doc_id, source, para_idx, h = md5(chunk), sz). ONE tokenize +
+    * chunk explode serves q159 (keep-first dedup) and q173 (boilerplate
+    * df) — the [[graft.Staging]] materialize-once discipline; the frame
+    * is chunk-level (~n_tokens/20 rows × 5 narrow columns).
+    * Parallelism-floored entry scan: the chunk explode is
+    * gram-explode-class per-row work and must distribute off a
+    * single-row-group corpus file (passthrough on production layouts).
+    */
+  private def paraChunks(s: SparkSession, dir: String): DataFrame =
+    graft.Staging.stage(s, dir, "paras") {
+      Tables.parallel(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("source"), posexplode(expr(
+            "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
+              "i -> struct(array_join(slice(t, i*20+1, 20), ' ') AS c, " +
+              "size(slice(t, i*20+1, 20)) AS sz))"))
+            .as(Seq("para_idx", "p")))
+        .select(col("doc_id"), col("source"),
+          col("para_idx").cast("int").as("para_idx"),
+          md5(col("p.c")).as("h"), col("p.sz").cast("long").as("sz"))
+    }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------- stratified sampling
     Q(
@@ -2210,16 +2234,7 @@ object CorpusOps {
         // anywhere; memory per window partition is the occurrence list
         // of ONE paragraph hash.
         import org.apache.spark.sql.expressions.Window
-        val tk = docs(s, dir)
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-        val ch = tk.select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
-              "i -> struct(array_join(slice(t, i*20+1, 20), ' ') AS c, " +
-              "size(slice(t, i*20+1, 20)) AS sz))"))
-            .as(Seq("para_idx", "p")))
-          .select(col("doc_id"), col("para_idx").cast("int").as("para_idx"),
-            md5(col("p.c")).as("h"), col("p.sz").cast("long").as("sz"))
+        val ch = paraChunks(s, dir).drop("source")
         val ranked = ch.withColumn("rn", row_number().over(
           Window.partitionBy(col("h"))
             .orderBy(col("doc_id"), col("para_idx"))))
@@ -2653,7 +2668,92 @@ object CorpusOps {
         "repeat-good-data regime), closed-form greedy on a " +
         "|sources|-row rollup — rank + exclusive running capacity sum, " +
         "no iteration (pipeline ops brief: decide what to repeat before " +
-        "training)."))
+        "training)."),
+
+    // --------------------------------------------- boilerplate removal
+    Q(
+      "q173_boilerplate_removal",
+      (s, dir) => {
+        // The OTHER paragraph-level cleaning rule (CCNet/RefinedWeb):
+        // q159 KEEPS the first occurrence of a duplicated paragraph;
+        // boilerplate — nav bars, cookie banners, license footers —
+        // must drop ALL occurrences INCLUDING the first. The rule: a
+        // paragraph is boilerplate iff it appears in >= MinDf DISTINCT
+        // docs of the SAME source (boilerplate is a site-template
+        // artifact; a chunk repeated across DIFFERENT sources is
+        // content, and dedup's business). Output is per-doc cleaning
+        // accounting over the same 20-token chunks as q159, off the
+        // same session-staged frame, so the two passes compose.
+        //
+        // Scale shape: one (source, h) aggregate over the staged chunk
+        // frame (map-side combined; cardinality ~ distinct chunks, so
+        // never a handful of hot keys), one equi-join back on
+        // (source, h) — the boilerplate key set is template-sized in
+        // practice, and AQE broadcasts it when it is (no forced hint:
+        // an adversarial corpus could make it large), one doc rollup.
+        // Null-source docs never match the boilerplate set in either
+        // engine (equality join) — deliberately identical semantics.
+        val MinDf = 3L
+        val ch = paraChunks(s, dir)
+        val boiler = ch.groupBy(col("source"), col("h"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= MinDf)
+          .select(col("source"), col("h"), lit(1).as("b"))
+        val per = ch.join(boiler, Seq("source", "h"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("b") === 1, 1L).otherwise(0L))
+              .as("n_boiler_paras"),
+            sum(when(col("b").isNull, col("sz")).otherwise(0L))
+              .as("tokens_kept"))
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            coalesce(size(tokens(col("text"))), lit(0)).cast("long")
+              .as("n_tokens"))
+          .join(per, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+            coalesce(col("n_boiler_paras"), lit(0L)).as("n_boiler_paras"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+            expr("coalesce(tokens_kept, 0L) * 1000000L " +
+              "div greatest(n_tokens, 1L)").as("kept_ppm"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents WHERE text IS NOT NULL),
+        ch AS (SELECT doc_id, source,
+                      md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS h,
+                      CAST(LEAST(20, len(t) - i*20) AS BIGINT) AS sz
+               FROM tk, UNNEST(generate_series(0, (len(t)+19)//20 - 1))
+                 AS s(i)),
+        bo AS (SELECT source, h FROM (
+                 SELECT source, h, COUNT(DISTINCT doc_id) AS df
+                 FROM ch GROUP BY 1, 2)
+               WHERE df >= 3),
+        per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+                       CAST(SUM(CASE WHEN bo.h IS NOT NULL THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_boiler_paras,
+                       CAST(SUM(CASE WHEN bo.h IS NULL THEN sz ELSE 0
+                                END) AS BIGINT) AS tokens_kept
+                FROM ch LEFT JOIN bo
+                  ON ch.source = bo.source AND ch.h = bo.h
+                GROUP BY doc_id)
+        SELECT d.doc_id, d.source,
+               CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+                 AS n_tokens,
+               COALESCE(p.n_paras, 0) AS n_paras,
+               COALESCE(p.n_boiler_paras, 0) AS n_boiler_paras,
+               COALESCE(p.tokens_kept, 0) AS tokens_kept,
+               COALESCE(p.tokens_kept, 0) * 1000000
+                 // GREATEST(CAST(COALESCE(len(string_split(d.text, ' ')),
+                                           0) AS BIGINT), 1) AS kept_ppm
+        FROM documents d LEFT JOIN per p USING (doc_id)"""),
+      "Boilerplate removal (CCNet/RefinedWeb): a 20-token paragraph " +
+        "repeated in >= 3 distinct docs of the SAME source drops in ALL " +
+        "its occurrences (q159 keeps the first; boilerplate keeps " +
+        "none), per-doc cleaning accounting off the shared staged chunk " +
+        "frame — one (source, hash) aggregate + one join back " +
+        "(pipeline ops brief: strip the site template before dedup)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

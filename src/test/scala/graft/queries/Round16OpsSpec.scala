@@ -663,4 +663,66 @@ class Round16OpsSpec extends SparkSpec {
       assert(e1 >= e2, "epochs must be nonincreasing down the ranks")
     assert(rows.forall(_._4 <= 4000000L), "the 4-epoch cap binds")
   }
+
+  // ------------------------------------------------------------- q173
+
+  test("q173 planted fixture: a same-source df>=3 chunk drops in ALL " +
+    "its occurrences (unlike q159's keep-first); df=2 and cross-source " +
+    "repeats survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q173_").toString
+    val T = (0 until 20).map(i => s"t$i").mkString(" ") // the template
+    val U = (0 until 20).map(i => s"u$i").mkString(" ")
+    val V = (0 until 20).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", T + " x1 x2"), // template + 2-token tail
+      (2L, "A", T + " y1 y2 y3"),
+      (3L, "A", T), // df(A, T) = 3 -> boilerplate
+      (4L, "A", "a1 a2 a3"),
+      (5L, "B", U + " z1"), (6L, "B", U), // df(B, U) = 2 -> kept
+      (7L, "C", V), (8L, "D", V), (9L, "E", V)) // cross-source -> kept
+    docs.toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = run("q173_boilerplate_removal", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == ((22L, 2L, 1L, 2L, 90909L)), s"${got(1L)}")
+    assert(got(2L) == ((23L, 2L, 1L, 3L, 130434L)), s"${got(2L)}")
+    assert(got(3L) == ((20L, 1L, 1L, 0L, 0L)),
+      s"the first occurrence must drop too: ${got(3L)}")
+    assert(got(4L) == ((3L, 1L, 0L, 3L, 1000000L)), s"${got(4L)}")
+    for (id <- Seq(5L, 6L, 7L, 8L, 9L))
+      assert(got(id)._3 == 0L, s"doc $id wrongly flagged as boilerplate")
+  }
+
+  test("q173 on the driver corpus equals an independent in-test " +
+    "recompute of the chunk / same-source-df rule") {
+    val raw = graft.Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val chunks = raw.filter(_._3 != null).flatMap { case (id, src, t) =>
+      t.split(" ", -1).grouped(20).map(c =>
+        (id, src, md5hex(c.mkString(" ")), c.length.toLong))
+    }
+    val boiler = chunks.groupBy(c => (c._2, c._3)).view
+      .mapValues(_.map(_._1).distinct.size).filter(_._2 >= 3).keySet
+    val expected = raw.map { case (id, src, t) =>
+      val cs = chunks.filter(_._1 == id)
+      val nTok = if (t == null) 0L else t.split(" ", -1).length.toLong
+      val nB = cs.count(c => boiler((c._2, c._3))).toLong
+      val kept = cs.filter(c => !boiler((c._2, c._3))).map(_._4).sum
+      id -> ((nTok, cs.length.toLong, nB, kept,
+        kept * 1000000L / math.max(nTok, 1L)))
+    }.toMap
+    val got = run("q173_boilerplate_removal").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, "boilerplate accounting diverged from the " +
+      "independent recompute")
+  }
 }

@@ -2753,7 +2753,127 @@ object CorpusOps {
         "its occurrences (q159 keeps the first; boilerplate keeps " +
         "none), per-doc cleaning accounting off the shared staged chunk " +
         "frame — one (source, hash) aggregate + one join back " +
-        "(pipeline ops brief: strip the site template before dedup)."))
+        "(pipeline ops brief: strip the site template before dedup)."),
+
+    // ------------------------------------------ quality-rule battery
+    Q(
+      "q174_quality_rule_battery",
+      (s, dir) => {
+        // The Gopher-rule firing table: production curation ships a
+        // BATTERY of named heuristic rules (word-count bounds, mean
+        // word length, top-term frequency, type-token ratio, stopword
+        // floor), and what an operator tunes is the per-source
+        // per-rule firing-rate table — which rule fires where — not
+        // one opaque flag. Rules are integer-exact (milli thresholds,
+        // q150's div discipline); 'any' is their OR, the battery's
+        // keep/drop decision. q60 ships two of these signals as a
+        // per-doc filter; this is the battery-level accounting above
+        // it.
+        //
+        // Scale shape: ONE tokenize into (doc, word) counts (q60's
+        // path), one per-doc rollup carrying all signal sums, one
+        // doc_id join to attach source, then the rule unfold is an
+        // in-row 6-element explode and the output rollup is
+        // |sources| x 6 rows.
+        import graft.functions.TextFns.StopEn
+        val words = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
+          .filter(col("w") =!= "")
+        val perDoc = words
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"),
+            count(lit(1)).as("d"),
+            max(col("c")).as("m"),
+            sum(col("c") * length(col("w"))).as("chars"),
+            coalesce(sum(when(col("w").isin(StopEn: _*), col("c"))
+              .otherwise(0L)), lit(0L)).as("st"))
+        val sig = docs(s, dir).select(col("doc_id"), col("source"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(col("source"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("d"), lit(0L)).as("d"),
+            coalesce(col("m"), lit(0L)).as("m"),
+            coalesce(col("chars"), lit(0L)).as("chars"),
+            coalesce(col("st"), lit(0L)).as("st"))
+          .withColumn("f1", col("n") < 5 || col("n") > 5000)
+          .withColumn("f2", expr("chars * 1000L div greatest(n, 1L)")
+            .between(2000L, 12000L).unary_!)
+          .withColumn("f3", expr("m * 1000L div greatest(n, 1L)") > 200L)
+          .withColumn("f4", expr("d * 1000L div greatest(n, 1L)") < 300L)
+          .withColumn("f5", expr("st * 1000L div greatest(n, 1L)") < 10L)
+          .withColumn("fa",
+            col("f1") || col("f2") || col("f3") || col("f4") || col("f5"))
+        sig
+          .select(col("source"), explode(expr("""array(
+              struct('word_count' AS rule, f1 AS fired),
+              struct('mean_word_len' AS rule, f2 AS fired),
+              struct('top_tf' AS rule, f3 AS fired),
+              struct('ttr' AS rule, f4 AS fired),
+              struct('stop_words' AS rule, f5 AS fired),
+              struct('any' AS rule, fa AS fired))""")).as("r"))
+          .groupBy(col("source"), col("r.rule").as("rule"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("r.fired").cast("long")).as("n_fired"))
+          .withColumn("fired_ppm",
+            expr("n_fired * 1000000L div n_docs"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, w
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text),
+                         '[^\pL\p{Nd}]+')) AS w
+                FROM documents)
+          WHERE w <> ''),
+        wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM w GROUP BY 1, 2),
+        pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                      CAST(COUNT(*) AS BIGINT) AS d,
+                      CAST(MAX(c) AS BIGINT) AS m,
+                      CAST(SUM(c * length(w)) AS BIGINT) AS chars,
+                      CAST(COALESCE(SUM(CASE WHEN w IN
+                        ('the','a','of','and','to','is') THEN c ELSE 0
+                        END), 0) AS BIGINT) AS st
+               FROM wc GROUP BY 1),
+        sig AS (
+          SELECT d2.source,
+                 COALESCE(pd.n, 0) AS n, COALESCE(pd.d, 0) AS d,
+                 COALESCE(pd.m, 0) AS m, COALESCE(pd.chars, 0) AS chars,
+                 COALESCE(pd.st, 0) AS st
+          FROM documents d2 LEFT JOIN pd USING (doc_id)),
+        fl AS (
+          SELECT source,
+                 (n < 5 OR n > 5000) AS f1,
+                 NOT (chars * 1000 // GREATEST(n, 1) BETWEEN 2000
+                      AND 12000) AS f2,
+                 (m * 1000 // GREATEST(n, 1)) > 200 AS f3,
+                 (d * 1000 // GREATEST(n, 1)) < 300 AS f4,
+                 (st * 1000 // GREATEST(n, 1)) < 10 AS f5
+          FROM sig),
+        un AS (
+          SELECT source, u.rule, u.fired FROM fl, UNNEST([
+            {'rule': 'word_count', 'fired': f1},
+            {'rule': 'mean_word_len', 'fired': f2},
+            {'rule': 'top_tf', 'fired': f3},
+            {'rule': 'ttr', 'fired': f4},
+            {'rule': 'stop_words', 'fired': f5},
+            {'rule': 'any', 'fired': f1 OR f2 OR f3 OR f4 OR f5}])
+            AS t(u))
+        SELECT source, rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN fired THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fired,
+               CAST(SUM(CASE WHEN fired THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // COUNT(*) AS fired_ppm
+        FROM un GROUP BY 1, 2"""),
+      "Quality-rule battery (Gopher-style): per (source, rule) firing " +
+        "counts/rates for five integer-exact heuristics (word-count " +
+        "bounds, mean word length, top-term frequency, type-token " +
+        "ratio, stopword floor) plus their OR — one tokenize, one " +
+        "per-doc signal rollup, an in-row rule unfold to a " +
+        "|sources|x6 table (pipeline ops brief: tune the battery, not " +
+        "one opaque flag)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

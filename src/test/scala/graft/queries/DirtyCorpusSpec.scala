@@ -69,7 +69,8 @@ class DirtyCorpusSpec extends SparkSpec {
     "q164_bpe_merge_train", "q165_bigram_surprisal", "q166_bpe_encode",
     "q167_context_length_plan", "q168_dedup_cascade_audit",
     "q169_dup_cap_curation", "q171_tokenizer_fertility",
-    "q172_epoch_repeat_plan", "q173_boilerplate_removal")
+    "q172_epoch_repeat_plan", "q173_boilerplate_removal",
+    "q174_quality_rule_battery")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

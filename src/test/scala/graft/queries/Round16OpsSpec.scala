@@ -725,4 +725,61 @@ class Round16OpsSpec extends SparkSpec {
     assert(got == expected, "boilerplate accounting diverged from the " +
       "independent recompute")
   }
+
+  // ------------------------------------------------------------- q174
+
+  test("q174 planted fixture: each named rule fires on exactly its " +
+    "engineered violator, 'any' is their OR, rates are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q174_").toString
+    val clean = "the quick brown fox jumps over a lazy dog and " +
+      "every word here is of fresh value to keep ratios sane"
+    val docs = Seq(
+      (1L, "s", clean), // fires nothing
+      (2L, "s", "too few"), // word_count (2 < 5); also ttr/stop-dependent
+      (3L, "s", "the the the the the the the the the the"), // top_tf + ttr
+      (4L, "s", "aaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbb " +
+        "ccccccccccccccccccc ddddddddddddddddddd eeeeeeeeeeeeeeeeeee"),
+      // mean_word_len > 12; no stopwords -> stop_words fires too
+      (5L, "s", clean))
+    docs.toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = run("q174_quality_rule_battery", dir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // doc 2 (n=2): word_count; top_tf (500 > 200 — short docs trip it
+    // too); stop_words (0 < 10)
+    // doc 3: top_tf (1000); ttr (100 < 300); stopword share 1000 ok
+    // doc 4: mean_word_len (19400 milli); stop_words; top_tf exactly AT
+    // the 200 threshold does NOT fire (strict >)
+    assert(got("word_count") == ((5L, 1L, 200000L)), s"${got("word_count")}")
+    assert(got("mean_word_len") == ((5L, 1L, 200000L)),
+      s"${got("mean_word_len")}")
+    assert(got("top_tf") == ((5L, 2L, 400000L)), s"${got("top_tf")}")
+    assert(got("ttr") == ((5L, 1L, 200000L)), s"${got("ttr")}")
+    assert(got("stop_words") == ((5L, 2L, 400000L)), s"${got("stop_words")}")
+    assert(got("any") == ((5L, 3L, 600000L)), s"${got("any")}")
+  }
+
+  test("q174 invariants on the driver corpus: every source emits all " +
+    "six rules, 'any' dominates each individual rule, counts conserve") {
+    val rows = run("q174_quality_rule_battery").collect()
+      .map(r => ((if (r.isNullAt(0)) null else r.getString(0)),
+        r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    for ((src, rs) <- bySrc) {
+      val byRule = rs.map(t => t._2 -> ((t._3, t._4, t._5))).toMap
+      assert(byRule.keySet == Set("word_count", "mean_word_len", "top_tf",
+        "ttr", "stop_words", "any"), s"$src missing rules")
+      val nDocs = byRule.values.map(_._1).toSet
+      assert(nDocs.size == 1, s"$src: rule rows disagree on doc count")
+      val anyFired = byRule("any")._2
+      for ((rule, (_, fired, ppm)) <- byRule) {
+        assert(fired <= anyFired || rule == "any",
+          s"$src/$rule fired more than 'any'")
+        assert(ppm >= 0 && ppm <= 1000000L)
+      }
+    }
+  }
 }

@@ -148,9 +148,14 @@ object CorpusOps {
     */
   private def paraChunks(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, dir, "paras") {
-      Tables.parallel(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      val d = Tables.parallel(s, dir, "documents")
+      // planted q159-family fixtures write (doc_id, text) only — the
+      // keep-first consumer never reads source, so a missing column
+      // surfaces as null rather than failing the shared frame
+      val src = if (d.columns.contains("source")) col("source")
+        else lit(null).cast("string").as("source")
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"), src, tokens(col("text")).as("t"))
         .select(col("doc_id"), col("source"), posexplode(expr(
             "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
               "i -> struct(array_join(slice(t, i*20+1, 20), ' ') AS c, " +

@@ -64,7 +64,7 @@ object ScalingBench {
     // knob) and the per-language fertility rollup over q166's frame
     "q170_ivf_nprobe_sweep", "q171_tokenizer_fertility",
     "q172_epoch_repeat_plan", "q173_boilerplate_removal",
-    "q174_quality_rule_battery",
+    "q174_quality_rule_battery", "q175_contamination_sweep",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -2878,7 +2878,95 @@ object CorpusOps {
         "ratio, stopword floor) plus their OR — one tokenize, one " +
         "per-doc signal rollup, an in-row rule unfold to a " +
         "|sources|x6 table (pipeline ops brief: tune the battery, not " +
-        "one opaque flag)."))
+        "one opaque flag)."),
+
+    // ----------------------------------- contamination-threshold sweep
+    Q(
+      "q175_contamination_sweep",
+      (s, dir) => {
+        // The decontamination knob's tuning table: q63 flags a corpus
+        // doc at >= 1 shared bench 5-gram — maximally safe, but ONE
+        // coincidental shingle can cost a whole document. This sweeps
+        // the threshold (>= 1/2/4/8 shared grams) and reports, per
+        // source, how many docs and tokens each floor would remove —
+        // the leakage-vs-yield curve an operator reads before fixing
+        // the knob (q160's sweep discipline applied to q63's rule).
+        //
+        // Scale shape: the per-doc shared-gram counts are q63's hits
+        // aggregate off the staged grams5 frame (broadcast bench probe,
+        // one corpus-side scan); the sweep is a bucket rollup (docs
+        // keyed by their smallest qualifying floor: n >= k iff
+        // bucket >= k on a doubling grid... NOT exact for arbitrary n,
+        // so the rollup keys on min(n_shared, 8) clamped to the grid
+        // frontier via the same smallest-fitting trick as q167 — n >= k
+        // iff frontier(n) >= k holds exactly because the grid is the
+        // comparison set) + a driver-sized cross with the 4-row grid.
+        val g5 = Grams.hashed(s, dir, 5)
+        val benchG = g5.filter(col("doc_id") < 10).select("ng").distinct()
+        val corpus = docs(s, dir).filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("source"),
+            coalesce(size(tokens(col("text"))), lit(0)).cast("long")
+              .as("tok"))
+        val hits = g5.filter(col("doc_id") >= 10)
+          .join(broadcast(benchG), "ng")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        // frontier(n) = largest grid value <= n (0 when n < 1):
+        // n >= k  iff  frontier(n) >= k, for k in the grid
+        val grid = Seq(1L, 2L, 4L, 8L)
+        val frontier = grid.foldLeft(lit(0L): Column)((acc, k) =>
+          when(col("n_shared") >= k, lit(k)).otherwise(acc))
+        val byB = corpus
+          .join(hits, Seq("doc_id"), "left_outer")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .select(col("source"), col("tok"), frontier.as("f"))
+          .groupBy(col("source"), col("f"))
+          .agg(count(lit(1)).as("cnt"), sum(col("tok")).as("tk"))
+        import s.implicits._
+        byB.crossJoin(broadcast(grid.toDF("min_shared")))
+          .groupBy(col("source"), col("min_shared"))
+          .agg(
+            sum(col("cnt")).as("n_docs"),
+            sum(when(col("f") >= col("min_shared"), col("cnt"))
+              .otherwise(0L)).as("docs_removed"),
+            sum(when(col("f") >= col("min_shared"), col("tk"))
+              .otherwise(0L)).as("tokens_removed"))
+          .withColumn("removed_ppm",
+            expr("docs_removed * 1000000L div greatest(n_docs, 1L)"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+        g5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+               FROM tk, UNNEST(generate_series(1, len(t) - 4)) AS s(i)),
+        bench AS (SELECT DISTINCT ng FROM g5 WHERE doc_id < 10),
+        hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+                 FROM g5 JOIN bench USING (ng)
+                 WHERE doc_id >= 10 GROUP BY doc_id),
+        c AS (SELECT d.doc_id, d.source,
+                     CAST(COALESCE(len(string_split(d.text, ' ')), 0)
+                          AS BIGINT) AS tok,
+                     COALESCE(h.n_shared, 0) AS n_shared
+              FROM documents d LEFT JOIN hits h USING (doc_id)
+              WHERE d.doc_id >= 10),
+        g AS (SELECT CAST(k AS BIGINT) AS min_shared
+              FROM (VALUES (1), (2), (4), (8)) t(k))
+        SELECT c.source, g.min_shared,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c.n_shared >= g.min_shared THEN 1
+                        ELSE 0 END) AS BIGINT) AS docs_removed,
+               CAST(SUM(CASE WHEN c.n_shared >= g.min_shared THEN c.tok
+                        ELSE 0 END) AS BIGINT) AS tokens_removed,
+               CAST(SUM(CASE WHEN c.n_shared >= g.min_shared THEN 1
+                        ELSE 0 END) AS BIGINT) * 1000000
+                 // GREATEST(COUNT(*), 1) AS removed_ppm
+        FROM c, g
+        GROUP BY 1, 2"""),
+      "Contamination-threshold sweep: per (source, floor in 1/2/4/8 " +
+        "shared bench 5-grams) the docs/tokens that floor would remove " +
+        "— q63's rule swept to the leakage-vs-yield curve, off the " +
+        "staged grams5 frame + a bucket rollup (exact: the frontier " +
+        "bucket keys on the grid itself, so n >= k iff frontier >= k) " +
+        "(pipeline ops brief: tune the decon knob without rescans)."))
 
   /** One-time per-(sfDir) staging of the corpus as JSONL + CSV under a tmp
     * dir — the side-effect analog of [[graft.Staging]] (cost once per

@@ -70,7 +70,7 @@ class DirtyCorpusSpec extends SparkSpec {
     "q167_context_length_plan", "q168_dedup_cascade_audit",
     "q169_dup_cap_curation", "q171_tokenizer_fertility",
     "q172_epoch_repeat_plan", "q173_boilerplate_removal",
-    "q174_quality_rule_battery")
+    "q174_quality_rule_battery", "q175_contamination_sweep")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

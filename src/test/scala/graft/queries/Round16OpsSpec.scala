@@ -782,4 +782,48 @@ class Round16OpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------------------------- q175
+
+  test("q175 planted fixture: docs engineered to share exactly " +
+    "0/1/2/4/8/9 bench 5-grams land on the right side of every floor") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q175_").toString
+    val b = (1 to 14).map(i => s"b$i")
+    def pre(k: Int) = b.take(k + 4).mkString(" ") // exactly k shared grams
+    val docs = Seq(
+      (1L, "s", b.mkString(" ")), // the bench doc (10 grams)
+      (10L, "s", (1 to 10).map(i => s"c$i").mkString(" ")), // 0 shared
+      (11L, "s", pre(1)), (12L, "s", pre(2)), (13L, "s", pre(4)),
+      (14L, "s", pre(8)), (15L, "s", pre(9)))
+    docs.toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = run("q175_contamination_sweep", dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((6L, 5L, 44L, 833333L)), s"floor 1: ${got(1L)}")
+    assert(got(2L) == ((6L, 4L, 39L, 666666L)), s"floor 2: ${got(2L)}")
+    assert(got(4L) == ((6L, 3L, 33L, 500000L)), s"floor 4: ${got(4L)}")
+    assert(got(8L) == ((6L, 2L, 25L, 333333L)), s"floor 8: ${got(8L)}")
+  }
+
+  test("q175 invariants on the driver corpus: removal monotone " +
+    "nonincreasing in the floor, and floor 1 equals q63's binary rule") {
+    val rows = run("q175_contamination_sweep").collect()
+      .map(r => ((if (r.isNullAt(0)) null else r.getString(0)),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((src, rs) <- rows.groupBy(_._1)) {
+      val byFloor = rs.sortBy(_._2)
+      for (Seq(a, c) <- byFloor.toSeq.sliding(2)) {
+        assert(a._4 >= c._4, s"$src docs_removed not monotone")
+        assert(a._5 >= c._5, s"$src tokens_removed not monotone")
+      }
+    }
+    val floor1 = rows.filter(_._2 == 1L).map(_._4).sum
+    val q63 = run("q63_decontamination").collect()
+      .map(_.getInt(2).toLong).sum
+    assert(floor1 == q63,
+      "floor 1 must reproduce q63's binary contamination count")
+  }
 }

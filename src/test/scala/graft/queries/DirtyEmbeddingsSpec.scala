@@ -241,4 +241,19 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     val ppm = r.getLong(2)
     assert(ppm >= 0L && ppm <= 1000000L, s"recall_ppm out of range: $ppm")
   }
+
+  test("q170 nprobe sweep runs on the dirty index (malformed centroids, " +
+    "null/empty queries): four rows, bounded recall, monotone cost") {
+    val rows = graft.SparkEntry.queries("q170_ivf_nprobe_sweep")(
+        spark, dirtyDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == Seq(1L, 2L, 4L, 8L))
+    for ((np, rec, cand) <- rows) {
+      assert(rec >= 0L && rec <= 1000000L, s"nprobe $np recall $rec")
+      assert(cand >= 0L)
+    }
+    for (Seq(a, b) <- rows.sliding(2))
+      assert(a._3 <= b._3, "candidate cost must be monotone in nprobe")
+  }
 }

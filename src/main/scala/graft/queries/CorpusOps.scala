@@ -797,15 +797,19 @@ object CorpusOps {
             sum(col("n_tokens")).as("tokens_raw"),
             sum(col("kept")).as("tokens_exported"))
           .withColumn("kept_ppm",
-            expr("tokens_exported * 1000000L div greatest(tokens_raw, 1L)"))
+            // per-source token TOTALS: decimal scaling (oracle: HUGEINT)
+            // so the *1e6 never wraps Long past ~9.2e12 tokens/source
+            expr("cast(tokens_exported as decimal(25,0)) * 1000000 div " +
+              "greatest(tokens_raw, 1L)"))
       },
       Some(survivorsCte + """
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs_exported,
                CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
                CAST(SUM(kept) AS BIGINT) AS tokens_exported,
-               (CAST(SUM(kept) AS BIGINT) * 1000000)
-                 // GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1) AS kept_ppm
+               CAST(CAST(SUM(kept) AS HUGEINT) * 1000000
+                 // GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1) AS BIGINT)
+                 AS kept_ppm
         FROM survivors GROUP BY source"""),
       "Training export manifest — the capstone composition: corpus-side " +
         "docs, decontaminated (q63 rule), exact-dup canonical (q34 " +
@@ -2558,7 +2562,12 @@ object CorpusOps {
             (col("tot_tok") - col("kept_tokens")).as("trunc_tokens"),
             (col("ctx_len") * col("docs_fit") - col("fit_tok"))
               .as("pad_tokens"),
-            expr("kept_tokens * 1000000L div (ctx_len * tot_docs)")
+            // corpus-TOTAL token math: a Long multiply by 1e6 would
+            // overflow past ~9.2e12 total tokens (~40 TB of text — inside
+            // the design envelope), so the scaling runs in decimal
+            // (DuckDB: HUGEINT); `div` floors back to BIGINT exactly
+            expr("cast(kept_tokens as decimal(25,0)) * 1000000 div " +
+              "(cast(ctx_len as decimal(25,0)) * tot_docs)")
               .as("util_ppm"))
       },
       Some("""
@@ -2581,7 +2590,9 @@ object CorpusOps {
         SELECT ctx_len, docs_fit, tot_docs - docs_fit AS docs_trunc,
                kept_tokens, tot_tok - kept_tokens AS trunc_tokens,
                ctx_len * docs_fit - fit_tok AS pad_tokens,
-               kept_tokens * 1000000 // (ctx_len * tot_docs) AS util_ppm
+               CAST(CAST(kept_tokens AS HUGEINT) * 1000000
+                    // (CAST(ctx_len AS HUGEINT) * tot_docs) AS BIGINT)
+                 AS util_ppm
         FROM k"""),
       "Context-length budget planning: per candidate max_seq_len the " +
         "fit/truncation/padding accounting of one-doc-per-sequence " +
@@ -2633,7 +2644,11 @@ object CorpusOps {
               "greatest(t * 2L - cum_before, 0L))"))
           .select(col("source"), col("q_rank"), col("q_milli"),
             col("src_tokens"), col("served_tokens"),
-            expr("served_tokens * 1000000L div greatest(src_tokens, 1L)")
+            // source-total token math — decimal like q167's util_ppm, so
+            // the *1e6 scaling never wraps Long at the ~9.2e12-token
+            // ceiling (epochs_ppm itself is ≤ 4e6, always BIGINT-safe)
+            expr("cast(served_tokens as decimal(25,0)) * 1000000 div " +
+              "greatest(src_tokens, 1L)")
               .as("epochs_ppm"))
       },
       Some("""
@@ -2665,8 +2680,8 @@ object CorpusOps {
                           AS served_tokens
                  FROM rk, tot)
         SELECT source, q_rank, q_milli, src_tokens, served_tokens,
-               served_tokens * 1000000 // GREATEST(src_tokens, 1)
-                 AS epochs_ppm
+               CAST(CAST(served_tokens AS HUGEINT) * 1000000
+                    // GREATEST(src_tokens, 1) AS BIGINT) AS epochs_ppm
         FROM plan"""),
       "Data-constrained epoch plan: fill a 2x-corpus compute budget in " +
         "source-quality order with up to 4 epochs per source (the " +

@@ -1511,6 +1511,14 @@ object DedupOps {
         // groupBy) carrying (source, tok) through; the per-source rollup
         // is a map-side-combined aggregation to |sources| rows.
         val MaxCopies = 3
+        // null-text docs all hash to ONE shared null fingerprint (md5 of
+        // null is null, and the window groups nulls together) — so the
+        // 4th+ empty/null doc per corpus counts as a dropped duplicate.
+        // Deliberate, and consistent with q34's canonical rule (which
+        // collapses the same null group to its min doc_id): an empty doc
+        // carries no content to distinguish copies by, so the copy cap
+        // applies to the class as a whole (q173 documents its null-source
+        // rule the same way).
         val fpCol =
           md5(array_join(array_sort(tokens(normText(col("text")))), " "))
         val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))

@@ -101,7 +101,9 @@ object TextOps {
                GROUP BY 1, 2),
         jj AS (SELECT doc_id, k,
                       CAST(length(dw.w) AS BIGINT) AS wlen,
-                      COALESCE(enc.n_sub, CAST(length(dw.w) AS BIGINT)) AS nt
+                      COALESCE(enc.n_sub,
+                               GREATEST(CAST(length(dw.w) AS BIGINT), 1))
+                        AS nt
                FROM dw LEFT JOIN enc ON dw.w = enc.w),
         bpe_doc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
                            CAST(SUM(k * nt) AS BIGINT) AS n_bpe_tokens,
@@ -135,7 +137,13 @@ object TextOps {
       .join(enc, Seq("w"), "left_outer")
       .select(col("doc_id"), col("k"),
         length(col("w")).cast("long").as("wlen"),
-        coalesce(col("n_sub"), length(col("w")).cast("long")).as("nt"))
+        // char-level fallback FLOORED at 1: consecutive spaces tokenize
+        // into "" (length 0), and an unfloored fallback would let
+        // n_bpe_tokens < n_words — breaking the documented 'a word
+        // encodes to >= 1 token' / fertility >= 1e6 invariants. A real
+        // encoder emits at least one (unk) token per word.
+        coalesce(col("n_sub"),
+          greatest(length(col("w")).cast("long"), lit(1L))).as("nt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_words"),
         sum(col("k") * col("nt")).as("n_bpe_tokens"),
@@ -151,9 +159,35 @@ object TextOps {
     * Staging serializes racing frame builds (sbt runs suites in parallel
     * against a shared session; a lost race would train twice for an
     * identical table).
+    *
+    * Staleness contract (same as [[graft.Staging]]'s): the memo is keyed
+    * by (session, dir) and never observes the files — REWRITING
+    * `documents` under an already-trained dir within one session serves
+    * the stale merge table (exactly as a staged frame would serve stale
+    * rows). Tests that rewrite fixtures use a fresh dir per corpus;
+    * [[memoizedMerges]] / [[clearMerges]] expose and evict the
+    * session's entries so a long-lived session can inspect or drop them
+    * (entries die with the session otherwise — a session's dirs are
+    * bounded by the dirs it queries, the Staging bound).
     */
   private val mergeMemo =
     TrieMap.empty[(SparkSession, String), Seq[(Long, String, String, Long, Long)]]
+
+  /** Dirs holding a memoized merge table for session `s` — mirror of
+    * [[graft.Staging.stagedNames]] for the tokenizer artifact.
+    */
+  private[graft] def memoizedMerges(s: SparkSession): Set[String] =
+    mergeMemo.keySet.collect { case (sess, d) if sess eq s => d }.toSet
+
+  /** Evict session `s`'s memoized merge tables (all dirs, or one) — the
+    * re-train hook for a caller that rewrote a dir's documents in place.
+    */
+  private[graft] def clearMerges(s: SparkSession,
+      dir: Option[String] = None): Unit = mergeMemo.synchronized {
+    mergeMemo.keySet.filter { case (sess, d) =>
+      (sess eq s) && dir.forall(_ == d)
+    }.foreach(mergeMemo.remove)
+  }
 
   private[graft] def learnedMerges(s: SparkSession, dir: String)
       : Seq[(Long, String, String, Long, Long)] = mergeMemo.synchronized {
@@ -486,7 +520,10 @@ object TextOps {
             sum(col("n_words")).as("n_words"),
             sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
           .withColumn("fertility_ppm",
-            expr("n_bpe_tokens * 1000000L div greatest(n_words, 1L)"))
+            // per-language token TOTALS: decimal scaling (oracle:
+            // HUGEINT) so *1e6 never wraps Long past ~9.2e12 tokens/lang
+            expr("cast(n_bpe_tokens as decimal(25,0)) * 1000000 div " +
+              "greatest(n_words, 1L)"))
       },
       Some(bpeDocSql(MergeRounds) + """,
         lc AS (
@@ -515,8 +552,8 @@ object TextOps {
           FROM bpe_doc JOIN pl USING (doc_id)
           GROUP BY 1)
         SELECT pred_lang, n_docs, n_words, n_bpe_tokens,
-               n_bpe_tokens * 1000000 // GREATEST(n_words, 1)
-                 AS fertility_ppm
+               CAST(CAST(n_bpe_tokens AS HUGEINT) * 1000000
+                    // GREATEST(n_words, 1) AS BIGINT) AS fertility_ppm
         FROM fr"""),
       "Tokenizer fertility audit: subword tokens per word by predicted " +
         "language (q33's argmax) under the learned merges — q166's " +

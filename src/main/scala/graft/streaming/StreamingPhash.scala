@@ -54,6 +54,16 @@ final case class PhashPair(i: Long, j: Long, hamming: Int)
   * Pairs may repeat across bands (batch `.distinct()`s the same way);
   * consumers dedup downstream. Emitted Hamming distances are exact, so
   * streamed rows carry the same (i, j, hamming) values as batch rows.
+  *
+  * Re-delivery caveat (same class as the repeat-across-bands one): a
+  * STORED member's docId re-arriving is skipped by the `members.exists`
+  * check, but a doc that arrived at an already-FULL bucket is verified
+  * and not stored — so under at-least-once upstream delivery its
+  * re-arrival re-verifies and re-emits its pairs. Emitted values are
+  * identical either way (signatures are content-derived), so the
+  * downstream pair-dedup that already handles cross-band repeats
+  * absorbs this too; remembering seen-but-unstored ids would grow
+  * state UNBOUNDED on exactly the flood the cap exists to bound.
   */
 object StreamingPhash {
 

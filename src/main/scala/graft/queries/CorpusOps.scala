@@ -85,6 +85,82 @@ object CorpusOps {
     }
   }
 
+  /** The written shard tree for (session, dir) — q176's side effect,
+    * built ONCE per session via the Staging marker discipline (the
+    * bucketed_facts precedent, so the artifact cost is an attributed
+    * `export_shards` staging line). The q162 assignment (seeded-hash
+    * pack order, prefix-sum placement, shard_id = start div 4096) joins
+    * back to doc text and writes parquet partitioned by shard_id:
+    *
+    *   - TWO-PHASE PUBLISH (the K4 dim-upsert swap, DimRouter.scala:162
+    *     discipline): the tree lands under `stage/`, row count and
+    *     token sum are verified against the assignment, and only then
+    *     does one atomic rename publish it as `shards/` — a crash
+    *     mid-write leaves a stage directory, never a half-published
+    *     artifact a loader could read.
+    *   - fail-loud verification BEFORE publish: written docs/tokens
+    *     must equal the assignment's (a lost task or a swallowed write
+    *     error surfaces here, not in a trainer).
+    *
+    * Returns the published directory. Staleness contract = Staging's:
+    * rewriting `documents` under the same dir within a session serves
+    * the stale tree. The scratch root is shutdown-hook-cleaned.
+    */
+  private[graft] def shardFiles(s: SparkSession, dir: String): String =
+    graft.Staging.stage(s, dir, "export_shards") {
+      import graft.operators.RangeOps
+      val C = 4096L
+      val surv = exportSurvivors(s, dir)
+        .withColumn("hv", hash32(concat_ws(":", lit(1), col("doc_id"))))
+      val (ranked, _) = RangeOps.globalRowNumber(surv, "hv", "doc_id", "pos")
+      val assigned = RangeOps.runningSum(ranked, "pos", "kept", "cum")
+        .withColumn("shard_id", expr(s"(cum - kept) div ${C}L"))
+        .join(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("pos"), col("kept"), col("text"),
+          col("shard_id"))
+      val base = graft.Staging.scratchDir("graft_shards_")
+      val stagePath = s"$base/stage"
+      val finalPath = s"$base/shards"
+      assigned.write.partitionBy("shard_id").parquet(stagePath)
+      val want = assigned.agg(count(lit(1)), coalesce(sum(col("kept")),
+        lit(0L))).head()
+      val got = s.read.schema(
+          "doc_id LONG, pos LONG, kept LONG, text STRING, shard_id LONG")
+        .parquet(stagePath)
+        .agg(count(lit(1)), coalesce(sum(col("kept")), lit(0L))).head()
+      if (want.getLong(0) != got.getLong(0) ||
+          want.getLong(1) != got.getLong(1))
+        throw new IllegalStateException(
+          s"q176: staged shard tree holds ${got.getLong(0)} docs / " +
+            s"${got.getLong(1)} tokens but the assignment has " +
+            s"${want.getLong(0)} / ${want.getLong(1)} — refusing to " +
+            "publish a partial export")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(stagePath),
+        java.nio.file.Paths.get(finalPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      import s.implicits._
+      Seq(finalPath).toDF("shard_dir")
+    }.head().getString(0)
+
+  /** Per-shard manifest FROM a written shard frame — shared by q176 and
+    * the corruption spec (which recomputes it over a doctored tree):
+    * doc/token counts, first/last doc in pack order, q162's
+    * order-independent (doc_id, kept) checksum, and the null-safe
+    * content fingerprint sum over the written payloads.
+    */
+  private[graft] def shardRollup(written: DataFrame): DataFrame =
+    written.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_tokens"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        sum(hash32(concat_ws(":", col("doc_id"), col("kept"))))
+          .as("checksum"),
+        sum(hash32(concat_ws(":", col("doc_id"),
+          coalesce(md5(col("text")), lit("<null-text>")))))
+          .as("content_checksum"))
+
   /** Oracle CTE chain ending in `survivors(doc_id, source, n_tokens,
     * kept)` — the SQL twin of [[exportSurvivors]], shared by the q156
     * and q162 oracles.
@@ -884,6 +960,74 @@ object CorpusOps {
         "tokens, first/last doc, and an order-independent integer " +
         "checksum — the size-bounded manifest a trainer's loader " +
         "physically reads (pipeline ops brief: the export artifact)."),
+
+    // ------------------------------------- physical export shard WRITE
+    Q(
+      "q176_export_shard_write",
+      (s, dir) => {
+        // The plan → artifact closure: q162 SAYS where every surviving
+        // doc goes; this WRITES doc content into shard-addressed parquet
+        // (partitionBy shard_id, two-phase atomic publish — the K4
+        // swap discipline) and then computes the per-shard manifest
+        // FROM THE WRITTEN FILES, never from the plan. The step where
+        // export bugs actually live — partial writes, dropped docs,
+        // content corruption — is exactly what this query's gate
+        // checks: the oracle replays the same rollup arithmetic from
+        // the SOURCE tables, so any divergence between what was meant
+        // to be written and what a reader finds on disk breaks the
+        // hash. Beyond q162's order-independent (doc_id, kept)
+        // checksum, content_checksum fingerprints the PAYLOAD
+        // (md5 of the written text, null-safe per StreamingExport's
+        // `<null-text>` rule) — a flipped byte in any shard file
+        // changes it (Round17OpsSpec corrupts a shard and proves it).
+        //
+        // Scale shape: the write is one pass over the q162 assignment
+        // (the staged survivor frame + the two RangeOps passes + a
+        // doc_id-keyed text join), executor-parallel into per-shard
+        // directories; the read-back rollup is a scan of the written
+        // files with a |shards|-sized aggregate. Write once per
+        // (session, dir) via the Staging marker discipline
+        // (bucketed_facts precedent) — the artifact cost is an
+        // attributed staging line, steady-state cost is the read-back.
+        val written = s.read.schema(
+            "doc_id LONG, pos LONG, kept LONG, text STRING, shard_id LONG")
+          .parquet(shardFiles(s, dir))
+        shardRollup(written)
+      },
+      Some(survivorsCte + """,
+        sv AS (SELECT s.doc_id, s.kept,
+                      CAST(('0x' || substr(md5(s.doc_id || ':' ||
+                        COALESCE(md5(d.text), '<null-text>')), 1, 8))
+                        AS BIGINT) AS cfp,
+                      CAST(('0x' || substr(md5(1 || ':' || s.doc_id), 1, 8))
+                           AS BIGINT) AS hv
+               FROM survivors s JOIN documents d USING (doc_id)),
+        rk AS (SELECT doc_id, kept, cfp,
+                      row_number() OVER (ORDER BY hv, doc_id) AS pos
+               FROM sv),
+        cm AS (SELECT doc_id, kept, cfp, pos,
+                      CAST(SUM(kept) OVER (ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM rk),
+        sh AS (SELECT (cum - kept) // 4096 AS shard_id, doc_id, kept,
+                      cfp, pos
+               FROM cm)
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_tokens,
+               arg_min(doc_id, pos) AS first_doc,
+               arg_max(doc_id, pos) AS last_doc,
+               CAST(SUM(CAST(('0x' || substr(md5(doc_id || ':' || kept),
+                 1, 8)) AS BIGINT)) AS BIGINT) AS checksum,
+               CAST(SUM(cfp) AS BIGINT) AS content_checksum
+        FROM sh GROUP BY shard_id"""),
+      "Physical export shard WRITER: q162's assignment materialized as " +
+        "shard-partitioned parquet (doc content included; two-phase " +
+        "atomic publish), manifest recomputed FROM THE WRITTEN FILES " +
+        "with q162's checksum plus a null-safe content fingerprint — " +
+        "the oracle replays the arithmetic from the source tables, so " +
+        "partial writes, dropped docs, or payload corruption break the " +
+        "hash (pipeline ops brief: close the plan-to-artifact loop)."),
 
     // ------------------------------------- bloom-filter decontamination
     Q(

@@ -70,7 +70,11 @@ class DirtyCorpusSpec extends SparkSpec {
     "q167_context_length_plan", "q168_dedup_cascade_audit",
     "q169_dup_cap_curation", "q171_tokenizer_fertility",
     "q172_epoch_repeat_plan", "q173_boilerplate_removal",
-    "q174_quality_rule_battery", "q175_contamination_sweep")
+    "q174_quality_rule_battery", "q175_contamination_sweep",
+    // round 17 (q176 on this corpus writes an EMPTY shard tree — every
+    // doc_id is bench-side < 10 — which must publish and roll up to
+    // zero rows, not fail on schema inference)
+    "q176_export_shard_write")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -337,6 +337,48 @@ object MultimodalOps {
       .map(id => MediaRow(id, "image", pgmImage(id), Map.empty))
   }
 
+  /** Banded Hamming near-dup pairs over a `(doc_id, sig)` signature frame
+    * — the q126 pigeonhole geometry shared by q163 (image dHash) and
+    * q177 (audio energy contour): `nBands` bands of `bandBits` bits
+    * (maxHamming flips break at most maxHamming bands, so nBands >
+    * maxHamming keeps every qualifying pair sharing an intact band),
+    * `cap`-bounded buckets (identical-signature floods collide on ALL
+    * bands; the cap bounds that bucket's pairwork), bit_count(xor)
+    * verify. The signature SOURCE is a parameter — the same
+    * generalization [[graft.streaming.StreamingPhash]] gets for free by
+    * taking a signature frame.
+    *
+    * Scale shape: the band join is bucketed, never all-pairs; pair work
+    * is O(cap² · buckets).
+    */
+  private[graft] def hammingBandPairs(sigs: DataFrame, nBands: Int = 4,
+      bandBits: Int = 14, cap: Int = 100, maxHamming: Int = 3): DataFrame = {
+    val mask = (1 << bandBits) - 1
+    val bands = sigs
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("sig"), bandBits * b).bitwiseAND(mask)): _*))
+          .as(Seq("band", "bv")))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("bv"))))
+      .filter(col("n") <= cap)
+    bands
+      .groupBy(col("band"), col("bv"))
+      .agg(collect_list(struct(col("doc_id").as("d"),
+        col("sig").as("sg"))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, ix) -> " +
+          "filter(transform(ids, (y, iy) -> " +
+          "IF(x.d < y.d, struct(x.d AS i, x.sg AS si, y.d AS j, y.sg AS sj), " +
+          "NULL)), p -> p IS NOT NULL)))"))
+        .as("p"))
+      .select(col("p.i"), col("p.j"),
+        bit_count(col("p.si").bitwiseXOR(col("p.sj"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q40_multimodal_meta",
@@ -521,31 +563,11 @@ object MultimodalOps {
         //
         // Scale shape: decode is scan-speed mapPartitions (header+raster
         // bounded); the band join is bucketed, never all-pairs; pair
-        // work is O(cap² · buckets) like q126.
-        val sigs = decodeDHash(syntheticPgms(s, dir)).toDF("doc_id", "dhash")
-        val bands = sigs
-          .select(col("doc_id"), col("dhash"),
-            posexplode(array((0 until 4).map(b =>
-              shiftright(col("dhash"), 14 * b).bitwiseAND(16383)): _*))
-              .as(Seq("band", "bv")))
-          .withColumn("n", count(lit(1))
-            .over(Window.partitionBy(col("band"), col("bv"))))
-          .filter(col("n") <= 100)
-        bands
-          .groupBy(col("band"), col("bv"))
-          .agg(collect_list(struct(col("doc_id").as("d"),
-            col("dhash").as("sg"))).as("ids"))
-          .select(explode(expr(
-            "flatten(transform(ids, (x, ix) -> " +
-              "filter(transform(ids, (y, iy) -> " +
-              "IF(x.d < y.d, struct(x.d AS i, x.sg AS si, y.d AS j, y.sg AS sj), " +
-              "NULL)), p -> p IS NOT NULL)))"))
-            .as("p"))
-          .select(col("p.i"), col("p.j"),
-            bit_count(col("p.si").bitwiseXOR(col("p.sj"))).cast("int")
-              .as("hamming"))
-          .filter(col("hamming") <= 3)
-          .distinct()
+        // work is O(cap² · buckets) like q126 — the shared
+        // [[hammingBandPairs]] geometry (q177 runs the identical
+        // banding over audio energy-contour signatures).
+        hammingBandPairs(
+          decodeDHash(syntheticPgms(s, dir)).toDF("doc_id", "sig"))
       },
       Some("""
         WITH ids AS (
@@ -583,7 +605,70 @@ object MultimodalOps {
         "dHash → 4x14-bit Hamming bands (pigeonhole-complete for d<=3) + " +
         "bit_count(xor) verify — the dedup x multimodal composition, " +
         "hash-checked against an arithmetic oracle replaying the pixels " +
-        "(pipeline ops brief: image dedup)."))
+        "(pipeline ops brief: image dedup)."),
+
+    Q(
+      "q177_audio_perceptual_neardup",
+      (s, dir) => {
+        // q163's composition for the AUDIO modality — the row that
+        // finishes the modality-dedup matrix: every doc becomes a real
+        // 8-bit mono WAV whose 3648 PCM samples derive from doc_id
+        // arithmetic (ids ≡ 4 mod 5 are planted near-dups of their
+        // predecessor, frame 0 raised by +1), decodeAudioFingerprint
+        // walks the chunk list, reads EVERY sample, and emits the
+        // 56-bit energy-contour fingerprint (sign of successive
+        // frame-energy deltas — dHash's discipline on the time axis),
+        // and pairs verify through the SAME [[hammingBandPairs]]
+        // geometry as q163 — 4×14-bit bands, 100-doc bucket cap,
+        // bit_count(xor) ≤ 3. A parser or energy misread of any sample
+        // breaks the hash against the arithmetic oracle (the fixture's
+        // step-wise signal makes the oracle 57 rows/doc while the
+        // Spark side sums all 64 samples per frame for real).
+        //
+        // Scale shape: decode is scan-speed mapPartitions (payload
+        // bounded); banding is bucketed, never all-pairs — identical
+        // to q163 by construction (shared helper).
+        hammingBandPairs(
+          decodeAudioFingerprint(syntheticPcmWavs(s, dir))
+            .toDF("doc_id", "sig"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END
+                   AS base
+          FROM documents),
+        bits AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN
+                     ((base * 31 + (f + 1) * 7) % 251)
+                     > ((base * 31 + f * 7) % 251
+                        + CASE WHEN doc_id % 5 = 4 AND f = 0
+                               THEN 1 ELSE 0 END)
+                   THEN CAST(1 AS BIGINT) << f ELSE 0 END)
+                   AS BIGINT) AS sig
+          FROM ids, UNNEST(generate_series(0, 55)) AS fs(f)
+          GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, sig, band, bv FROM (
+            SELECT doc_id, sig, b AS band,
+                   (sig >> (14 * b)) & 16383 AS bv,
+                   COUNT(*) OVER (PARTITION BY b,
+                     (sig >> (14 * b)) & 16383) AS n
+            FROM bits, UNNEST(generate_series(0, 3)) AS s(b))
+          WHERE n <= 100),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT i, j, hamming FROM cand WHERE hamming <= 3"""),
+      "Perceptual audio near-dup: real WAV chunk-walk + 8-bit PCM decode " +
+        "→ 56-bit energy-contour fingerprint (sign of successive " +
+        "frame-energy deltas) → the SAME 4x14-bit Hamming banding as " +
+        "q163 (shared helper) — the audio row of the modality-dedup " +
+        "matrix, hash-checked against an arithmetic oracle replaying " +
+        "the frame energies (pipeline ops brief: audio dedup)."))
 
   // --------------------------------------------------- audio (RIFF/WAVE)
 
@@ -601,7 +686,12 @@ object MultimodalOps {
     * present with sane fields. Like [[parseDims]], non-WAV payloads fall
     * back at the caller.
     */
-  def parseWav(b: Array[Byte]): Option[AudioMeta] = {
+  def parseWav(b: Array[Byte]): Option[AudioMeta] = walkWav(b).map(_._1)
+
+  /** The chunk walk behind [[parseWav]], additionally returning the data
+    * chunk's payload OFFSET so [[parseWavPcm]] can read the samples.
+    */
+  private def walkWav(b: Array[Byte]): Option[(AudioMeta, Int)] = {
     def u8(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long =
@@ -611,14 +701,14 @@ object MultimodalOps {
     if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None
-    var data: Option[Long] = None
+    var data: Option[(Long, Int)] = None
     var halted = false
     while (!halted && i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(i)
       val len = le32(i + 4)
       if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length)
         fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
-      else if (id == "data") data = Some(len)
+      else if (id == "data") data = Some((len, i + 8))
       // a declared chunk length whose advance can't stay in-bounds would
       // wrap Int negative (walking BACKWARD — an adversarial payload could
       // loop the parser forever) or index past the buffer on the next
@@ -629,9 +719,109 @@ object MultimodalOps {
       // chunks are word-aligned; an odd payload length carries a pad byte
       else i += 8 + len.toInt + (len.toInt & 1)
     }
-    for ((ch, rate, bits) <- fmt; d <- data
+    for ((ch, rate, bits) <- fmt; (d, off) <- data
          if ch > 0 && rate > 0 && bits > 0 && bits % 8 == 0)
-      yield AudioMeta(0L, ch, rate, bits, d)
+      yield (AudioMeta(0L, ch, rate, bits, d), off)
+  }
+
+  /** Real PCM sample extraction — 8-bit mono only (the energy-contour
+    * fingerprint's input contract; other layouts are out of scope for
+    * the q177 fixture and return None like every unparseable payload —
+    * the K6 drop rule). A data chunk whose declared length exceeds the
+    * bytes actually present is TRUNCATED and also drops: a fingerprint
+    * over a partial payload would silently mis-pair.
+    */
+  def parseWavPcm(b: Array[Byte]): Option[Array[Int]] =
+    walkWav(b).collect {
+      case (m, off)
+          if m.channels == 1 && m.bitsPerSample == 8 &&
+            m.dataBytes <= b.length - off =>
+        Array.tabulate(m.dataBytes.toInt)(j => b(off + j) & 0xff)
+    }
+
+  /** Energy-contour fingerprint frames: 57 frames × 64 samples → 56
+    * delta bits (dHash's discipline on the time axis).
+    */
+  private[graft] val FpFrames = 57
+  private[graft] val FrameLen = 64
+
+  /** 56-bit audio fingerprint: per-frame energy (sum of samples), bit f
+    * set iff frame f+1 is louder than frame f — the sign of successive
+    * frame-energy deltas, robust to constant gain offsets the way
+    * image dHash is robust to global brightness. Payloads shorter than
+    * the 57-frame window drop (None).
+    */
+  def audioFingerprint(samples: Array[Int]): Option[Long] =
+    if (samples.length < FpFrames * FrameLen) None
+    else {
+      val e = new Array[Long](FpFrames)
+      var f = 0
+      while (f < FpFrames) {
+        var s = 0L; var j = 0
+        while (j < FrameLen) { s += samples(f * FrameLen + j); j += 1 }
+        e(f) = s; f += 1
+      }
+      var sig = 0L
+      var k = 0
+      while (k < FpFrames - 1) {
+        if (e(k + 1) > e(k)) sig |= 1L << k
+        k += 1
+      }
+      Some(sig)
+    }
+
+  /** Batched executor-side PCM decoder + energy fingerprint (the
+    * decodeDHash shape for the audio modality); unparseable, truncated,
+    * non-8-bit-mono, or too-short payloads drop.
+    */
+  def decodeAudioFingerprint(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap(r => parseWavPcm(r.content)
+          .flatMap(audioFingerprint)
+          .map(sig => (r.mediaId, sig)))
+      }
+    }
+  }
+
+  /** One synthetic frame amplitude: a tiny integer formula both engines
+    * replay (range 0..250 so the near-dup +1 perturbation never clips).
+    * Every sample in frame f carries this value — a step-wise signal
+    * whose frame energy is FrameLen × amp, so the energy-delta sign
+    * reduces to the amp comparison the oracle replays per FRAME
+    * (57 rows/doc, q163's oracle cost), while the Spark side still
+    * decodes and sums every one of the 3648 PCM bytes for real.
+    */
+  private def pcmAmp(base: Long, f: Int): Int =
+    ((base * 31 + f * 7) % 251).toInt
+
+  /** Synthetic WAV payload with REAL PCM for one doc: ids with
+    * id % 5 == 4 carry the PREVIOUS id's samples with frame 0 raised by
+    * +1 — a planted near-duplicate at Hamming distance <= 1 (only the
+    * frame0→frame1 delta bit can flip). The header keeps [[wavHeader]]'s
+    * interposed odd-length LIST chunk, so a fixed-offset "parser" still
+    * breaks.
+    */
+  private def pcmWav(id: Long): Array[Byte] = {
+    val base = if (id % 5 == 4) id - 1 else id
+    val payload = new Array[Byte](FpFrames * FrameLen)
+    for (f <- 0 until FpFrames) {
+      val amp = pcmAmp(base, f) + (if (id % 5 == 4 && f == 0) 1 else 0)
+      var j = 0
+      while (j < FrameLen) { payload(f * FrameLen + j) = amp.toByte; j += 1 }
+    }
+    wavHeader(1, 8000, 8, payload.length) ++ payload
+  }
+
+  /** Documents replayed as real 8-bit mono PCM WAVs (the syntheticPgms
+    * discipline for the audio modality).
+    */
+  def syntheticPcmWavs(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "audio", pcmWav(id), Map.empty))
   }
 
   /** Batched executor-side audio header decoder (the decodeStub shape for

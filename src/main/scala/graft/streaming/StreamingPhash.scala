@@ -15,11 +15,16 @@ final case class PhashMember(docId: Long, sig: Long)
 /** A VERIFIED perceptual near-dup pair, canonically ordered (i < j). */
 final case class PhashPair(i: Long, j: Long, hamming: Int)
 
-/** Streaming perceptual image near-dup detection — batch q163's
-  * ingest-time twin, landing the same round as its batch op (the
-  * StreamingLsh discipline applied to the pixel modality): detect that an
-  * arriving image perceptually near-duplicates something ALREADY
-  * INGESTED, at arrival time. The decode (PGM parse → 56-bit gradient
+/** Streaming perceptual near-dup detection — batch q163's ingest-time
+  * twin, landing the same round as its batch op (the StreamingLsh
+  * discipline applied to the pixel modality): detect that an arriving
+  * image perceptually near-duplicates something ALREADY INGESTED, at
+  * arrival time. The SIGNATURE SOURCE is a parameter, not a modality:
+  * [[bandAssignments]] takes any (doc_id, dhash) 56-bit signature frame,
+  * so q177's audio energy-contour fingerprints ride the identical
+  * operator (StreamingPhashSpec's audio leg proves streamed ≡ batch
+  * q177) — one twin for the whole perceptual-signature family, no
+  * per-modality copies. The decode (PGM parse → 56-bit gradient
   * dHash) is stateless executor-side work, legal on an unbounded frame;
   * banding is q163's pigeonhole geometry (4 × 14-bit bands — d ≤ 3 flips
   * break at most 3 bands, so every qualifying pair shares an intact

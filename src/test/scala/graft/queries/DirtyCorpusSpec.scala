@@ -73,8 +73,10 @@ class DirtyCorpusSpec extends SparkSpec {
     "q174_quality_rule_battery", "q175_contamination_sweep",
     // round 17 (q176 on this corpus writes an EMPTY shard tree — every
     // doc_id is bench-side < 10 — which must publish and roll up to
-    // zero rows, not fail on schema inference)
-    "q176_export_shard_write")
+    // zero rows, not fail on schema inference; q177 synthesizes its WAVs
+    // from doc_id alone, so dirty text never reaches it — included for
+    // the execute-everything contract)
+    "q176_export_shard_write", "q177_audio_perceptual_neardup")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

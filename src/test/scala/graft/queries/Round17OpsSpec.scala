@@ -122,6 +122,86 @@ class Round17OpsSpec extends SparkSpec {
       "written pos must be the total pack order 1..N")
   }
 
+  // ------------------------------------------------------------- q177
+
+  test("q177: parseWavPcm decodes the container for real — the " +
+    "interposed LIST chunk is walked, header-only WAVs (q152's " +
+    "fixtures: declared data absent) drop as truncated, garbage and " +
+    "non-8-bit-mono layouts drop") {
+    import graft.queries.MultimodalOps._
+    val good = syntheticPcmWavs(spark, sfDir).head().content
+    val samples = parseWavPcm(good)
+    assert(samples.exists(_.length == FpFrames * FrameLen),
+      "a real PCM payload must parse to exactly the synthesized samples")
+    // truncation: chop the tail — the declared data length now exceeds
+    // the bytes present
+    assert(parseWavPcm(good.dropRight(100)).isEmpty,
+      "a truncated payload must drop, never fingerprint partially")
+    assert(parseWavPcm("garbage".getBytes("US-ASCII")).isEmpty)
+    // header-only WAVs from the q152 fixture family declare dataBytes
+    // they don't carry
+    val headerOnly = syntheticWavs(spark, sfDir).head().content
+    assert(parseWavPcm(headerOnly).isEmpty,
+      "header-only WAVs must drop from the PCM path")
+    // a hand-built 16-bit mono WAV: valid container, out-of-contract
+    // sample layout
+    val b16 = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { b16.write(v & 0xff); b16.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = for (s <- Seq(0, 8, 16, 24)) b16.write((v >>> s) & 0xff)
+    b16.write("RIFF".getBytes("US-ASCII")); le32(4 + 24 + 8 + 4)
+    b16.write("WAVE".getBytes("US-ASCII"))
+    b16.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    b16.write("data".getBytes("US-ASCII")); le32(4)
+    b16.write(Array[Byte](1, 2, 3, 4))
+    assert(parseWav(b16.toByteArray).nonEmpty,
+      "the 16-bit WAV is a VALID container (q152's path accepts it)")
+    assert(parseWavPcm(b16.toByteArray).isEmpty,
+      "16-bit layouts are outside the fingerprint contract and drop")
+  }
+
+  test("q177: decoded fingerprints match a first-principles energy " +
+    "recompute from the raw synthesized bytes, and the planted " +
+    "id % 5 == 4 near-dups sit at Hamming <= 1 of their predecessor") {
+    import spark.implicits._
+    import graft.queries.MultimodalOps._
+    val rows = syntheticPcmWavs(spark, sfDir)
+      .filter(col("mediaId") < 25).collect().sortBy(_.mediaId)
+    val got = decodeAudioFingerprint(
+      syntheticPcmWavs(spark, sfDir).filter(col("mediaId") < 25))
+      .collect().toMap
+    for (r <- rows) {
+      // the payload is the LAST FpFrames*FrameLen bytes of the container
+      // (the synth appends PCM after the header) — an independent read
+      // that never touches the chunk walk
+      val pcm = r.content.takeRight(FpFrames * FrameLen).map(_ & 0xff)
+      val e = (0 until FpFrames).map(f =>
+        (0 until FrameLen).map(j => pcm(f * FrameLen + j).toLong).sum)
+      var sig = 0L
+      for (f <- 0 until FpFrames - 1) if (e(f + 1) > e(f)) sig |= 1L << f
+      assert(got(r.mediaId) == sig,
+        s"doc ${r.mediaId}: decoded fingerprint diverged from the " +
+          "first-principles energy recompute")
+    }
+    val near = rows.filter(_.mediaId % 5 == 4)
+    assert(near.nonEmpty)
+    for (r <- near) {
+      val d = java.lang.Long.bitCount(got(r.mediaId) ^ got(r.mediaId - 1))
+      assert(d <= 1,
+        s"planted pair (${r.mediaId - 1}, ${r.mediaId}) at Hamming $d > 1")
+    }
+    // and the query itself surfaces every planted pair
+    val out = run("q177_audio_perceptual_neardup")
+      .select(col("i"), col("j")).as[(Long, Long)].collect().toSet
+    val planted = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].collect()
+      .filter(id => id % 5 == 4).map(id => (id - 1, id)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(out),
+      s"missing planted pairs: ${(planted -- out).take(5)}")
+  }
+
+  // ------------------------------------------------------------- q176
+
   test("q176 dirty corpus: null-text survivors write and fingerprint " +
     "null-safely (the <null-text> rule)") {
     import spark.implicits._

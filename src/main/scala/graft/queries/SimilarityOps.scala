@@ -1368,5 +1368,184 @@ object SimilarityOps {
         "lists — one assignment pass at the widest knob, one scoring " +
         "pass, each narrower nprobe a filter (pipeline ops brief: pick " +
         "the serving knob from the measured curve, q158's discipline " +
-        "for IVF)."))
+        "for IVF)."),
+
+    // ------------------------------------------------------ filtered ANN
+    Q(
+      "q178_filtered_ann",
+      (s, dir) => {
+        import graft.functions.VectorFns.cosine
+        // THE production-serving question the ANN family hadn't answered:
+        // every prior query searches the whole index, but real serving
+        // filters by metadata (the embeddings table's `label` — language,
+        // source, date in production), and the pre-filter vs post-filter
+        // trade decides the serving architecture. Both arms ride ONE
+        // scored candidate frame (q170's score-once discipline — the
+        // arms differ only in where the predicate sits relative to the
+        // top-k), measured against the FILTERED exact truth:
+        //   - post-filter (the bolt-on): unfiltered IVF top-5, predicate
+        //     applied after — cheap to retrofit, recall loss measured
+        //     (filtered hits inside the unfiltered top-5 are all it gets,
+        //     and n_returned < 5·nq shows the starved result set);
+        //   - pre-filter: predicate pushed into the candidate scan
+        //     BEFORE the top-5 — scans ~selectivity× fewer candidates
+        //     and returns a full result set.
+        // Post-filter's returned set is a SUBSET of pre-filter's by
+        // construction (an in-filter candidate surviving the unfiltered
+        // top-5 ranks ≤ 5 among in-filter candidates too), so pre recall
+        // ≥ post recall ALWAYS — Round17OpsSpec pins the containment and
+        // the strict gap on a skew-planted fixture.
+        //
+        // Scale shape: q170's — assignment once (corpus rank-1 to 16
+        // lists, queries keep top-4 centroid ranks), one scoring join,
+        // each arm a filter+window over the query-bounded candidate
+        // frame; the truth arm is the filtered brute force, broadcast
+        // queries, corpus scanned once.
+        val K = 5; val nCentroids = 16; val nProbe = 4
+        val Pred = 7 // ~10% selectivity on the uniform 10-class label
+        val raw = Tables(s, dir, "embeddings")
+        // planted ANN fixtures (DirtyEmbeddingsSpec) write (vec_id,
+        // embedding) only — a missing metadata column surfaces as null
+        // (matching no predicate: empty truth, zero recall), never a
+        // crash (the paraChunks missing-source rule)
+        val labCol = if (raw.columns.contains("label"))
+          col("label").cast("int") else lit(null).cast("int")
+        val base = raw
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"),
+            labCol.as("lab"))
+        val centroids = broadcast(base.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+        val wN = Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("cdist").desc, col("cid"))
+        val lists = base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+            col("lab"))
+          .crossJoin(centroids)
+          .withColumn("cdist", cosine(col("nv"), col("cv")))
+          .withColumn("crank", row_number().over(wN))
+          .filter(col("crank") <= 1)
+          .select(col("neighbor_id"), col("nv"), col("lab"), col("cid"))
+        val wQ = Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist").desc, col("cid"))
+        val probes = base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .crossJoin(centroids)
+          .withColumn("cdist", cosine(col("qv"), col("cv")))
+          .withColumn("crank", row_number().over(wQ))
+          .filter(col("crank") <= nProbe)
+          .select(col("query_id"), col("qv"), col("cid"))
+        val cands = probes.join(lists, "cid")
+          .withColumn("sim", cosine(col("qv"), col("nv")))
+          .select(col("query_id"), col("neighbor_id"), col("lab"),
+            col("sim"))
+        val truth = base.filter(col("vec_id") >= 5 && col("lab") === Pred)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv2"))
+          .crossJoin(broadcast(base.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("v").as("qv2"))))
+          .withColumn("sim", cosine(col("qv2"), col("nv2")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("sim").desc, col("neighbor_id"))))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("neighbor_id"))
+        val wS = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        def arm(name: String, scanned: DataFrame,
+            returned: DataFrame): DataFrame = {
+          val hits = returned
+            .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          scanned.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(returned.agg(count(lit(1)).as("n_returned")))
+            .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+            .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+            .select(lit(name).as("arm"), col("n_candidates"),
+              col("n_returned"),
+              expr("n_hits * 1000000L div greatest(n_truth, 1L)")
+                .as("recall_ppm"))
+        }
+        val postReturned = cands
+          .withColumn("rank", row_number().over(wS))
+          .filter(col("rank") <= K && col("lab") === Pred)
+          .select(col("query_id"), col("neighbor_id"))
+        val preCands = cands.filter(col("lab") === Pred)
+        val preReturned = preCands
+          .withColumn("rank", row_number().over(wS))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("neighbor_id"))
+        arm("post_filter", cands, postReturned)
+          .unionByName(arm("pre_filter", preCands, preReturned))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          CAST(label AS INT) AS lab
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        corp AS (SELECT vec_id AS neighbor_id, v AS nv, lab
+                 FROM e WHERE vec_id >= 5),
+        qry  AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        la AS (SELECT neighbor_id, nv, lab, cid,
+                      row_number() OVER (PARTITION BY neighbor_id ORDER BY
+                        list_dot_product(nv, cv) /
+                          (sqrt(list_dot_product(nv, nv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cid) AS rn
+               FROM corp, cent),
+        lists AS (SELECT neighbor_id, nv, lab, cid FROM la WHERE rn <= 1),
+        pa AS (SELECT query_id, qv, cid,
+                      row_number() OVER (PARTITION BY query_id ORDER BY
+                        list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cid) AS rn
+               FROM qry, cent),
+        probes AS (SELECT query_id, qv, cid FROM pa WHERE rn <= 4),
+        cand AS (SELECT query_id, neighbor_id, lab,
+                        list_dot_product(qv, nv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+                 FROM probes JOIN lists USING (cid)),
+        ts AS (SELECT query_id, neighbor_id,
+                      list_dot_product(qv, nv) /
+                        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+               FROM qry, corp WHERE lab = 7),
+        truth AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn
+                    FROM ts)
+                  WHERE rn <= 5),
+        post_r AS (SELECT query_id, neighbor_id FROM (
+                     SELECT query_id, neighbor_id, lab,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rn
+                     FROM cand)
+                   WHERE rn <= 5 AND lab = 7),
+        pre_c AS (SELECT * FROM cand WHERE lab = 7),
+        pre_r AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rn
+                    FROM pre_c)
+                  WHERE rn <= 5),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+        SELECT 'post_filter' AS arm,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM post_r) AS n_returned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM post_r JOIN truth
+                  USING (query_id, neighbor_id)) * 1000000
+                 // GREATEST(nt.n_truth, 1) AS recall_ppm
+        FROM nt
+        UNION ALL
+        SELECT 'pre_filter' AS arm,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pre_c) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pre_r) AS n_returned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pre_r JOIN truth
+                  USING (query_id, neighbor_id)) * 1000000
+                 // GREATEST(nt.n_truth, 1) AS recall_ppm
+        FROM nt"""),
+      "Filtered ANN: metadata-filtered top-5 serving measured both ways " +
+        "against the FILTERED exact truth — post-filter (unfiltered IVF " +
+        "top-k, predicate after; recall loss + starved result set " +
+        "measured) vs pre-filter (predicate pushed into the candidate " +
+        "scan; fewer candidates, full recall at the same scoring pass) " +
+        "— one assignment + one scoring, each arm a filter (pipeline " +
+        "ops brief: the pre/post-filter serving decision, measured)."))
 }

@@ -256,4 +256,20 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     for (Seq(a, b) <- rows.sliding(2))
       assert(a._3 <= b._3, "candidate cost must be monotone in nprobe")
   }
+
+  test("q178 filtered ANN runs on the dirty index (no label column, " +
+    "malformed vectors): two arms, empty truth → zero recall, " +
+    "pre-filter never scans more than post") {
+    val rows = graft.SparkEntry.queries("q178_filtered_ann")(spark, dirtyDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows.keySet == Set("pre_filter", "post_filter"))
+    // no label column → the predicate matches nothing: both arms return
+    // nothing and recall is exactly 0 (greatest(n_truth, 1) guards the div)
+    for ((arm, (c, ret, rec)) <- rows) {
+      assert(ret == 0L && rec == 0L, s"$arm must starve without metadata")
+      assert(c >= 0L)
+    }
+    assert(rows("pre_filter")._1 <= rows("post_filter")._1)
+  }
 }

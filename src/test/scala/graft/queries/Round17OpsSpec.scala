@@ -200,6 +200,113 @@ class Round17OpsSpec extends SparkSpec {
       s"missing planted pairs: ${(planted -- out).take(5)}")
   }
 
+  // ------------------------------------------------------------- q178
+
+  /** Skew-planted filtered-ANN fixture: 16 one-hot "centroid" vectors
+    * (ids 0..15; ids < 5 double as the queries), ten label-0 docs at
+    * cosine 0.99 of axis 0 and five label-7 docs at 0.9 of the SAME
+    * axis — the unfiltered top-5 is always the label-0 docs, so
+    * post-filter starves while pre-filter returns the full filtered
+    * set. Unique tail dims (40+) keep the planted docs distinct.
+    */
+  private lazy val annFixtureDir: String = {
+    import spark.implicits._
+    val dim = 64
+    def oneHot(k: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == k) 1.0f else 0.0f)
+    def planted(c: Double, tail: Int): Seq[Float] = {
+      val t = math.sqrt(1 - c * c)
+      Seq.tabulate(dim)(i =>
+        if (i == 0) c.toFloat else if (i == tail) t.toFloat else 0.0f)
+    }
+    val rows =
+      (0 until 16).map(k => (k.toLong, oneHot(k), 0)) ++
+        (0 until 10).map(j => (20L + j, planted(0.99, 40 + j), 0)) ++
+        (0 until 5).map(j => (30L + j, planted(0.9, 52 + j), 7))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q178_").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q178 planted skew fixture: both arms match a first-principles " +
+    "recompute, post-filter's returned set is CONTAINED in " +
+    "pre-filter's, and the recall gap is strict (post starves, pre " +
+    "returns the full filtered set)") {
+    // independent reimplementation of both arms in plain Scala
+    val vecs = {
+      import spark.implicits._
+      spark.read.parquet(s"$annFixtureDir/embeddings.parquet")
+        .as[(Long, Seq[Float], Int)].collect()
+        .map { case (id, v, l) => (id, v.map(_.toDouble).toArray, l) }
+        .sortBy(_._1)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.filter(_._1 < 16)
+    val corpus = vecs.filter(_._1 >= 5)
+    val queries = vecs.filter(_._1 < 5)
+    def topBy[A](xs: Seq[(A, Double, Long)], k: Int): Seq[A] =
+      xs.sortBy { case (_, s, id) => (-s, id) }.take(k).map(_._1)
+    val lists = corpus.map { case (id, v, l) =>
+      val cid = cents.map(c => (c._1, cos(v, c._2), c._1))
+        .sortBy { case (_, s, c) => (-s, c) }.head._1
+      (id, v, l, cid)
+    }
+    val cands = queries.flatMap { case (q, qv, _) =>
+      val probed = cents.map(c => (c._1, cos(qv, c._2), c._1))
+        .sortBy { case (_, s, c) => (-s, c) }.take(4).map(_._1).toSet
+      lists.filter(m => probed(m._4))
+        .map { case (id, v, l, _) => (q, id, l, cos(qv, v)) }
+    }
+    val truth = queries.flatMap { case (q, qv, _) =>
+      topBy(corpus.filter(_._3 == 7)
+        .map { case (id, v, _) => (id, cos(qv, v), id) }, 5).map((q, _))
+    }.toSet
+    val post = cands.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      topBy(cs.map(c => ((c._2, c._3), c._4, c._2)), 5)
+        .filter(_._2 == 7).map(x => (q, x._1))
+    }.toSet
+    val pre = cands.filter(_._3 == 7).groupBy(_._1).toSeq
+      .flatMap { case (q, cs) =>
+        topBy(cs.map(c => (c._2, c._4, c._2)), 5).map((q, _))
+      }.toSet
+    assert(post.subsetOf(pre), "post-filter must be contained in pre-filter")
+    val postHits = post.intersect(truth).size
+    val preHits = pre.intersect(truth).size
+    assert(postHits < preHits && preHits == truth.size,
+      s"the plant must starve post ($postHits) and saturate pre " +
+        s"($preHits of ${truth.size})")
+    // and q178 itself reports exactly these numbers
+    val got = run("q178_filtered_ann", annFixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val nt = math.max(truth.size.toLong, 1L)
+    assert(got("post_filter") ==
+      ((cands.size.toLong, post.size.toLong, postHits * 1000000L / nt)),
+      s"post arm diverged: ${got("post_filter")}")
+    assert(got("pre_filter") ==
+      ((cands.count(_._3 == 7).toLong, pre.size.toLong,
+        preHits * 1000000L / nt)),
+      s"pre arm diverged: ${got("pre_filter")}")
+  }
+
+  test("q178 driver corpus invariants: pre-filter recall >= post-filter " +
+    "at fewer scanned candidates, and post's result set is starved " +
+    "(n_returned <= pre's)") {
+    val got = run("q178_filtered_ann").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val (postC, postR, postRec) = got("post_filter")
+    val (preC, preR, preRec) = got("pre_filter")
+    assert(preRec >= postRec, "pre-filter recall must dominate")
+    assert(preC <= postC, "pre-filter must scan fewer candidates")
+    assert(postR <= preR, "post-filter's returned set must be starved")
+  }
+
   // ------------------------------------------------------------- q176
 
   test("q176 dirty corpus: null-text survivors write and fingerprint " +

@@ -149,6 +149,11 @@ object StreamingThroughput {
     // twin's three arms PLUS the grant/assignment layer per micro-batch)
     def shardsT(ds: Dataset[MixIn]) =
       Seq(StreamingShards.attach(ds.toDF(), StreamingShards.state(spark)))
+    // incremental q173 boilerplate (foreachBatch ingest: same-source
+    // chunk df maintenance + whole-class retraction at the df=3 flip)
+    def boilerT(ds: Dataset[MixIn]) =
+      Seq(StreamingBoilerplate.attach(ds.toDF(),
+        StreamingBoilerplate.state(spark)))
     def mixDocs(dir: String): Seq[MixIn] =
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text")).as[MixIn]
@@ -213,6 +218,8 @@ object StreamingThroughput {
       feed(x1Docs.take(BatchRows))(paragraphT)
     if (sel("shards") || sel("shards_desc"))
       feed(x1Mix.take(BatchRows))(shardsT)
+    if (sel("boiler") || sel("boiler_desc"))
+      feed(x1Mix.take(BatchRows))(boilerT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
@@ -303,6 +310,17 @@ object StreamingThroughput {
     // late bench docs retract whole shards at the very end
     if (sel("shards_desc")) {
       emit("shards_desc", "x1", x1Mix.size, feed(x1Mix.reverse)(shardsT))
+    }
+    if (sel("boiler")) {
+      emit("boiler", "x1", x1Mix.size, feed(x1Mix)(boilerT))
+      emit("boiler", "x10", x10Mix.size, feed(x10Mix)(boilerT))
+    }
+    // flip-maximal adversary: descending arrival means every template's
+    // first MinDf−1 copies are STORED before the flip lands, so each
+    // flip retracts the maximal holder population (ascending order can
+    // flip early and account later copies at insert for free)
+    if (sel("boiler_desc")) {
+      emit("boiler_desc", "x1", x1Mix.size, feed(x1Mix.reverse)(boilerT))
     }
     // a THIRD measured decade for the incremental mixture (500k docs
     // through the same foreachBatch ingest). OPT-IN only — never part of

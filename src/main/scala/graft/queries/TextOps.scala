@@ -5,6 +5,7 @@ import scala.collection.concurrent.TrieMap
 import graft.{Q, Tables}
 import graft.functions.TextFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the `documents`
@@ -224,6 +225,124 @@ object TextOps {
       }
       out.result()
     })
+  }
+
+  // --------------------------------------------- unigram-LM vocabulary
+
+  /** q179's pinned knobs (the q145/q164 pinned-rounds discipline: the
+    * oracle unrolls exactly these): 64 seed candidates, three prune
+    * rounds to 48/32/24 multi-char pieces, max piece length 4.
+    */
+  private val UnigramSeedCap = 64
+  private val UnigramPruneCaps = Seq(48, 32, 24)
+
+  /** Greedy longest-match-from-left segmentation of `w` under the given
+    * multi-char piece set (single chars are the implicit floor — the
+    * trainer can never paint itself into an unsegmentable corner), as
+    * ONE in-row aggregate: length(w) steps, each a literal-array probe
+    * per piece length. The piece set is a driver-side model bounded by
+    * the PRUNE CAP, never by data (the q128-codebook broadcast shape),
+    * so the expression stays kilobytes at any corpus size.
+    */
+  private def segmentExpr(pieces: Seq[String]): Column = {
+    val byLen = (2 to 4).map(l => l -> pieces.filter(_.length == l)).toMap
+    val w = col("w")
+    def longest(pos: Column): Column = {
+      def tryLen(l: Int, rest: Column): Column = {
+        val s = byLen(l)
+        if (s.isEmpty) rest
+        else {
+          val c = w.substr(pos + 1, lit(l))
+          when(array_contains(typedLit(s), c), c).otherwise(rest)
+        }
+      }
+      tryLen(4, tryLen(3, tryLen(2, w.substr(pos + 1, lit(1)))))
+    }
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(0).as("pos"), array().cast("array<string>").as("out")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val p = longest(pos)
+        when(pos >= length(w), st)
+          .otherwise(struct((pos + length(p)).as("pos"),
+            concat(st.getField("out"), array(p)).as("out")))
+      },
+      st => st.getField("out"))
+  }
+
+  /** Freq-weighted piece usage under greedy segmentation — one job over
+    * the staged vocabulary (Heaps-law work; the corpus is never
+    * rescanned, q164's scale story).
+    */
+  private def unigramUsage(s: SparkSession, dir: String,
+      pieces: Seq[String]): DataFrame =
+    vocabFrame(s, dir).filter(col("w").rlike("^[a-z]+$"))
+      .select(col("cnt"), explode(segmentExpr(pieces)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
+
+  /** q179's oracle: the same seed → segment → prune → segment chain in
+    * DuckDB, with the segmentation as a recursive CTE (pos advances by
+    * the longest piece matching at pos; the three LEFT JOINs are the
+    * per-length literal-set probes) and every tie pinned the same way
+    * (count desc, piece asc).
+    */
+  private def unigramSql: String = {
+    val sb = new StringBuilder
+    sb ++= """
+        WITH RECURSIVE wf AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+          WHERE regexp_full_match(w, '[a-z]+')
+          GROUP BY w),
+        sub AS (
+          SELECT substr(w, i, L) AS p, CAST(SUM(freq) AS BIGINT) AS c
+          FROM wf, UNNEST(generate_series(1, length(w))) AS u(i),
+               UNNEST([2, 3, 4]) AS l(L)
+          WHERE i + L - 1 <= length(w)
+          GROUP BY 1),
+        v1 AS MATERIALIZED (
+          SELECT p FROM (
+            SELECT p, row_number() OVER (ORDER BY c DESC, p) AS rn
+            FROM sub)
+          WHERE rn <= """ + UnigramSeedCap + ")"
+    val rounds = UnigramPruneCaps.length + 1
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        seg$r AS (
+          SELECT w, freq, 0 AS pos, CAST(NULL AS VARCHAR) AS piece FROM wf
+          UNION ALL
+          SELECT s.w, s.freq,
+                 s.pos + length(COALESCE(a4.p, a3.p, a2.p,
+                   substr(s.w, s.pos + 1, 1))) AS pos,
+                 COALESCE(a4.p, a3.p, a2.p, substr(s.w, s.pos + 1, 1))
+                   AS piece
+          FROM seg$r s
+          LEFT JOIN v$r a4 ON length(a4.p) = 4
+            AND a4.p = substr(s.w, s.pos + 1, 4)
+          LEFT JOIN v$r a3 ON length(a3.p) = 3
+            AND a3.p = substr(s.w, s.pos + 1, 3)
+          LEFT JOIN v$r a2 ON length(a2.p) = 2
+            AND a2.p = substr(s.w, s.pos + 1, 2)
+          WHERE s.pos < length(s.w)),
+        usage$r AS MATERIALIZED (
+          SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
+          FROM seg$r WHERE piece IS NOT NULL GROUP BY 1)"""
+      if (r <= UnigramPruneCaps.length) sb ++= s""",
+        v${r + 1} AS MATERIALIZED (
+          SELECT piece AS p FROM (
+            SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
+            FROM usage$r WHERE length(piece) >= 2)
+          WHERE rn <= ${UnigramPruneCaps(r - 1)})"""
+    }
+    sb ++= s"""
+        SELECT CAST(row_number() OVER (ORDER BY c DESC, piece) AS BIGINT)
+                 AS piece_rank,
+               piece, CAST(length(piece) AS INT) AS piece_len,
+               c AS usage
+        FROM usage$rounds"""
+    sb.toString
   }
 
   val all: Seq[Q] = Seq(
@@ -559,5 +678,64 @@ object TextOps {
         "language (q33's argmax) under the learned merges — q166's " +
         "per-doc accounting rolled to a per-language table, the number " +
         "that says how much a tokenizer over-segments each language " +
-        "(pipeline ops brief: multilingual token-budget planning)."))
+        "(pipeline ops brief: multilingual token-budget planning)."),
+
+    // ------------------------------------- unigram-LM tokenizer trainer
+    Q(
+      "q179_unigram_lm_vocab",
+      (s, dir) => {
+        // The OTHER production tokenizer family (q164 trains BPE
+        // bottom-up by merging; SentencePiece's unigram-LM goes TOP-DOWN
+        // by pruning): seed a candidate piece inventory from the corpus,
+        // segment the vocabulary under it, and repeatedly PRUNE the
+        // lowest-utility pieces until the target size — keeping the
+        // single-char floor so every word stays segmentable. This is the
+        // integer-exact rendition: segmentation is greedy
+        // longest-match-from-left (deterministic; the Viterbi of a
+        // unigram model with length-monotone piece scores), utility is
+        // freq-weighted usage, and every argsort is pinned (usage desc,
+        // piece asc) — both engines replay the identical loop, the
+        // q145/q164 pinned-rounds oracle discipline.
+        //
+        // Scale shape: q164's — ALL work runs over the SESSION-STAGED
+        // vocabulary (Heaps law: vocab grows ~sqrt of corpus), the
+        // corpus is tokenized once ever; the piece model is driver-sized
+        // BY CONSTRUCTION (seed cap 64 → prunes 48/32/24), broadcast
+        // into the segmentation expression as literal arrays (the
+        // q128-codebook shape); per round one vocab-frame job + one
+        // ≤cap-row collect. The final ranking window is unpartitioned
+        // over ≤ cap + |alphabet| rows — driver-sized, never the corpus.
+        val vf = vocabFrame(s, dir).filter(col("w").rlike("^[a-z]+$"))
+        val seed = vf
+          .select(col("cnt"), explode(expr(
+            "flatten(transform(sequence(1, length(w)), i -> " +
+              "filter(transform(array(2, 3, 4), L -> " +
+              "IF(i + L - 1 <= length(w), substring(w, i, L), NULL)), " +
+              "x -> x IS NOT NULL)))")).as("p"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("p")).limit(UnigramSeedCap)
+          .collect().map(_.getString(0)).toSeq
+        var pieces = seed
+        for (k <- UnigramPruneCaps) {
+          pieces = unigramUsage(s, dir, pieces)
+            .filter(length(col("piece")) >= 2)
+            .orderBy(col("usage").desc, col("piece"))
+            .limit(k).collect().map(_.getString(0)).toSeq
+        }
+        unigramUsage(s, dir, pieces)
+          .withColumn("piece_rank", row_number().over(
+            Window.orderBy(col("usage").desc, col("piece"))).cast("long"))
+          .select(col("piece_rank"), col("piece"),
+            length(col("piece")).cast("int").as("piece_len"),
+            col("usage"))
+      },
+      Some(unigramSql),
+      "Unigram-LM tokenizer trainer (SentencePiece's family, q164's BPE " +
+        "complement): seed 64 substring candidates from the staged " +
+        "vocabulary, greedy longest-match segmentation, three pinned " +
+        "EM-prune rounds (48/32/24) dropping the lowest-usage pieces " +
+        "with a single-char floor, final piece table with freq-weighted " +
+        "usage — vocabulary-bound work, corpus tokenized once ever, " +
+        "driver-sized piece model by construction (pipeline ops brief: " +
+        "train the other tokenizer)."))
 }

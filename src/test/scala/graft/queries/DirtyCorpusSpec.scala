@@ -76,7 +76,11 @@ class DirtyCorpusSpec extends SparkSpec {
     // zero rows, not fail on schema inference; q177 synthesizes its WAVs
     // from doc_id alone, so dirty text never reaches it — included for
     // the execute-everything contract)
-    "q176_export_shard_write", "q177_audio_perceptual_neardup")
+    "q176_export_shard_write", "q177_audio_perceptual_neardup",
+    // q179 tolerates a starved vocabulary gracefully (unlike q164's
+    // fail-loud contract): prune caps are maxima, and the single-char
+    // floor keeps every word segmentable
+    "q179_unigram_lm_vocab")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

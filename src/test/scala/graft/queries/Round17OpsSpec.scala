@@ -307,6 +307,95 @@ class Round17OpsSpec extends SparkSpec {
     assert(postR <= preR, "post-filter's returned set must be starved")
   }
 
+  // ------------------------------------------------------------- q179
+
+  /** Plain-Scala replica of q179's trainer (seed → greedy segment →
+    * pinned prunes → final usage) — the independent-reimplementation
+    * discipline: any drift between the in-row aggregate expression, the
+    * DuckDB recursive CTE, and this loop breaks a spec or the hash.
+    */
+  private def unigramReference(vocab: Seq[(String, Long)])
+      : Seq[(Long, String, Int, Long)] = {
+    val words = vocab.filter(_._1.matches("[a-z]+"))
+    def segment(w: String, multi: Set[String]): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < w.length) {
+        val p = (4 to 2 by -1).iterator
+          .map(l => w.slice(pos, pos + l))
+          .find(s => s.length >= 2 && multi(s))
+          .getOrElse(w.substring(pos, pos + 1))
+        out += p; pos += p.length
+      }
+      out.result()
+    }
+    def usage(multi: Set[String]): Map[String, Long] =
+      words.flatMap { case (w, c) => segment(w, multi).map(_ -> c) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val seed = words.flatMap { case (w, c) =>
+      for (i <- 0 until w.length; l <- 2 to 4 if i + l <= w.length)
+        yield (w.substring(i, i + l), c)
+    }.groupMapReduce(_._1)(_._2)(_ + _).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(64).map(_._1)
+    var pieces = seed.toSet
+    for (k <- Seq(48, 32, 24))
+      pieces = usage(pieces).filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(k).map(_._1).toSet
+    usage(pieces).toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) => (i + 1L, p, p.length, c) }
+  }
+
+  test("q179 planted fixture: the trained piece table equals an " +
+    "independent plain-Scala trainer run (seed, greedy segmentation, " +
+    "pinned prunes, tie order)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q179_").toString
+    // a vocabulary with real structure: repeated stems, shared affixes,
+    // a word that is its own substring-rich adversary, and a non-alpha
+    // token the alphabet filter must drop
+    val docs = Seq(
+      (1L, "s", "banana bandana banana cabana banana"),
+      (2L, "s", "abab abab ababab baba x9 reread reader read"),
+      (3L, "s", "ananas banana cab cab cab"))
+    docs.toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val vocab = docs.flatMap(_._3.split(" ")).groupBy(identity)
+      .map { case (w, xs) => (w, xs.size.toLong) }.toSeq
+    val expected = unigramReference(vocab)
+    val got = run("q179_unigram_lm_vocab", dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected,
+      s"trainer diverged:\n got $got\n exp $expected")
+  }
+
+  test("q179 driver-corpus invariants: segmentation PARTITIONS the " +
+    "vocabulary (usage x piece_len conserves freq-weighted chars), the " +
+    "multi-char inventory respects the final prune cap, ranks are " +
+    "contiguous by (usage desc, piece asc)") {
+    val rows = run("q179_unigram_lm_vocab").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= 4 &&
+      r._2.length == r._3 && r._4 >= 1L))
+    assert(rows.count(_._3 >= 2) <= 24,
+      "final multi-char inventory must respect the 24-piece cap")
+    // conservation: every word's chars are covered exactly once
+    val charMass = rows.map(r => r._3.toLong * r._4).sum
+    val vocabMass = graft.Tables(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(charMass == vocabMass,
+      s"segmentation must partition the vocab: $charMass vs $vocabMass")
+    // pinned order
+    val sorted = rows.sortBy { case (_, p, _, u) => (-u, p) }
+    assert(rows.toSeq == sorted.toSeq, "ranks must follow (usage desc, piece asc)")
+  }
+
   // ------------------------------------------------------------- q176
 
   test("q176 dirty corpus: null-text survivors write and fingerprint " +

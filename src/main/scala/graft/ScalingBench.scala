@@ -65,6 +65,16 @@ object ScalingBench {
     "q170_ivf_nprobe_sweep", "q171_tokenizer_fertility",
     "q172_epoch_repeat_plan", "q173_boilerplate_removal",
     "q174_quality_rule_battery", "q175_contamination_sweep",
+    // round-17 additions: the physical shard WRITER (q162's assignment +
+    // a partitioned write + the read-back rollup — the write is a
+    // once-per-session staging line, steady state is the read-back),
+    // audio perceptual near-dup (real PCM decode + the shared banding),
+    // filtered ANN (one assignment + one scoring pass, arms as filters;
+    // scale corpora carry no label column, so the arms run against an
+    // empty predicate — the measured cost is the honest index-side
+    // work), and the unigram-LM trainer (vocab-bound like q164)
+    "q176_export_shard_write", "q177_audio_perceptual_neardup",
+    "q178_filtered_ann", "q179_unigram_lm_vocab",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

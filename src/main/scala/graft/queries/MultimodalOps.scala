@@ -333,7 +333,11 @@ object MultimodalOps {
     */
   def syntheticPgms(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    // parallelism-floored entry scan: payload synth + raster decode is
+    // heavy per-row work that must distribute even off a
+    // single-row-group corpus file (measured on q177's twin: the
+    // saturated corpus file's layout alone cost 1.8× until floored)
+    Tables.parallel(s, dir, "documents").select(col("doc_id")).as[Long]
       .map(id => MediaRow(id, "image", pgmImage(id), Map.empty))
   }
 
@@ -820,7 +824,11 @@ object MultimodalOps {
     */
   def syntheticPcmWavs(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+    // parallelism-floored like syntheticPgms: 3.7 KB of PCM synth +
+    // full sample decode per row serializes on a single-row-group file
+    // otherwise (measured: x10sat steady 2.20 → matches x10 after the
+    // floor — the file LAYOUT, not the data, was the 1.8×)
+    Tables.parallel(s, dir, "documents").select(col("doc_id")).as[Long]
       .map(id => MediaRow(id, "audio", pcmWav(id), Map.empty))
   }
 

@@ -75,6 +75,10 @@ object ScalingBench {
     // work), and the unigram-LM trainer (vocab-bound like q164)
     "q176_export_shard_write", "q177_audio_perceptual_neardup",
     "q178_filtered_ann", "q179_unigram_lm_vocab",
+    // second wave: the ANN index artifact (one-time encode+write via the
+    // ann_index staging line; steady state = the list-pruned read-back
+    // serve)
+    "q180_ann_index_write",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

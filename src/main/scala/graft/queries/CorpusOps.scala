@@ -106,6 +106,15 @@ object CorpusOps {
     * rewriting `documents` under the same dir within a session serves
     * the stale tree. The scratch root is shutdown-hook-cleaned.
     */
+  /** Shards per slab directory (see the layout note in [[shardFiles]]). */
+  private[graft] val ShardsPerSlab = 64L
+
+  /** Read schema of the written shard tree (slab is the partition dir;
+    * shard_id is a data column, sorted within files).
+    */
+  private[graft] val shardTreeSchema: String =
+    "doc_id LONG, pos LONG, kept LONG, text STRING, shard_id LONG, slab LONG"
+
   private[graft] def shardFiles(s: SparkSession, dir: String): String =
     graft.Staging.stage(s, dir, "export_shards") {
       import graft.operators.RangeOps
@@ -113,19 +122,35 @@ object CorpusOps {
       val surv = exportSurvivors(s, dir)
         .withColumn("hv", hash32(concat_ws(":", lit(1), col("doc_id"))))
       val (ranked, _) = RangeOps.globalRowNumber(surv, "hv", "doc_id", "pos")
+      // SLAB layout, not shard-per-directory (x100 sweep finding): at
+      // the test shard size C=4096 tokens a directory per shard is a
+      // small-files blowup — the x100 corpus packs ~12k shards, and the
+      // read-back paid file-open overhead per shard (87.5 s steady,
+      // super-linear; 190 slab dirs read in ~2 s). Shards group into
+      // slabs of [[ShardsPerSlab]] directories; shard_id stays a DATA
+      // column sorted contiguously within each slab file, so a loader
+      // fetching shard k reads slab k/64 and row-group-prunes on
+      // shard_id — still pruned access, directory count bounded by
+      // corpus/C/64. (At production C — hundreds of MB per shard — the
+      // ratio matters less, but the directory bound is the contract
+      // that survives any C.) repartition on slab gives one file per
+      // slab per writing task; the within-file (shard_id, pos) sort
+      // keeps every shard's bytes contiguous.
       val assigned = RangeOps.runningSum(ranked, "pos", "kept", "cum")
         .withColumn("shard_id", expr(s"(cum - kept) div ${C}L"))
+        .withColumn("slab", expr(s"shard_id div ${ShardsPerSlab}L"))
         .join(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("doc_id"), col("pos"), col("kept"), col("text"),
-          col("shard_id"))
+          col("shard_id"), col("slab"))
       val base = graft.Staging.scratchDir("graft_shards_")
       val stagePath = s"$base/stage"
       val finalPath = s"$base/shards"
-      assigned.write.partitionBy("shard_id").parquet(stagePath)
+      assigned.repartition(col("slab"))
+        .sortWithinPartitions(col("shard_id"), col("pos"))
+        .write.partitionBy("slab").parquet(stagePath)
       val want = assigned.agg(count(lit(1)), coalesce(sum(col("kept")),
         lit(0L))).head()
-      val got = s.read.schema(
-          "doc_id LONG, pos LONG, kept LONG, text STRING, shard_id LONG")
+      val got = s.read.schema(shardTreeSchema)
         .parquet(stagePath)
         .agg(count(lit(1)), coalesce(sum(col("kept")), lit(0L))).head()
       if (want.getLong(0) != got.getLong(0) ||
@@ -989,8 +1014,7 @@ object CorpusOps {
         // (session, dir) via the Staging marker discipline
         // (bucketed_facts precedent) — the artifact cost is an
         // attributed staging line, steady-state cost is the read-back.
-        val written = s.read.schema(
-            "doc_id LONG, pos LONG, kept LONG, text STRING, shard_id LONG")
+        val written = s.read.schema(shardTreeSchema)
           .parquet(shardFiles(s, dir))
         shardRollup(written)
       },

@@ -379,31 +379,41 @@ object SimilarityOps {
   /** The IVF-PQ top-5 frame shared by q128 (the ANN itself) and q129 (its
     * recall audit) — one pipeline, two consumers, the q35/q124 discipline.
     */
-  private def ivfpqTop5(s: SparkSession, dir: String): DataFrame = {
+  /** Rank-`keep` coarse-centroid assignment (the q128 geometry: cosine
+    * argmax over the broadcast first-16 centroids, ties to the smallest
+    * cid) — shared by [[ivfpqTop5]] and the q180 index writer/server so
+    * the two can never drift.
+    */
+  private def coarseAssign(df: DataFrame, centroids: DataFrame,
+      idCol: String, vCol: String, keep: Int): DataFrame = {
     import graft.functions.VectorFns.cosine
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cdist").desc, col("cid"))
+    df.crossJoin(centroids)
+      .withColumn("cdist", cosine(col(vCol), col("cv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .select(col(idCol), col(vCol), col("cid"))
+  }
+
+  private def coarseCentroids(base: DataFrame): DataFrame =
+    broadcast(base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+
+  private def ivfpqTop5(s: SparkSession, dir: String): DataFrame = {
     val (cb, norms) = pqModel(s, dir)
     val base = vecs(s, dir)
-    val centroids = broadcast(base.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv")))
-    def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cdist").desc, col("cid"))
-      df.crossJoin(centroids)
-        .withColumn("cdist", cosine(col(vCol), col("cv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(idCol), col(vCol), col("cid"))
-    }
+    val centroids = coarseCentroids(base)
     // corpus: nearest coarse list + PQ codes (both pure projections after
     // the broadcast centroid assignment); queries: probe 2 nearest lists
     val lists = pqEncode(
-      assign(base.filter(col("vec_id") >= 5)
+      coarseAssign(base.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
-        "neighbor_id", "nv", 1),
+        centroids, "neighbor_id", "nv", 1),
       "nv", cb, norms).drop("nv")
-    val probes = assign(base.filter(col("vec_id") < 5)
+    val probes = coarseAssign(base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv")),
-      "query_id", "qv", 2)
+      centroids, "query_id", "qv", 2)
     // nulls LAST explicitly: a malformed vector's null ADC must sort
     // behind every scored candidate (Spark asc default is nulls first;
     // DuckDB's is NULLS LAST — clean data has no nulls either way)
@@ -414,6 +424,80 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+
+  /** The written IVF-PQ index tree for (session, dir) — q180's side
+    * effect, the ANN family's q176: the billion-vector serving format is
+    * a PERSISTED index a serving fleet loads, and the bugs live in the
+    * persistence step (partial list writes, code drift against the
+    * codebook, a stale tree under a new model). The q128 list structure
+    * (neighbor_id, code_0..7, coarse cid) materializes as parquet
+    * partitioned by cid — one directory per inverted list, exactly how
+    * a serving node fetches a probe's candidates — via the q176
+    * discipline: stage/ write, fail-loud row-count + order-independent
+    * code-checksum verification against the assignment, one atomic
+    * rename. Returns (published dir, n_rows, checksum) from the staged
+    * manifest row; Staging's staleness contract applies.
+    */
+  private[graft] def annIndexFiles(s: SparkSession, dir: String)
+      : (String, Long, Long) = {
+    import graft.functions.TextFns.hash32
+    val row = graft.Staging.stage(s, dir, "ann_index") {
+      val (cb, norms) = pqModel(s, dir)
+      val base = vecs(s, dir)
+      val lists = pqEncode(
+        coarseAssign(base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+          coarseCentroids(base), "neighbor_id", "nv", 1),
+        "nv", cb, norms)
+        .select(col("neighbor_id") +:
+          (0 until PqM).map(m => col(s"code_$m")) :+ col("cid"): _*)
+      // order-independent integrity fingerprint over id + codes (null
+      // codes — malformed vectors — fingerprint as a sentinel, never
+      // collide with a real code by position)
+      def chk(df: DataFrame) = df.agg(count(lit(1)),
+        coalesce(sum(hash32(concat_ws(":",
+          col("neighbor_id").cast("string") +:
+            (0 until PqM).map(m =>
+              coalesce(col(s"code_$m").cast("string"), lit("∅"))): _*))),
+          lit(0L))).head()
+      val root = graft.Staging.scratchDir("graft_annidx_")
+      val stagePath = s"$root/stage"
+      val finalPath = s"$root/index"
+      lists.write.partitionBy("cid").parquet(stagePath)
+      val want = chk(lists)
+      val got = chk(s.read.schema(annIndexSchema).parquet(stagePath))
+      if (want.getLong(0) != got.getLong(0) ||
+          want.getLong(1) != got.getLong(1))
+        throw new IllegalStateException(
+          s"q180: staged index holds ${got.getLong(0)} rows / checksum " +
+            s"${got.getLong(1)} but the assignment has ${want.getLong(0)}" +
+            s" / ${want.getLong(1)} — refusing to publish a drifted index")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(stagePath),
+        java.nio.file.Paths.get(finalPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      import s.implicits._
+      Seq((finalPath, want.getLong(0), want.getLong(1)))
+        .toDF("idx_dir", "n_rows", "checksum")
+    }.head()
+    (row.getString(0), row.getLong(1), row.getLong(2))
+  }
+
+  private[graft] val annIndexSchema: String =
+    "neighbor_id LONG, " +
+      (0 until PqM).map(m => s"code_$m INT").mkString(", ") + ", cid LONG"
+
+  /** Integrity recompute over a (possibly doctored) index tree — the
+    * corruption spec's probe, same arithmetic as the writer's chk.
+    */
+  private[graft] def annIndexChecksum(df: DataFrame): Long = {
+    import graft.functions.TextFns.hash32
+    df.agg(coalesce(sum(hash32(concat_ws(":",
+      col("neighbor_id").cast("string") +:
+        (0 until PqM).map(m =>
+          coalesce(col(s"code_$m").cast("string"), lit("∅"))): _*))),
+      lit(0L))).head().getLong(0)
   }
 
   /** Oracle CTEs reproducing [[ivfpqTop5]] (DuckDB replays the codebook
@@ -1547,5 +1631,59 @@ object SimilarityOps {
         "measured) vs pre-filter (predicate pushed into the candidate " +
         "scan; fewer candidates, full recall at the same scoring pass) " +
         "— one assignment + one scoring, each arm a filter (pipeline " +
-        "ops brief: the pre/post-filter serving decision, measured)."))
+        "ops brief: the pre/post-filter serving decision, measured)."),
+
+    // --------------------------------------------- ANN index artifact
+    Q(
+      "q180_ann_index_write",
+      (s, dir) => {
+        // q176's plan → artifact closure for the SERVING family: q128
+        // builds its IVF-PQ structure in memory per query, but the
+        // billion-vector serving format is a PERSISTED index a fleet
+        // loads — and the bugs live in persistence (partial list
+        // writes, codes drifting from the codebook, stale trees). q180
+        // writes the q128 lists as cid-partitioned parquet (one
+        // directory per inverted list — a probe fetches exactly its
+        // lists' directories, the FAISS shard layout) with the q176
+        // two-phase publish + fail-loud count/checksum verification,
+        // then SERVES the top-5 FROM THE WRITTEN FILES: read back,
+        // probe 2 lists per query, ADC-score the stored codes. The
+        // oracle replays q128's arithmetic from the source table, so a
+        // served result can only hash-match if the written artifact
+        // preserved every code and every list assignment exactly —
+        // and Round17OpsSpec pins served-from-disk ≡ q128-in-memory
+        // row-for-row plus corruption detection via the manifest
+        // checksum.
+        //
+        // Scale shape: the write is one encode projection after the
+        // broadcast centroid assignment (map-side, q128's build cost),
+        // once per session via the Staging marker (`ann_index` line);
+        // steady state is the read-back serve — list-pruned candidate
+        // fetch + codebook-broadcast ADC, query-bounded.
+        val (cb, norms) = pqModel(s, dir)
+        val (path, _, _) = annIndexFiles(s, dir)
+        val idx = s.read.schema(annIndexSchema).parquet(path)
+        val base = vecs(s, dir)
+        val probes = coarseAssign(base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+          coarseCentroids(base), "query_id", "qv", 2)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc_nulls_last, col("neighbor_id"))
+        probes.join(idx, "cid")
+          .withColumn("adc", adcDistance("qv", cb, norms))
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("adc"))
+      },
+      Some(ivfpqCte + """
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adc
+        FROM ranked WHERE rn <= 5"""),
+      "ANN index artifact: the q128 IVF-PQ lists PERSISTED as " +
+        "cid-partitioned parquet (one directory per inverted list, " +
+        "two-phase atomic publish, fail-loud count+checksum manifest) " +
+        "and the top-5 served FROM THE WRITTEN FILES — the oracle " +
+        "replays the build from source, so any persistence drift " +
+        "breaks the hash (pipeline ops brief: the index a serving " +
+        "fleet actually loads; q176's closure for the ANN family)."))
 }

@@ -272,4 +272,26 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     }
     assert(rows("pre_filter")._1 <= rows("post_filter")._1)
   }
+
+  test("q180 ANN index writer runs on the dirty index: malformed " +
+    "vectors persist with null codes (never misencoded), the manifest " +
+    "verifies, and served results equal q128's in-memory build") {
+    val q128 = graft.SparkEntry.queries("q128_ivfpq_ann")(spark, dirtyDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val q180 = graft.SparkEntry.queries("q180_ann_index_write")(
+        spark, dirtyDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(q180 == q128,
+      s"dirty-index serving drifted: $q180 vs $q128")
+    val (path, nRows, chk) = SimilarityOps.annIndexFiles(spark, dirtyDir)
+    val written = spark.read.schema(SimilarityOps.annIndexSchema)
+      .parquet(path)
+    assert(written.count() == nRows)
+    assert(SimilarityOps.annIndexChecksum(written) == chk)
+    // the malformed members (wrong-dim / empty / over-long corpus
+    // vectors) are IN the tree with null codes — dropped silently would
+    // hide ingest bugs; null-coded they sort behind every real score
+    assert(written.filter(col("code_0").isNull).count() >= 3,
+      "malformed vectors must persist with null codes")
+  }
 }

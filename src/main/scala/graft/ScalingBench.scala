@@ -77,8 +77,9 @@ object ScalingBench {
     "q178_filtered_ann", "q179_unigram_lm_vocab",
     // second wave: the ANN index artifact (one-time encode+write via the
     // ann_index staging line; steady state = the list-pruned read-back
-    // serve)
-    "q180_ann_index_write",
+    // serve) and the two-stage re-rank sweep (ADC shortlist + exact
+    // re-rank on <= 20 rows/query — query-bounded past the ADC pass)
+    "q180_ann_index_write", "q181_ann_rerank_sweep",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -1685,5 +1685,139 @@ object SimilarityOps {
         "and the top-5 served FROM THE WRITTEN FILES — the oracle " +
         "replays the build from source, so any persistence drift " +
         "breaks the hash (pipeline ops brief: the index a serving " +
-        "fleet actually loads; q176's closure for the ANN family)."))
+        "fleet actually loads; q176's closure for the ANN family)."),
+
+    // ------------------------------------------ two-stage re-rank sweep
+    Q(
+      "q181_ann_rerank_sweep",
+      (s, dir) => {
+        // THE standard production serving pattern the family hadn't
+        // measured: PQ codes are lossy, so a real fleet serves in two
+        // stages — a cheap ADC SHORTLIST from the compressed index,
+        // then an exact re-rank of just those candidates against the
+        // full vectors. The knob is the shortlist size: too small and
+        // quantization error evicts true neighbors before the exact
+        // stage can save them; too large and the re-rank fetch
+        // dominates. This measures the curve — recall@5 vs q129's
+        // exact-L2 truth per shortlist ∈ {5, 10, 20} — so an operator
+        // reads the knob off the table (q170/q158's discipline; at
+        // shortlist=5 the re-rank can only reorder q128's own top-5,
+        // so that row ~doubles as the pure-ADC baseline).
+        //
+        // Scale shape: ONE ADC scoring pass at the widest shortlist
+        // (q128's plan), exact distances computed ONCE on those ≤20
+        // rows/query (the expensive full-vector fetch is shortlist-
+        // sized by construction — the whole point of the pattern),
+        // each narrower knob a filter; truth is q129's query-bounded
+        // brute force.
+        import s.implicits._
+        val K = 5; val maxShort = 20
+        val shortGrid = Seq(5L, 10L, 20L)
+        val (cb, norms) = pqModel(s, dir)
+        val base = vecs(s, dir)
+        val centroids = coarseCentroids(base)
+        val lists = pqEncode(
+          coarseAssign(base.filter(col("vec_id") >= 5)
+            .select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+            centroids, "neighbor_id", "nv", 1),
+          "nv", cb, norms)
+        val probes = coarseAssign(base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+          centroids, "query_id", "qv", 2)
+        def l2i(q: Column, n: Column): Column =
+          floor((dot(q, q) - lit(2.0) * dot(q, n) + dot(n, n)) * lit(1e9))
+            .cast("long")
+        val wA = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc_nulls_last, col("neighbor_id"))
+        val short = probes.join(lists, "cid")
+          .withColumn("adc", adcDistance("qv", cb, norms))
+          .withColumn("adc_rank", row_number().over(wA))
+          .filter(col("adc_rank") <= maxShort)
+          .withColumn("l2", l2i(col("qv"), col("nv")))
+          .select(col("query_id"), col("neighbor_id"), col("adc_rank"),
+            col("l2"))
+        val truth = base.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("nv2"))
+          .crossJoin(broadcast(base.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("v").as("qv2"))))
+          .withColumn("l2t", l2i(col("qv2"), col("nv2")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("l2t").asc_nulls_last, col("neighbor_id"))))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("neighbor_id"))
+        val grid = broadcast(shortGrid.toDF("shortlist"))
+        val swept = short.crossJoin(grid)
+          .filter(col("adc_rank") <= col("shortlist"))
+        val wR = Window.partitionBy(col("shortlist"), col("query_id"))
+          .orderBy(col("l2").asc_nulls_last, col("neighbor_id"))
+        val hits = swept
+          .withColumn("rr", row_number().over(wR))
+          .filter(col("rr") <= K)
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("shortlist")).agg(count(lit(1)).as("n_hits"))
+        val costs = swept.groupBy(col("shortlist"))
+          .agg(count(lit(1)).as("n_reranked"))
+        val denom = broadcast(truth.agg(
+          countDistinct(col("query_id")).as("nq")))
+        grid
+          .join(costs, Seq("shortlist"), "left_outer")
+          .join(hits, Seq("shortlist"), "left_outer")
+          .crossJoin(denom)
+          .select(col("shortlist"),
+            expr(s"coalesce(n_hits, 0L) * 1000000L div (${K}L * nq)")
+              .as("recall_ppm"),
+            coalesce(col("n_reranked"), lit(0L)).as("n_reranked"))
+      },
+      Some(ivfpqCte + """,
+        short AS (SELECT r.query_id, r.neighbor_id,
+                         CAST(r.rn AS BIGINT) AS adc_rank,
+                         CAST(FLOOR((list_dot_product(q.qv, q.qv)
+                             - 2 * list_dot_product(q.qv, c.nv)
+                             + list_dot_product(c.nv, c.nv))
+                             * 1000000000.0) AS BIGINT) AS l2
+                  FROM ranked r
+                  JOIN qry q USING (query_id)
+                  JOIN corp c USING (neighbor_id)
+                  WHERE r.rn <= 20),
+        ts AS (SELECT query_id, neighbor_id,
+                      CAST(FLOOR((list_dot_product(qv, qv)
+                          - 2 * list_dot_product(qv, nv)
+                          + list_dot_product(nv, nv))
+                          * 1000000000.0) AS BIGINT) AS l2t
+               FROM qry, corp),
+        truth AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY l2t ASC, neighbor_id) AS rn
+                    FROM ts)
+                  WHERE rn <= 5),
+        grid AS (SELECT CAST(n AS BIGINT) AS shortlist
+                 FROM (VALUES (5), (10), (20)) t(n)),
+        sw AS (SELECT g.shortlist, s.query_id, s.neighbor_id, s.l2
+               FROM grid g JOIN short s ON s.adc_rank <= g.shortlist),
+        rr AS (SELECT shortlist, query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY shortlist, query_id
+                        ORDER BY l2 ASC, neighbor_id) AS rn2
+               FROM sw),
+        hits AS (SELECT shortlist, CAST(COUNT(*) AS BIGINT) AS n_hits
+                 FROM rr JOIN truth USING (query_id, neighbor_id)
+                 WHERE rn2 <= 5 GROUP BY 1),
+        costs AS (SELECT shortlist, CAST(COUNT(*) AS BIGINT) AS n_reranked
+                  FROM sw GROUP BY 1),
+        nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS nq
+               FROM truth)
+        SELECT g.shortlist,
+               COALESCE(h.n_hits, 0) * 1000000 // (5 * nq.nq) AS recall_ppm,
+               COALESCE(c.n_reranked, 0) AS n_reranked
+        FROM grid g
+        LEFT JOIN costs c USING (shortlist)
+        LEFT JOIN hits h USING (shortlist), nq"""),
+      "Two-stage ANN serving sweep: ADC shortlist from the compressed " +
+        "index, exact-L2 re-rank of just those candidates, recall@5 vs " +
+        "the exact truth per shortlist 5/10/20 — one ADC pass at the " +
+        "widest knob, exact distances computed once on <= 20 rows per " +
+        "query, each narrower knob a filter (pipeline ops brief: the " +
+        "production re-rank pattern, its knob read off the measured " +
+        "curve)."))
 }

@@ -294,4 +294,17 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     assert(written.filter(col("code_0").isNull).count() >= 3,
       "malformed vectors must persist with null codes")
   }
+
+  test("q181 re-rank sweep runs on the dirty index: three rows, bounded " +
+    "recall, monotone cost, malformed candidates never crash the exact " +
+    "stage") {
+    val rows = graft.SparkEntry.queries("q181_ann_rerank_sweep")(
+        spark, dirtyDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5L, 10L, 20L))
+    assert(rows.forall(r => r._2 >= 0L && r._2 <= 1000000L))
+    for (w <- rows.sliding(2); Array(a, b) = w)
+      assert(a._3 <= b._3, "cost must be monotone in the shortlist")
+  }
 }

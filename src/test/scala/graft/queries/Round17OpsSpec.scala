@@ -451,6 +451,57 @@ class Round17OpsSpec extends SparkSpec {
       "the doctored code must differ in the stored row")
   }
 
+  // ------------------------------------------------------------- q181
+
+  test("q181: the re-rank curve is monotone in the shortlist, costs are " +
+    "exactly shortlist x queries, and the shortlist=5 stage can only " +
+    "REORDER q128's own top-5 (same returned set)") {
+    import spark.implicits._
+    val rows = run("q181_ann_rerank_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5L, 10L, 20L))
+    for (w <- rows.sliding(2); Array(a, b) = w) {
+      assert(a._2 <= b._2, "recall must be monotone in the shortlist")
+      assert(a._3 < b._3, "re-rank cost must grow with the shortlist")
+    }
+    val nq = graft.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 5).count()
+    assert(rows.forall(r => r._3 == r._1 * nq),
+      "n_reranked must be exactly shortlist x queries on a clean corpus")
+    assert(rows.forall(r => r._2 >= 0L && r._2 <= 1000000L))
+    // at shortlist=5 the exact stage re-orders q128's top-5 but cannot
+    // change WHICH five come back — so its recall equals the recall of
+    // q128's returned SET against the exact truth
+    val q128Set = run("q128_ivfpq_ann")
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val truth = {
+      import graft.functions.VectorFns.{dot => vdot}
+      val base = graft.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val t = base.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        .crossJoin(broadcast(base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+        .withColumn("l2t", floor((vdot(col("qv"), col("qv"))
+          - lit(2.0) * vdot(col("qv"), col("nv"))
+          + vdot(col("nv"), col("nv"))) * lit(1e9)).cast("long"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("l2t").asc, col("neighbor_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+      t
+    }
+    val nqL = truth.map(_._1).toSet.size.toLong
+    assert(rows.head._2 == q128Set.intersect(truth).size * 1000000L /
+      (5L * nqL),
+      "shortlist=5 recall must equal q128's set recall against truth")
+  }
+
   // ------------------------------------------------------------- q176
 
   test("q176 dirty corpus: null-text survivors write and fingerprint " +

@@ -119,6 +119,46 @@ object Staging {
     dir.toString
   }
 
+  /** Root directory for a PUBLISHED artifact tree (the q176 shard export,
+    * the q180 ANN index). Unlike [[scratchDir]] — always driver-local tmp,
+    * deleted at JVM exit, right for layout COPIES of existing tables —
+    * a published artifact is the pipeline's OUTPUT and must land on the
+    * cluster's shared filesystem: set `graft.artifact.root` to an
+    * HDFS/ABFS URI and the stage + final trees are created there (no
+    * exit-time cleanup — artifacts outlive the session by design); unset,
+    * the harness default is a shutdown-cleaned local scratch dir, which
+    * on local[*] IS the shared filesystem.
+    */
+  def artifactRoot(s: SparkSession, prefix: String): String =
+    s.conf.getOption("graft.artifact.root") match {
+      case Some(root) =>
+        val p = new org.apache.hadoop.fs.Path(
+          root, prefix + java.util.UUID.randomUUID().toString)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+        p.toString
+      case None => scratchDir(prefix)
+    }
+
+  /** The stage→final swap of a two-phase artifact publish, routed through
+    * the Hadoop FileSystem of the TARGET path — on HDFS/ABFS/local this
+    * is the one atomic directory rename that makes a crash mid-write
+    * leave a stage tree, never a half-published artifact. Object stores
+    * without atomic rename (raw S3) turn this into a non-atomic copy;
+    * publishing there needs a manifest-commit layout (Delta/Iceberg) —
+    * documented constraint, fail-loud here if the rename is refused.
+    */
+  def publishAtomic(s: SparkSession, stagePath: String,
+      finalPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stage = new Path(stagePath)
+    val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.rename(stage, new Path(finalPath)))
+      throw new IllegalStateException(
+        s"two-phase publish: rename $stagePath -> $finalPath refused by " +
+          s"${fs.getScheme} — the stage tree is intact; nothing was " +
+          "published")
+  }
+
   /** Marginal seconds spent building each of `s`'s staged frames, keyed by
     * (sfDir, name). One entry per build — a frame is built at most once per
     * session+dir — and entries are additive (nested builds subtracted).

@@ -142,7 +142,7 @@ object CorpusOps {
         .join(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("doc_id"), col("pos"), col("kept"), col("text"),
           col("shard_id"), col("slab"))
-      val base = graft.Staging.scratchDir("graft_shards_")
+      val base = graft.Staging.artifactRoot(s, "graft_shards_")
       val stagePath = s"$base/stage"
       val finalPath = s"$base/shards"
       assigned.repartition(col("slab"))
@@ -160,10 +160,10 @@ object CorpusOps {
             s"${got.getLong(1)} tokens but the assignment has " +
             s"${want.getLong(0)} / ${want.getLong(1)} — refusing to " +
             "publish a partial export")
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(stagePath),
-        java.nio.file.Paths.get(finalPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // stage→final swap on the TARGET filesystem (Staging.publishAtomic:
+      // atomic rename on HDFS/ABFS/local; raw-S3 caveat documented there) —
+      // set graft.artifact.root to publish off the driver's tmpdir
+      graft.Staging.publishAtomic(s, stagePath, finalPath)
       import s.implicits._
       Seq(finalPath).toDF("shard_dir")
     }.head().getString(0)

@@ -258,12 +258,12 @@ class DirtyEmbeddingsSpec extends SparkSpec {
   }
 
   test("q178 filtered ANN runs on the dirty index (no label column, " +
-    "malformed vectors): two arms, empty truth → zero recall, " +
+    "malformed vectors): three arms, empty truth → zero recall, " +
     "pre-filter never scans more than post") {
     val rows = graft.SparkEntry.queries("q178_filtered_ann")(spark, dirtyDir)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3)))).toMap
-    assert(rows.keySet == Set("pre_filter", "post_filter"))
+    assert(rows.keySet == Set("pre_filter", "post_filter", "from_index"))
     // no label column → the predicate matches nothing: both arms return
     // nothing and recall is exactly 0 (greatest(n_truth, 1) guards the div)
     for ((arm, (c, ret, rec)) <- rows) {
@@ -275,8 +275,10 @@ class DirtyEmbeddingsSpec extends SparkSpec {
 
   test("q180 ANN index writer runs on the dirty index: malformed " +
     "vectors persist with null codes (never misencoded), the manifest " +
-    "verifies, and served results equal q128's in-memory build") {
-    val q128 = graft.SparkEntry.queries("q128_ivfpq_ann")(spark, dirtyDir)
+    "verifies, and served results equal the in-memory build") {
+    // in-memory drift reference (q128 itself serves from the artifact
+    // since round 18 — see Round17OpsSpec's q180 pin)
+    val q128 = SimilarityOps.ivfpqInMemoryTop5(spark, dirtyDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val q180 = graft.SparkEntry.queries("q180_ann_index_write")(
         spark, dirtyDir)

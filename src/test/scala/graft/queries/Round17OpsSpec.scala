@@ -398,11 +398,15 @@ class Round17OpsSpec extends SparkSpec {
 
   // ------------------------------------------------------------- q180
 
-  test("q180: the top-5 served FROM THE WRITTEN INDEX equals q128's " +
+  test("q180: the top-5 served FROM THE WRITTEN INDEX equals the " +
     "in-memory build row-for-row, the tree is list-partitioned with a " +
     "two-phase publish, and the manifest checksum is reproducible from " +
     "the written files") {
-    val q128 = run("q128_ivfpq_ann").collect()
+    // the drift reference is the IN-MEMORY build (ivfpqInMemoryTop5):
+    // since round 18 q128 itself serves from the artifact, so comparing
+    // q180 to q128 would be vacuous — this pin is what keeps the
+    // persisted lists honest against the encode they claim to hold
+    val q128 = SimilarityOps.ivfpqInMemoryTop5(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .toSet
     val q180 = run("q180_ann_index_write").collect()

@@ -485,48 +485,142 @@ object SimilarityOps {
   private[graft] def annIndexFiles(s: SparkSession, dir: String)
       : (String, Long, Long) = {
     val row = graft.Staging.stage(s, dir, "ann_index") {
-      val (cb, norms) = pqModel(s, dir)
-      val raw = Tables(s, dir, "embeddings")
-      // filterable metadata rides the index rows (the q178 serving
-      // question: a filtered probe pushes its predicate into the list
-      // scan only if the lists CARRY the attribute — the
-      // metadata-sidecar layout of every production filtered-ANN store).
-      // Missing column → null lab, same tolerance as q178's Spark side.
-      val labCol = if (raw.columns.contains("label"))
-        col("label").cast("int") else lit(null).cast("int")
-      val base = raw.filter(col("vec_id") >= 5)
-        .select(col("vec_id").as("neighbor_id"),
-          transform(col("embedding"), x => x.cast("double")).as("nv"),
-          labCol.as("lab"))
-      val lists = pqEncode(
-        coarseAssign(base, coarseCentroids(vecs(s, dir)),
-          "neighbor_id", "nv", 1, extra = Seq("lab")),
-        "nv", cb, norms)
-        .select(col("neighbor_id") +:
-          (0 until PqM).map(m => col(s"code_$m")) :+
-          col("lab") :+ col("cid"): _*)
-      def chk(df: DataFrame) =
-        df.agg(count(lit(1)), annIndexChecksumCol).head()
-      val root = graft.Staging.artifactRoot(s, "graft_annidx_")
-      val stagePath = s"$root/stage"
-      val finalPath = s"$root/index"
-      lists.write.partitionBy("cid").parquet(stagePath)
-      val want = chk(lists)
-      val got = chk(s.read.schema(annIndexSchema).parquet(stagePath))
-      if (want.getLong(0) != got.getLong(0) ||
-          want.getLong(1) != got.getLong(1))
-        throw new IllegalStateException(
-          s"q180: staged index holds ${got.getLong(0)} rows / checksum " +
-            s"${got.getLong(1)} but the assignment has ${want.getLong(0)}" +
-            s" / ${want.getLong(1)} — refusing to publish a drifted index")
-      // stage→final swap on the TARGET filesystem (atomic on HDFS/ABFS/
-      // local; raw-S3 caveat documented at Staging.publishAtomic)
-      graft.Staging.publishAtomic(s, stagePath, finalPath)
+      val (path, n, chk) = writeAnnIndex(s, annIndexLists(s, dir),
+        graft.Staging.artifactRoot(s, "graft_annidx_"))
       import s.implicits._
-      Seq((finalPath, want.getLong(0), want.getLong(1)))
-        .toDF("idx_dir", "n_rows", "checksum")
+      Seq((path, n, chk)).toDF("idx_dir", "n_rows", "checksum")
     }.head()
     (row.getString(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** The index CONTENT frame — (neighbor_id, code_0..7, lab, cid) for the
+    * whole corpus — shared by the batch writer and (filtered) by the
+    * incremental-append spec, so both paths encode through one code path.
+    */
+  private[graft] def annIndexLists(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (cb, norms) = pqModel(s, dir)
+    val raw = Tables(s, dir, "embeddings")
+    // filterable metadata rides the index rows (the q178 serving
+    // question: a filtered probe pushes its predicate into the list
+    // scan only if the lists CARRY the attribute — the
+    // metadata-sidecar layout of every production filtered-ANN store).
+    // Missing column → null lab, same tolerance as q178's Spark side.
+    val labCol = if (raw.columns.contains("label"))
+      col("label").cast("int") else lit(null).cast("int")
+    val base = raw.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), x => x.cast("double")).as("nv"),
+        labCol.as("lab"))
+    pqEncode(
+      coarseAssign(base, coarseCentroids(vecs(s, dir)),
+        "neighbor_id", "nv", 1, extra = Seq("lab")),
+      "nv", cb, norms)
+      .select(col("neighbor_id") +:
+        (0 until PqM).map(m => col(s"code_$m")) :+
+        col("lab") :+ col("cid"): _*)
+  }
+
+  /** Writes a lists frame as a fresh index tree under `root` — the q176
+    * two-phase discipline (stage write → fail-loud count+checksum
+    * verification of the READ-BACK files → one atomic rename) — and
+    * seeds the on-disk manifest ([[writeAnnManifest]]) the incremental
+    * appender (graft.streaming.StreamingAnn.appendBatch) maintains.
+    * Returns (published dir, n_rows, checksum).
+    */
+  private[graft] def writeAnnIndex(s: SparkSession, lists: DataFrame,
+      root: String): (String, Long, Long) = {
+    def chk(df: DataFrame) =
+      df.agg(count(lit(1)), annIndexChecksumCol).head()
+    val stagePath = s"$root/stage"
+    val finalPath = s"$root/index"
+    lists.write.partitionBy("cid").parquet(stagePath)
+    val want = chk(lists)
+    val got = chk(s.read.schema(annIndexSchema).parquet(stagePath))
+    if (want.getLong(0) != got.getLong(0) ||
+        want.getLong(1) != got.getLong(1))
+      throw new IllegalStateException(
+        s"q180: staged index holds ${got.getLong(0)} rows / checksum " +
+          s"${got.getLong(1)} but the assignment has ${want.getLong(0)}" +
+          s" / ${want.getLong(1)} — refusing to publish a drifted index")
+    // stage→final swap on the TARGET filesystem (atomic on HDFS/ABFS/
+    // local; raw-S3 caveat documented at Staging.publishAtomic)
+    graft.Staging.publishAtomic(s, stagePath, finalPath)
+    writeAnnManifest(s, finalPath, want.getLong(0), want.getLong(1))
+    (finalPath, want.getLong(0), want.getLong(1))
+  }
+
+  /** On-disk index manifest — rows + the order-independent checksum as a
+    * `_MANIFEST.json` file INSIDE the index dir (the underscore prefix
+    * keeps it invisible to the parquet reader, the `_SUCCESS`
+    * convention). The manifest is the integrity commit point for
+    * incremental appends: list part-files land first (each file-move
+    * atomic, the tree readable throughout), the manifest lands LAST —
+    * a loader that verifies against it ([[verifyAnnIndex]]) can never
+    * accept a half-appended batch, and a crash between file-moves and
+    * the manifest write surfaces as a verification mismatch, not silent
+    * drift. Written temp + rename; a crash inside the swap window
+    * leaves the temp file for forensics and a missing/stale manifest
+    * that fails verification loud.
+    */
+  private[graft] def writeAnnManifest(s: SparkSession, indexDir: String,
+      nRows: Long, checksum: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, "_MANIFEST.json.tmp")
+    val fin = new Path(dir, "_MANIFEST.json")
+    val out = fs.create(tmp, true)
+    out.write(s"""{"n_rows": $nRows, "checksum": $checksum}"""
+      .getBytes("UTF-8"))
+    out.close()
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(
+        s"ann index manifest commit refused at $fin")
+  }
+
+  /** (n_rows, checksum) from the on-disk manifest; fails loud when the
+    * manifest is missing (an index without one was never published or
+    * died mid-commit — a loader must refuse it, not guess).
+    */
+  private[graft] def readAnnManifest(s: SparkSession, indexDir: String)
+      : (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fin = new Path(indexDir, "_MANIFEST.json")
+    val fs = fin.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fin))
+      throw new IllegalStateException(
+        s"ann index at $indexDir has no _MANIFEST.json — unpublished " +
+          "or died mid-commit; refusing to serve")
+    val in = fs.open(fin)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def field(k: String): Long = {
+      // raw interpolator: \s / \d reach the regex engine as written
+      val m = (raw""""$k"\s*:\s*(-?\d+)""").r.findFirstMatchIn(txt)
+      m.map(_.group(1).toLong).getOrElse(throw new IllegalStateException(
+        s"ann index manifest at $fin is malformed: $txt"))
+    }
+    (field("n_rows"), field("checksum"))
+  }
+
+  /** Loader-side integrity gate: recompute rows + checksum over the tree
+    * and compare to the manifest, failing loud on any drift (a torn
+    * append, a doctored list file, a lost part). Returns the verified
+    * (n_rows, checksum).
+    */
+  private[graft] def verifyAnnIndex(s: SparkSession, indexDir: String)
+      : (Long, Long) = {
+    val (wantN, wantChk) = readAnnManifest(s, indexDir)
+    val df = s.read.schema(annIndexSchema).parquet(indexDir)
+    val got = df.agg(count(lit(1)), annIndexChecksumCol).head()
+    if (got.getLong(0) != wantN || got.getLong(1) != wantChk)
+      throw new IllegalStateException(
+        s"ann index at $indexDir fails verification: manifest says " +
+          s"$wantN rows / checksum $wantChk, tree holds " +
+          s"${got.getLong(0)} / ${got.getLong(1)}")
+    (wantN, wantChk)
   }
 
   private[graft] val annIndexSchema: String =

@@ -166,6 +166,19 @@ object StreamingThroughput {
           ds.toDF().withColumn("ts", timestamp_seconds(col("vec_id") + 3600L)),
           "vec_id", "ts", "1 hour"),
         "vec_id", m)))
+    // incremental q180 index maintenance (foreachBatch ingest: in-row
+    // encode + verified cid-partitioned file append + manifest commit
+    // per micro-batch) — each feed grows its own fresh published tree
+    def annAppendT(m: StreamingAnn.Model, seedDir: String)(
+        ds: Dataset[VecIn]) = {
+      val (path, _, _) = graft.queries.SimilarityOps.writeAnnIndex(spark,
+        graft.queries.SimilarityOps.annIndexLists(spark, seedDir).limit(0),
+        graft.Staging.scratchDir("graft_annappend_"))
+      Seq(ds.toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          StreamingAnn.appendBatch(b, "vec_id", m, path); ()
+        }.start())
+    }
     def dws(ds: Dataset[OrderIn]) = {
       val (agg, late) = DwsTradeStream.provinceOrderWindow(ds.toDF())
       Seq(noop(agg), noop(late.toDF()))
@@ -222,6 +235,8 @@ object StreamingThroughput {
       feed(x1Mix.take(BatchRows))(boilerT)
     if (sel("decon")) feed(x1Docs.take(BatchRows))(decon(bloom))
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
+    if (sel("ann_append"))
+      feed(x1Vecs.take(BatchRows))(annAppendT(annModel, s"$scaleRoot/x1"))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
     if (sel("sketch")) feed(x1Lens.take(BatchRows))(sketchT)
     if (sel("cluster")) feed(x1Vecs.take(BatchRows))(clusterT(clusterModel))
@@ -342,6 +357,12 @@ object StreamingThroughput {
     if (sel("ann_ingest")) {
       emit("ann_ingest", "x1", x1Vecs.size, feed(x1Vecs)(ann(annModel)))
       emit("ann_ingest", "x10", x10Vecs.size, feed(x10Vecs)(ann(annModel)))
+    }
+    if (sel("ann_append")) {
+      emit("ann_append", "x1", x1Vecs.size,
+        feed(x1Vecs)(annAppendT(annModel, s"$scaleRoot/x1")))
+      emit("ann_append", "x10", x10Vecs.size,
+        feed(x10Vecs)(annAppendT(annModel, s"$scaleRoot/x1")))
     }
     if (sel("dws_trade")) {
       emit("dws_trade", evX1, x1Orders.size, feed(x1Orders)(dws))

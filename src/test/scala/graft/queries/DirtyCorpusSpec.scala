@@ -80,7 +80,10 @@ class DirtyCorpusSpec extends SparkSpec {
     // q179 tolerates a starved vocabulary gracefully (unlike q164's
     // fail-loud contract): prune caps are maxima, and the single-char
     // floor keeps every word segmentable
-    "q179_unigram_lm_vocab")
+    "q179_unigram_lm_vocab",
+    // round 18: q182 synthesizes its frame payloads from doc_id alone
+    // (the q177 rule) — included for the execute-everything contract
+    "q182_video_perceptual_neardup")
 
   test("every documents-only query executes on the dirty corpus") {
     val failures = docQueries.flatMap { name =>

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-18 additions: q182 video perceptual near-dup (the frame-payload
+  * row completing the modality-dedup matrix). Structural facts the hash
+  * oracle can't state: the decode walks the REAL sample table (both stsz
+  * forms, both container layouts), every failure mode drops instead of
+  * fingerprinting partially, and the planted near-dups sit where the
+  * synthesis put them.
+  */
+class Round18OpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String, dir: String = sfDir) =
+    graft.Registry.all.find(_.name == name).get.run(spark, dir)
+
+  // ------------------------------------------------------------- q182
+
+  test("q182: parseMp4FrameLuma walks the real sample table — both stsz " +
+    "forms and both container layouts parse to exactly the synthesized " +
+    "frames; truncation, garbage, and frame-less header MP4s drop") {
+    import graft.queries.MultimodalOps._
+    val rows = syntheticFramedMp4s(spark, sfDir)
+      .filter(col("mediaId") < 30).collect().sortBy(_.mediaId)
+    // the first 30 ids cover: constant-size stsz (even), per-sample
+    // table stsz (odd), mdat-before-moov (≡0 mod 3), largesize free
+    // boxes (≡0 mod 4) — every parser branch inside the hash-checked set
+    assert(rows.exists(_.mediaId % 2 == 0) && rows.exists(_.mediaId % 2 == 1))
+    assert(rows.exists(_.mediaId % 3 == 0) && rows.exists(_.mediaId % 4 == 0))
+    for (r <- rows) {
+      val parsed = parseMp4FrameLuma(r.content)
+      assert(parsed.nonEmpty, s"doc ${r.mediaId} must parse")
+      val (sizes, samples) = parsed.get
+      assert(sizes.length == FpFrames && sizes.forall(_ == FrameLen),
+        s"doc ${r.mediaId}: the stsz table must yield 57 × 64-byte frames")
+      assert(samples.length == FpFrames * FrameLen)
+    }
+    // truncation on a moov-first container: the sample table parses but
+    // the chunk's declared bytes exceed the payload present — drop,
+    // never a partial fingerprint
+    val moovFirst = rows.find(_.mediaId % 3 != 0).get.content
+    assert(parseMp4FrameLuma(moovFirst.dropRight(10)).isEmpty,
+      "a truncated mdat must drop")
+    assert(parseMp4FrameLuma("garbage".getBytes("US-ASCII")).isEmpty)
+    // q157's header-only fixtures are VALID containers (parseMp4 reads
+    // their mvhd/tkhd) but carry no sample table → the frame path drops
+    val headerOnly = syntheticMp4s(spark, sfDir).head().content
+    assert(parseMp4(headerOnly).nonEmpty,
+      "the header fixture stays a valid container")
+    assert(parseMp4FrameLuma(headerOnly).isEmpty,
+      "no stbl → no frames → drop from the fingerprint path")
+  }
+
+  test("q182: decoded fingerprints match a first-principles luma " +
+    "recompute, planted id % 5 == 4 near-dups sit at Hamming <= 1 of " +
+    "their predecessor, and the query surfaces every planted pair") {
+    import spark.implicits._
+    import graft.queries.MultimodalOps._
+    val rows = syntheticFramedMp4s(spark, sfDir)
+      .filter(col("mediaId") < 25).collect().sortBy(_.mediaId)
+    val got = decodeVideoFingerprint(
+      syntheticFramedMp4s(spark, sfDir).filter(col("mediaId") < 25))
+      .collect().toMap
+    for (r <- rows if r.mediaId % 3 != 0) {
+      // moov-first layout: the payload is the LAST 3648 bytes of the
+      // container — an independent read that never touches the box walk
+      val px = r.content.takeRight(FpFrames * FrameLen).map(_ & 0xff)
+      val e = (0 until FpFrames).map(f =>
+        (0 until FrameLen).map(j => px(f * FrameLen + j).toLong).sum)
+      var sig = 0L
+      for (f <- 0 until FpFrames - 1) if (e(f + 1) > e(f)) sig |= 1L << f
+      assert(got(r.mediaId) == sig,
+        s"doc ${r.mediaId}: decoded fingerprint diverged from the " +
+          "first-principles luma recompute")
+    }
+    for (r <- rows if r.mediaId % 3 == 0) {
+      // mdat-before-moov layout: replay the synthesis arithmetic instead
+      // (the payload is mid-container) — a second independent derivation
+      val id = r.mediaId
+      val base = if (id % 5 == 4) id - 1 else id
+      def amp(f: Int): Long =
+        (base * 37 + f * 11) % 251 + (if (id % 5 == 4 && f == 0) 1 else 0)
+      var sig = 0L
+      for (f <- 0 until FpFrames - 1) if (amp(f + 1) > amp(f)) sig |= 1L << f
+      assert(got(id) == sig,
+        s"doc $id (mdat-first): decoded fingerprint diverged from the " +
+          "synthesis arithmetic")
+    }
+    val near = rows.filter(_.mediaId % 5 == 4)
+    assert(near.nonEmpty)
+    for (r <- near) {
+      val d = java.lang.Long.bitCount(got(r.mediaId) ^ got(r.mediaId - 1))
+      assert(d <= 1,
+        s"planted pair (${r.mediaId - 1}, ${r.mediaId}) at Hamming $d > 1")
+    }
+    val out = run("q182_video_perceptual_neardup")
+      .select(col("i"), col("j")).as[(Long, Long)].collect().toSet
+    val planted = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].collect()
+      .filter(id => id % 5 == 4).map(id => (id - 1, id)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(out),
+      s"missing planted pairs: ${(planted -- out).take(5)}")
+  }
+}

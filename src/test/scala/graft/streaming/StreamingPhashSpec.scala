@@ -183,6 +183,33 @@ class StreamingPhashSpec extends SparkSpec {
       s"streamed ${streamed.size} pairs vs batch ${batchPairs.size}")
   }
 
+  test("signature-source generalization, video: the SAME streaming " +
+    "operator over frame-luma-contour fingerprints equals batch q182 on " +
+    "an under-cap corpus — still no per-modality twin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phv_").toString
+    graft.Tables(spark, sfDir, "documents")
+      .orderBy(col("doc_id")).limit(100)
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val sub = {
+      import graft.queries.MultimodalOps._
+      decodeVideoFingerprint(syntheticFramedMp4s(spark, dir))
+        .toDF("doc_id", "dhash")
+    }
+    val hits = StreamingPhash.bandAssignments(sub).collect().sortBy(_.docId)
+    val sizes = hits.groupBy(h => (h.band, h.bv)).view.mapValues(_.length)
+    assert(sizes.values.max <= 100, "precondition: all buckets under cap")
+    val streamed = streamPairs(hits.toSeq, "phash_video")
+    val batchPairs = graft.Registry.all
+      .find(_.name == "q182_video_perceptual_neardup").get
+      .run(spark, dir)
+      .select(col("i"), col("j"), col("hamming")).as[(Long, Long, Int)]
+      .collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batchPairs,
+      s"streamed ${streamed.size} pairs vs batch ${batchPairs.size}")
+  }
+
   test("full synthetic corpus (the cap adversary: one bucket holds ~76% " +
     "of docs): streamed DOMINATES batch q163, and every streamed extra " +
     "is a pair whose shared bands are all over-cap") {

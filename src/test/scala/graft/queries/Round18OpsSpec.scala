@@ -104,4 +104,59 @@ class Round18OpsSpec extends SparkSpec {
     assert(planted.nonEmpty && planted.subsetOf(out),
       s"missing planted pairs: ${(planted -- out).take(5)}")
   }
+
+  // ----------------------------------- three-level scaled-K SemDeDup
+
+  /** Hierarchy-consistent embeddings fixture: 64 DISTINCT centroid
+    * vectors c_j = e_(j mod 16) + 0.2·(a+1)·e_(48+a), a = j div 16, and
+    * 12 800 corpus vectors that are EXACT copies c_(i mod 64) — so
+    * K = max(16, N/200) = 64, m = ⌈√(16·64)⌉ = 32, and every routing
+    * argmax at every level has a strict margin: each vector's true
+    * centroid lives under its routed super and mid, which is exactly
+    * the regime where the three-level tree must reproduce the two-level
+    * assignment bit-for-bit.
+    */
+  private lazy val hierFixtureDir: String = {
+    import spark.implicits._
+    val dim = 64
+    def cent(j: Int): Seq[Float] = {
+      val a = j / 16; val b = j % 16
+      Seq.tabulate(dim)(i =>
+        if (i == b) 1.0f
+        else if (i == 48 + a) (0.2f * (a + 1))
+        else 0.0f)
+    }
+    val rows = (0 until 12800).map(i => (i.toLong, cent(i % 64)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hier_").toString
+    rows.toDF("vec_id", "embedding")
+      .coalesce(8).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("scaled-K SemDeDup: the three-level tree reproduces the two-level " +
+    "assignment EXACTLY on hierarchy-consistent geometry, through " +
+    "registered q131, with 64 clusters of 200 members each") {
+    // an isolated session: conf changes must not leak into parallel
+    // suites sharing the SparkContext
+    val deep = spark.newSession()
+    deep.conf.set("graft.semdedup.threeLevelMinK", "16")
+    val q131 = graft.Registry.all.find(_.name == "q131_semantic_dedup_scaledk").get
+    def rollup(s: org.apache.spark.sql.SparkSession) =
+      q131.run(s, hierFixtureDir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+    val three = rollup(deep)
+    val two = rollup(spark) // default threshold: two-level path
+    assert(three == two,
+      s"three-level assignment diverged from two-level on consistent " +
+        s"geometry: ${(three.toSet -- two.toSet).take(3)} vs " +
+        s"${(two.toSet -- three.toSet).take(3)}")
+    assert(three.size == 64, s"expected 64 clusters, got ${three.size}")
+    assert(three.values.forall(_._1 == 200L),
+      "every cluster must hold exactly its 200 copies")
+    // every copy is cosine-1 of its representative, so SemDeDup drops
+    // all non-representative members — the rollup's semantic check
+    assert(three.values.forall(v => v._2 == 199L),
+      s"199 of 200 exact copies must drop per cluster: ${three.take(3)}")
+  }
 }

@@ -80,9 +80,12 @@ object ScalingBench {
     // serve) and the two-stage re-rank sweep (ADC shortlist + exact
     // re-rank on <= 20 rows/query — query-bounded past the ADC pass)
     "q180_ann_index_write", "q181_ann_rerank_sweep",
-    // round-18 addition: video frame-payload near-dup (real sample-table
+    // round-18 additions: video frame-payload near-dup (real sample-table
     // decode + the shared banding — the q177 recipe on the frame axis)
-    "q182_video_perceptual_neardup",
+    // and the index-lifecycle capstone (seed + 4 appends + compaction as
+    // the ann_index_compacted staging line; steady state = the serve at
+    // one file-open per probed list)
+    "q182_video_perceptual_neardup", "q183_ann_index_compact",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

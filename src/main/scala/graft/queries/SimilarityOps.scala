@@ -142,14 +142,19 @@ object SimilarityOps {
          IndexedSeq[IndexedSeq[Seq[Double]]],
          IndexedSeq[IndexedSeq[Double]]) = {
     val (cb, norms) = pqModel(s, dir)
-    // malformed centroids are dropped (pqModel's well-formed rule): the
-    // batch window keeps them but their null cosine can never win the
-    // argmax, so routing agrees wherever at least one centroid is real —
-    // and a dirty corpus must not NPE the model build (getSeq is null
-    // for a null embedding)
+    // the model keeps NON-NULL malformed centroids (empty / wrong-dim
+    // vectors): the batch window scores every vec_id < 16 candidate,
+    // and a wrong-dim CORPUS vector legitimately wins cosine 1 against
+    // its own wrong-dim twin among the candidates — dropping such
+    // centroids made streamed routing diverge from batch on exactly
+    // that row (the round-18 q183 dirty-lifecycle find). Against every
+    // other vector a malformed centroid scores null (cosine's guards),
+    // which never wins — identical to batch. Only NULL embeddings drop
+    // (getSeq would NPE; batch scores them null → never win, so the
+    // drop is behavior-neutral), keeping streamed ingest ≡ batch
+    // assignment on EVERY corpus, not just clean ones.
     val cents = vecs(s, dir)
-      .filter(col("vec_id") < 16 && col("v").isNotNull &&
-        size(col("v")) === graft.functions.VectorFns.Dims)
+      .filter(col("vec_id") < 16 && col("v").isNotNull)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
       .toSeq.sortBy(_._1)
     (cents, cb, norms)
@@ -534,9 +539,18 @@ object SimilarityOps {
     * FAISS serve shape, at 10⁹ vectors the only shape that works.
     */
   private def ivfpqTop5(s: SparkSession, dir: String): DataFrame = {
-    val (cb, norms) = pqModel(s, dir)
     val (path, _, _) = annIndexFiles(s, dir)
-    val idx = s.read.schema(annIndexSchema).parquet(path)
+    serveIndexTop5(s, dir, s.read.schema(annIndexSchema).parquet(path))
+  }
+
+  /** The serve tail over ANY index-schema lists frame — shared by q128/
+    * q129/q180 (the staged artifact) and q183 (the compacted tree):
+    * probe 2 lists per query, codebook-broadcast ADC over stored codes,
+    * q128's exact tie rules.
+    */
+  private def serveIndexTop5(s: SparkSession, dir: String,
+      idx: DataFrame): DataFrame = {
+    val (cb, norms) = pqModel(s, dir)
     val base = vecs(s, dir)
     val probes = coarseAssign(base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv")),
@@ -549,6 +563,73 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+
+  /** Data-file count per list directory — the fragmentation instrument
+    * shared by the q183 build (post-compaction == 1 gate) and its spec
+    * (pre-compaction > 1 precondition).
+    */
+  private[graft] def annListFileCounts(s: SparkSession,
+      indexDir: String): Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
+    val idx = new Path(indexDir)
+    val fs = idx.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(idx)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .map(d => d.getPath.getName ->
+        fs.listStatus(d.getPath)
+          .count(f => !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")))
+      .toMap
+  }
+
+  /** Compacts an append-fragmented index tree: rewrites every inverted
+    * list as ONE file (small-files are the append path's inevitable
+    * debt — every micro-batch adds a part-file per touched list, and a
+    * serving probe pays an open per file; the q176 slab lesson on the
+    * serving axis), verified CONTENT-INVARIANT against the manifest
+    * before the swap (same rows, same order-independent checksum —
+    * compaction may move bytes, never values), then swapped in with two
+    * renames (retire old → promote stage; a crash between them leaves
+    * no `index/` and a loader fails loud on the missing manifest rather
+    * than reading a torn tree; the stage is rolled back if promotion is
+    * refused). The manifest rides the new tree unchanged — compaction
+    * is invisible to every integrity check by construction.
+    */
+  private[graft] def compactAnnIndex(s: SparkSession,
+      indexDir: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val (wantN, wantChk) = readAnnManifest(s, indexDir)
+    val idx = new Path(indexDir)
+    val fs = idx.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val root = idx.getParent
+    val stage = new Path(root,
+      s"compact_stage_${java.util.UUID.randomUUID()}")
+    // one file per list: repartition on the partition column gives each
+    // writing task exactly its lists
+    s.read.schema(annIndexSchema).parquet(indexDir)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").parquet(stage.toString)
+    val got = s.read.schema(annIndexSchema).parquet(stage.toString)
+      .agg(count(lit(1)), annIndexChecksumCol).head()
+    if (got.getLong(0) != wantN || got.getLong(1) != wantChk)
+      throw new IllegalStateException(
+        s"ann compaction: staged rewrite holds ${got.getLong(0)} rows / " +
+          s"checksum ${got.getLong(1)} but the manifest says $wantN / " +
+          s"$wantChk — refusing to swap a drifted tree")
+    writeAnnManifest(s, stage.toString, wantN, wantChk)
+    val retired = new Path(root,
+      s"index_retired_${java.util.UUID.randomUUID()}")
+    if (!fs.rename(idx, retired))
+      throw new IllegalStateException(
+        s"ann compaction: retire rename refused at $indexDir")
+    if (!fs.rename(stage, idx)) {
+      fs.rename(retired, idx) // roll back — the old tree stays live
+      throw new IllegalStateException(
+        s"ann compaction: promote rename refused at $indexDir — rolled back")
+    }
+    fs.delete(retired, true)
+    (wantN, wantChk)
   }
 
   /** The written IVF-PQ index tree for (session, dir) — q180's side
@@ -2124,5 +2205,69 @@ object SimilarityOps {
         "5/10/20 — one ADC pass at the widest knob, exact distances " +
         "computed once on <= 20 rows per query, each narrower knob a " +
         "filter (pipeline ops brief: the production re-rank pattern, " +
-        "its knob read off the measured curve)."))
+        "its knob read off the measured curve)."),
+
+    // --------------------------------------------- index compaction
+    Q(
+      "q183_ann_index_compact",
+      (s, dir) => {
+        // The last leg of the index LIFECYCLE (round-18): build →
+        // append → COMPACT → serve. Incremental appends
+        // (StreamingAnn.appendBatch) inevitably fragment the lists —
+        // every micro-batch adds a part-file per touched list, and a
+        // serving probe pays a file-open per fragment (the q176
+        // small-files lesson on the serving axis). This query REPLAYS
+        // that lifecycle for real: seed an EMPTY published index,
+        // append the corpus in four verified batches (fragmenting the
+        // lists), compact every list to ONE file under the
+        // content-invariance gate (same rows, same order-independent
+        // checksum — compaction may move bytes, never values), then
+        // serve the top-5 FROM THE COMPACTED TREE. The oracle replays
+        // q128's arithmetic from the source table, so the hash only
+        // matches if seed + 4 appends + compaction preserved every
+        // code, label, and list assignment end-to-end — the whole
+        // lifecycle under one hash.
+        //
+        // Scale shape: the lifecycle is the once-per-session staged
+        // build (`ann_index_compacted` line); steady state is the
+        // list-pruned serve, now at one open per probed list.
+        import graft.streaming.StreamingAnn
+        val row = graft.Staging.stage(s, dir, "ann_index_compacted") {
+          val m = StreamingAnn.model(s, dir)
+          val root = graft.Staging.artifactRoot(s, "graft_anncomp_")
+          val (path, _, _) =
+            writeAnnIndex(s, annIndexLists(s, dir).limit(0), root)
+          val raw = Tables(s, dir, "embeddings")
+          val in = (if (raw.columns.contains("label"))
+            raw.select(col("vec_id"), col("embedding"), col("label"))
+          else raw.select(col("vec_id"), col("embedding")))
+            .filter(col("vec_id") >= 5)
+          for (slice <- 0 until 4)
+            StreamingAnn.appendBatch(
+              in.filter(pmod(col("vec_id"), lit(4)) === slice),
+              "vec_id", m, path)
+          val (n, chk) = compactAnnIndex(s, path)
+          val after = annListFileCounts(s, path)
+          if (after.valuesIterator.exists(_ > 1))
+            throw new IllegalStateException(
+              s"q183: compaction left a fragmented list: " +
+                s"${after.filter(_._2 > 1)}")
+          import s.implicits._
+          Seq((path, n, chk)).toDF("idx_dir", "n_rows", "checksum")
+        }.head()
+        serveIndexTop5(s, dir,
+          s.read.schema(annIndexSchema).parquet(row.getString(0)))
+      },
+      Some(ivfpqCte + """
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adc
+        FROM ranked WHERE rn <= 5"""),
+      "ANN index lifecycle under one hash: seed an empty published " +
+        "index, append the corpus in four verified micro-batches " +
+        "(fragmenting the lists), COMPACT every inverted list to one " +
+        "file under the content-invariance gate (manifest rows + " +
+        "checksum unchanged, two-rename swap with rollback), and serve " +
+        "the top-5 from the compacted tree — the oracle replays the " +
+        "build from source, so any drift anywhere in build → append → " +
+        "compact → serve breaks the hash (pipeline ops brief: the " +
+        "small-files debt of incremental ingest, paid down safely)."))
 }

@@ -64,7 +64,8 @@ object StreamingAnn {
     */
   def routeIds(vCol: Column, m: Model, keep: Int): Column = {
     if (m.centroids.isEmpty)
-      // an all-malformed model (annModel drops malformed centroids) has
+      // an all-null model (annModel drops only null-embedding centroids;
+      // non-null malformed ones stay, for batch-faithful routing) has
       // nowhere to route — empty assignment, not an analysis error
       typedLit(Seq.empty[Long])
     else {

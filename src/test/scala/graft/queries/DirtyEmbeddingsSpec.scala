@@ -211,13 +211,20 @@ class DirtyEmbeddingsSpec extends SparkSpec {
   }
 
   test("StreamingAnn model + in-row ingest survive the dirty index " +
-    "(malformed centroids dropped, malformed arrivals carry null codes)") {
+    "(non-null malformed centroids KEPT for batch-faithful routing, " +
+    "malformed arrivals carry null codes)") {
     import graft.streaming.StreamingAnn
     // the model build must not NPE on null/short/over-long vectors in
-    // the centroid window (vec_id < 16 here includes all the dirt)
+    // the centroid window (vec_id < 16 here includes all the dirt);
+    // non-null malformed centroids stay IN the model — the batch window
+    // scores them (a wrong-dim corpus vector wins cosine 1 against its
+    // wrong-dim twin), so dropping them made streamed routing diverge
+    // from batch (the q183 dirty-lifecycle find); only the null
+    // embedding (vec 3) drops
     val m = StreamingAnn.model(spark, dirtyDir)
-    assert(m.centroids.nonEmpty &&
-      m.centroids.forall(_._2.length == dim))
+    assert(m.centroids.map(_._1) ==
+      Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L),
+      s"model must keep non-null malformed centroids: ${m.centroids.map(_._1)}")
     val out = StreamingAnn.ingest(
       spark.read.parquet(s"$dirtyDir/embeddings.parquet"), "vec_id", m)
       .collect().map(r => r.getLong(0) ->
@@ -295,6 +302,18 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     // hide ingest bugs; null-coded they sort behind every real score
     assert(written.filter(col("code_0").isNull).count() >= 3,
       "malformed vectors must persist with null codes")
+  }
+
+  test("q183 lifecycle (seed + append + compact + serve) runs on the " +
+    "dirty index and serves exactly what q180 serves") {
+    val q183 = graft.SparkEntry.queries("q183_ann_index_compact")(
+        spark, dirtyDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val q180 = graft.SparkEntry.queries("q180_ann_index_write")(
+        spark, dirtyDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(q183 == q180,
+      s"dirty lifecycle serving drifted: $q183 vs $q180")
   }
 
   test("q181 re-rank sweep runs on the dirty index: three rows, bounded " +

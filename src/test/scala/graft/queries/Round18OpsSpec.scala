@@ -159,4 +159,70 @@ class Round18OpsSpec extends SparkSpec {
     assert(three.values.forall(v => v._2 == 199L),
       s"199 of 200 exact copies must drop per cluster: ${three.take(3)}")
   }
+
+  // ------------------------------------------------------------- q183
+
+  test("q183: four appends FRAGMENT the lists (measured precondition), " +
+    "compaction rewrites every list to one file with the manifest " +
+    "bit-unchanged and no list added or dropped, and a doctored " +
+    "compacted tree still fails the gate") {
+    import graft.streaming.StreamingAnn
+    val m = StreamingAnn.model(spark, sfDir)
+    val root = graft.Staging.scratchDir("graft_comp_spec_")
+    val (path, _, _) = SimilarityOps.writeAnnIndex(spark,
+      SimilarityOps.annIndexLists(spark, sfDir).limit(0), root)
+    val in = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= 5)
+    for (slice <- 0 until 4)
+      StreamingAnn.appendBatch(
+        in.filter(pmod(col("vec_id"), lit(4)) === slice),
+        "vec_id", m, path)
+    val before = SimilarityOps.annListFileCounts(spark, path)
+    assert(before.nonEmpty && before.valuesIterator.max > 1,
+      s"precondition: appends must fragment some list, got $before")
+    val manifestBefore = SimilarityOps.readAnnManifest(spark, path)
+    val (n, chk) = SimilarityOps.compactAnnIndex(spark, path)
+    assert((n, chk) == manifestBefore,
+      "compaction must return the manifest bit-unchanged")
+    assert((n, chk) == SimilarityOps.readAnnManifest(spark, path),
+      "the swapped-in tree must carry the same manifest")
+    val after = SimilarityOps.annListFileCounts(spark, path)
+    assert(after.valuesIterator.forall(_ == 1),
+      s"every list must be one file after compaction: $after")
+    assert(after.keySet == before.keySet,
+      "compaction must neither add nor drop lists")
+    SimilarityOps.verifyAnnIndex(spark, path)
+    // no retired/stage residue survives a successful swap
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val residue = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(nm => nm.startsWith("index_retired_") ||
+        nm.startsWith("compact_stage_"))
+    assert(residue.isEmpty, s"swap residue left behind: ${residue.toSeq}")
+    // the compacted tree is still corruption-detectable: drop one file
+    val cidDir = fs.listStatus(new Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .head.getPath
+    val part = fs.listStatus(cidDir)
+      .filter(st => !st.getPath.getName.startsWith("_")).head.getPath
+    fs.delete(part, false)
+    val lost = intercept[IllegalStateException] {
+      SimilarityOps.verifyAnnIndex(spark, path)
+    }
+    assert(lost.getMessage.contains("fails verification"))
+  }
+
+  test("q183 equals q180 row-for-row (the lifecycle tree serves exactly " +
+    "what the batch-written tree serves)") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val compacted = rows("q183_ann_index_compact")
+    val batch = rows("q180_ann_index_write")
+    assert(compacted == batch,
+      s"lifecycle serve drifted: ${(compacted -- batch).take(3)} vs " +
+        s"${(batch -- compacted).take(3)}")
+  }
 }

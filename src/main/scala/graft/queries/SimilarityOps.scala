@@ -617,7 +617,10 @@ object SimilarityOps {
         s"ann compaction: staged rewrite holds ${got.getLong(0)} rows / " +
           s"checksum ${got.getLong(1)} but the manifest says $wantN / " +
           s"$wantChk — refusing to swap a drifted tree")
-    writeAnnManifest(s, stage.toString, wantN, wantChk)
+    // the idempotence watermark survives compaction — a replayed batch
+    // must still be recognized as applied on the compacted tree
+    writeAnnManifest(s, stage.toString, wantN, wantChk,
+      readAnnLastBatch(s, indexDir))
     val retired = new Path(root,
       s"index_retired_${java.util.UUID.randomUUID()}")
     if (!fs.rename(idx, retired))
@@ -727,20 +730,38 @@ object SimilarityOps {
     * that fails verification loud.
     */
   private[graft] def writeAnnManifest(s: SparkSession, indexDir: String,
-      nRows: Long, checksum: Long): Unit = {
+      nRows: Long, checksum: Long, lastBatch: Long = -1L): Unit = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, "_MANIFEST.json.tmp")
     val fin = new Path(dir, "_MANIFEST.json")
     val out = fs.create(tmp, true)
-    out.write(s"""{"n_rows": $nRows, "checksum": $checksum}"""
-      .getBytes("UTF-8"))
+    out.write((s"""{"n_rows": $nRows, "checksum": $checksum, """ +
+      s""""last_batch": $lastBatch}""").getBytes("UTF-8"))
     out.close()
     fs.delete(fin, false)
     if (!fs.rename(tmp, fin))
       throw new IllegalStateException(
         s"ann index manifest commit refused at $fin")
+  }
+
+  /** Highest streaming batch id the manifest has committed (−1 when
+    * none — a freshly written batch index, or a pre-round-18 manifest
+    * without the field). The idempotence watermark for
+    * StreamingAnn.appendBatch's exactly-once contract.
+    */
+  private[graft] def readAnnLastBatch(s: SparkSession,
+      indexDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fin = new Path(indexDir, "_MANIFEST.json")
+    val fs = fin.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fin)) return -1L
+    val in = fs.open(fin)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    (raw""""last_batch"\s*:\s*(-?\d+)""").r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(-1L)
   }
 
   /** (n_rows, checksum) from the on-disk manifest; fails loud when the
@@ -2245,7 +2266,7 @@ object SimilarityOps {
           for (slice <- 0 until 4)
             StreamingAnn.appendBatch(
               in.filter(pmod(col("vec_id"), lit(4)) === slice),
-              "vec_id", m, path)
+              "vec_id", m, path, batchId = slice.toLong)
           val (n, chk) = compactAnnIndex(s, path)
           val after = annListFileCounts(s, path)
           if (after.valuesIterator.exists(_ > 1))

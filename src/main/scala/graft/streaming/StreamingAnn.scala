@@ -127,15 +127,35 @@ object StreamingAnn {
     * (the commit point is the manifest, q176's two-phase shape adapted
     * to per-batch growth). Returns the new manifest (n_rows, checksum).
     *
+    * EXACTLY-ONCE under at-least-once delivery: foreachBatch re-executes
+    * a failed micro-batch with the SAME batchId, so a bare append would
+    * double rows on replay. Pass the foreachBatch `batchId` and the
+    * manifest's `last_batch` watermark makes any batchId ≤ watermark a
+    * NO-OP returning the current manifest — batch ids are monotone per
+    * query, so ≤ means already-committed (the K1 checkpoint + atomic
+    * swap discipline, on the index artifact). batchId = −1 (the
+    * default) appends unconditionally — the batch/backfill path. The
+    * one torn window stays DETECTED rather than healed: a crash after
+    * the file moves but before the manifest commit leaves orphan list
+    * files a replay cannot distinguish from its own — verifyAnnIndex
+    * fails that tree loud (count over manifest), and recovery is
+    * operator-driven from the retired tree; a writer that must
+    * self-heal that window commits per-batch FILE LISTS in the
+    * manifest, which this format deliberately keeps simpler than.
+    *
     * Scale shape: per-batch work is batch-sized by construction — the
     * encode is in-row, the staged tree is batch-sized, the file moves
     * are O(lists touched by the batch), and the manifest update is O(1)
     * arithmetic (never a recount of the tree).
     */
   def appendBatch(batch: DataFrame, idCol: String, m: Model,
-      indexDir: String): (Long, Long) = {
+      indexDir: String, batchId: Long = -1L): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
+    if (batchId >= 0L &&
+        batchId <= SimilarityOps.readAnnLastBatch(s, indexDir))
+      // replayed (or stale) micro-batch: already committed — idempotent
+      return SimilarityOps.readAnnManifest(s, indexDir)
     val withLab =
       if (batch.columns.contains("label"))
         batch.withColumn("lab", col("label").cast("int"))
@@ -170,7 +190,8 @@ object StreamingAnn {
     fs.delete(new Path(stage), true)
     val (oldN, oldChk) = SimilarityOps.readAnnManifest(s, indexDir)
     val (newN, newChk) = (oldN + want, oldChk + wantChk)
-    SimilarityOps.writeAnnManifest(s, indexDir, newN, newChk)
+    SimilarityOps.writeAnnManifest(s, indexDir, newN, newChk,
+      math.max(batchId, SimilarityOps.readAnnLastBatch(s, indexDir)))
     (newN, newChk)
   }
 

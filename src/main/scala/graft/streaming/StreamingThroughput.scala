@@ -175,8 +175,8 @@ object StreamingThroughput {
         graft.queries.SimilarityOps.annIndexLists(spark, seedDir).limit(0),
         graft.Staging.scratchDir("graft_annappend_"))
       Seq(ds.toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          StreamingAnn.appendBatch(b, "vec_id", m, path); ()
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          StreamingAnn.appendBatch(b, "vec_id", m, path, id); ()
         }.start())
     }
     def dws(ds: Dataset[OrderIn]) = {

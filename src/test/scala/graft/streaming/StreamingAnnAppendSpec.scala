@@ -51,14 +51,30 @@ class StreamingAnnAppendSpec extends SparkSpec {
     assert(arrivals.nonEmpty)
     val in = MemoryStream[LabVecRow]
     val q = in.toDF().writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        StreamingAnn.appendBatch(b, "vec_id", m, path); ()
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        StreamingAnn.appendBatch(b, "vec_id", m, path, id); ()
       }.start()
     try {
       arrivals.grouped(math.max(1, (arrivals.length + 2) / 3)).foreach {
         b => in.addData(b.toSeq); q.processAllAvailable()
       }
     } finally q.stop()
+
+    // exactly-once under at-least-once delivery: re-delivering an
+    // already-committed micro-batch (same batchId — foreachBatch's
+    // failure-replay contract) is a NO-OP, and a stale id is too
+    import spark.implicits._
+    val manifest = SimilarityOps.readAnnManifest(spark, path)
+    val lastId = SimilarityOps.readAnnLastBatch(spark, path)
+    assert(lastId >= 0L, "the streamed appends must advance the watermark")
+    val replay = arrivals.takeRight(3).toSeq.toDF()
+    assert(StreamingAnn.appendBatch(replay, "vec_id", m, path,
+      lastId) == manifest, "a replayed batch must be a no-op")
+    assert(StreamingAnn.appendBatch(replay, "vec_id", m, path,
+      0L) == manifest, "a stale batch id must be a no-op")
+    assert(spark.read.schema(SimilarityOps.annIndexSchema).parquet(path)
+      .count() == manifest._1,
+      "replays must not add rows to the tree")
 
     // the grown tree holds EXACTLY the batch writer's content
     def rowSet(df: DataFrame) =

@@ -134,14 +134,19 @@ object StreamingAnn {
     * NO-OP returning the current manifest — batch ids are monotone per
     * query, so ≤ means already-committed (the K1 checkpoint + atomic
     * swap discipline, on the index artifact). batchId = −1 (the
-    * default) appends unconditionally — the batch/backfill path. The
-    * one torn window stays DETECTED rather than healed: a crash after
-    * the file moves but before the manifest commit leaves orphan list
-    * files a replay cannot distinguish from its own — verifyAnnIndex
-    * fails that tree loud (count over manifest), and recovery is
-    * operator-driven from the retired tree; a writer that must
-    * self-heal that window commits per-batch FILE LISTS in the
-    * manifest, which this format deliberately keeps simpler than.
+    * default) appends unconditionally — the batch/backfill path.
+    *
+    * The torn window SELF-HEALS on replay: every moved list file is
+    * prefixed `b<batchId>-`, so a crash after some file moves but
+    * before the manifest commit leaves orphans a replay CAN identify
+    * as its own — the re-delivered batch first sweeps `b<batchId>-*`
+    * from every list directory (files past the watermark are by
+    * definition uncommitted), then appends cleanly. Between the crash
+    * and the replay the tree stays refusing-to-serve (verifyAnnIndex
+    * counts more rows than the manifest — fail-loud, never a torn
+    * view); after the replay it verifies green. Unconditional
+    * (batchId = −1) appends carry no prefix and no healing — the
+    * backfill path is not a replayed stream.
     *
     * Scale shape: per-batch work is batch-sized by construction — the
     * encode is in-row, the staged tree is batch-sized, the file moves
@@ -178,12 +183,25 @@ object StreamingAnn {
           "drifted batch")
     val idxPath = new Path(indexDir)
     val fs = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // self-heal: a PRIOR crashed attempt at this batch may have moved
+    // some of its files before dying short of the manifest commit —
+    // they carry this batch's prefix and sit past the watermark, so
+    // they are provably uncommitted; sweep them before appending
+    if (batchId >= 0L)
+      for (cidDir <- fs.listStatus(idxPath)
+           if cidDir.isDirectory &&
+             cidDir.getPath.getName.startsWith("cid=");
+           f <- fs.listStatus(cidDir.getPath)
+           if f.getPath.getName.startsWith(s"b$batchId-"))
+        fs.delete(f.getPath, false)
+    val prefix = if (batchId >= 0L) s"b$batchId-" else ""
     for (cidDir <- fs.listStatus(new Path(stage)) if cidDir.isDirectory) {
       val target = new Path(idxPath, cidDir.getPath.getName)
       fs.mkdirs(target)
       for (f <- fs.listStatus(cidDir.getPath)
            if !f.getPath.getName.startsWith("_"))
-        if (!fs.rename(f.getPath, new Path(target, f.getPath.getName)))
+        if (!fs.rename(f.getPath,
+            new Path(target, prefix + f.getPath.getName)))
           throw new IllegalStateException(
             s"ann append: move ${f.getPath} -> $target refused")
     }

@@ -145,6 +145,41 @@ class StreamingAnnAppendSpec extends SparkSpec {
     SimilarityOps.verifyAnnIndex(spark, indexPath) // healed
   }
 
+  test("a torn append SELF-HEALS on replay: the re-delivered batch " +
+    "sweeps its own uncommitted b<id>- files before appending, and the " +
+    "tree verifies green after") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = new Path(indexPath)
+    val fs = idx.getFileSystem(conf)
+    val m = StreamingAnn.model(spark, sfDir)
+    val nextId = SimilarityOps.readAnnLastBatch(spark, indexPath) + 1
+    // simulate the crash: a prior attempt at batch `nextId` moved one
+    // file into a list dir and died before the manifest commit
+    val cidDir = fs.listStatus(idx)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .head.getPath
+    val donor = fs.listStatus(cidDir)
+      .filter(st => !st.getPath.getName.startsWith("_")).head.getPath
+    val orphan = new Path(cidDir, s"b$nextId-torn.parquet")
+    FileUtil.copy(fs, donor, fs, orphan, false, conf)
+    intercept[IllegalStateException] {
+      SimilarityOps.verifyAnnIndex(spark, indexPath) // torn: refuses
+    }
+    // the replay arrives (same batchId, fresh rows): it must sweep the
+    // orphan, append cleanly, and leave a verifying tree
+    val replayRows = (90001L to 90005L)
+      .map(id => LabVecRow(id, Seq.tabulate(64)(i =>
+        ((id * 13 + i * 7) % 17 - 8) / 8.0f), 1))
+    val (n2, _) = StreamingAnn.appendBatch(
+      replayRows.toDF(), "vec_id", m, indexPath, nextId)
+    assert(!fs.exists(orphan), "the uncommitted orphan must be swept")
+    val (nV2, _) = SimilarityOps.verifyAnnIndex(spark, indexPath)
+    assert(nV2 == n2, "the healed tree must verify against the manifest")
+    assert(SimilarityOps.readAnnLastBatch(spark, indexPath) == nextId)
+  }
+
   test("a lost appended list file is caught by the manifest gate") {
     import org.apache.hadoop.fs.Path
     val idx = new Path(indexPath)

@@ -142,20 +142,25 @@ object SimilarityOps {
          IndexedSeq[IndexedSeq[Seq[Double]]],
          IndexedSeq[IndexedSeq[Double]]) = {
     val (cb, norms) = pqModel(s, dir)
-    // the model keeps NON-NULL malformed centroids (empty / wrong-dim
-    // vectors): the batch window scores every vec_id < 16 candidate,
-    // and a wrong-dim CORPUS vector legitimately wins cosine 1 against
-    // its own wrong-dim twin among the candidates — dropping such
-    // centroids made streamed routing diverge from batch on exactly
-    // that row (the round-18 q183 dirty-lifecycle find). Against every
-    // other vector a malformed centroid scores null (cosine's guards),
-    // which never wins — identical to batch. Only NULL embeddings drop
-    // (getSeq would NPE; batch scores them null → never win, so the
-    // drop is behavior-neutral), keeping streamed ingest ≡ batch
-    // assignment on EVERY corpus, not just clean ones.
+    // the model keeps EVERY vec_id < 16 candidate, malformed or not:
+    // the batch window scores all of them, and a wrong-dim CORPUS
+    // vector legitimately wins cosine 1 against its own wrong-dim twin
+    // among the candidates — dropping malformed centroids made streamed
+    // routing diverge from batch on exactly that row (the round-18 q183
+    // dirty-lifecycle find). Against every other vector a malformed
+    // centroid scores null (cosine's guards) and never wins — identical
+    // to batch. A NULL embedding is carried as the EMPTY vector: it
+    // scores null in-row exactly like null does in the batch window
+    // (zero-norm guard ≡ null input), yet stays in the TIE-BREAK set —
+    // an all-null-cosine arrival must route to the minimum cid over the
+    // FULL candidate set, null-embedding centroids included, or
+    // streamed and batch assignment diverge on corpora whose minimum-id
+    // centroid is null (review-pass finding on the first version of
+    // this fix, which dropped nulls).
     val cents = vecs(s, dir)
-      .filter(col("vec_id") < 16 && col("v").isNotNull)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .filter(col("vec_id") < 16)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Seq.empty[Double] else r.getSeq[Double](1).toSeq))
       .toSeq.sortBy(_._1)
     (cents, cb, norms)
   }
@@ -605,22 +610,30 @@ object SimilarityOps {
     val root = idx.getParent
     val stage = new Path(root,
       s"compact_stage_${java.util.UUID.randomUUID()}")
-    // one file per list: repartition on the partition column gives each
-    // writing task exactly its lists
-    s.read.schema(annIndexSchema).parquet(indexDir)
-      .repartition(col("cid"))
-      .write.partitionBy("cid").parquet(stage.toString)
-    val got = s.read.schema(annIndexSchema).parquet(stage.toString)
-      .agg(count(lit(1)), annIndexChecksumCol).head()
-    if (got.getLong(0) != wantN || got.getLong(1) != wantChk)
-      throw new IllegalStateException(
-        s"ann compaction: staged rewrite holds ${got.getLong(0)} rows / " +
-          s"checksum ${got.getLong(1)} but the manifest says $wantN / " +
-          s"$wantChk — refusing to swap a drifted tree")
-    // the idempotence watermark survives compaction — a replayed batch
-    // must still be recognized as applied on the compacted tree
-    writeAnnManifest(s, stage.toString, wantN, wantChk,
-      readAnnLastBatch(s, indexDir))
+    try {
+      // one file per list: repartition on the partition column gives
+      // each writing task exactly its lists
+      s.read.schema(annIndexSchema).parquet(indexDir)
+        .repartition(col("cid"))
+        .write.partitionBy("cid").parquet(stage.toString)
+      val got = s.read.schema(annIndexSchema).parquet(stage.toString)
+        .agg(count(lit(1)), annIndexChecksumCol).head()
+      if (got.getLong(0) != wantN || got.getLong(1) != wantChk)
+        throw new IllegalStateException(
+          s"ann compaction: staged rewrite holds ${got.getLong(0)} rows" +
+            s" / checksum ${got.getLong(1)} but the manifest says " +
+            s"$wantN / $wantChk — refusing to swap a drifted tree")
+      // the idempotence watermark survives compaction — a replayed
+      // batch must still be recognized as applied on the compacted tree
+      writeAnnManifest(s, stage.toString, wantN, wantChk,
+        readAnnLastBatch(s, indexDir))
+    } catch {
+      case e: Throwable =>
+        // a refused swap must not strand an index-sized staged copy
+        // (no exit-time cleanup on an artifact-root filesystem)
+        deleteQuietly(s, stage.toString)
+        throw e
+    }
     val retired = new Path(root,
       s"index_retired_${java.util.UUID.randomUUID()}")
     if (!fs.rename(idx, retired))
@@ -700,21 +713,38 @@ object SimilarityOps {
       df.agg(count(lit(1)), annIndexChecksumCol).head()
     val stagePath = s"$root/stage"
     val finalPath = s"$root/index"
-    lists.write.partitionBy("cid").parquet(stagePath)
-    val want = chk(lists)
-    val got = chk(s.read.schema(annIndexSchema).parquet(stagePath))
-    if (want.getLong(0) != got.getLong(0) ||
-        want.getLong(1) != got.getLong(1))
-      throw new IllegalStateException(
-        s"q180: staged index holds ${got.getLong(0)} rows / checksum " +
-          s"${got.getLong(1)} but the assignment has ${want.getLong(0)}" +
-          s" / ${want.getLong(1)} — refusing to publish a drifted index")
+    val want = try {
+      lists.write.partitionBy("cid").parquet(stagePath)
+      val w = chk(lists)
+      val got = chk(s.read.schema(annIndexSchema).parquet(stagePath))
+      if (w.getLong(0) != got.getLong(0) ||
+          w.getLong(1) != got.getLong(1))
+        throw new IllegalStateException(
+          s"q180: staged index holds ${got.getLong(0)} rows / checksum " +
+            s"${got.getLong(1)} but the assignment has ${w.getLong(0)}" +
+            s" / ${w.getLong(1)} — refusing to publish a drifted index")
+      w
+    } catch {
+      case e: Throwable =>
+        // a refused publish must not strand the staged tree — on a
+        // graft.artifact.root filesystem there is no exit-time cleanup
+        // (review-pass finding), so stage deletion is part of fail-loud
+        deleteQuietly(s, stagePath)
+        throw e
+    }
     // stage→final swap on the TARGET filesystem (atomic on HDFS/ABFS/
     // local; raw-S3 caveat documented at Staging.publishAtomic)
     graft.Staging.publishAtomic(s, stagePath, finalPath)
     writeAnnManifest(s, finalPath, want.getLong(0), want.getLong(1))
     (finalPath, want.getLong(0), want.getLong(1))
   }
+
+  private def deleteQuietly(s: SparkSession, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    } catch { case _: Throwable => () }
 
   /** On-disk index manifest — rows + the order-independent checksum as a
     * `_MANIFEST.json` file INSIDE the index dir (the underscore prefix
@@ -725,25 +755,28 @@ object SimilarityOps {
     * a loader that verifies against it ([[verifyAnnIndex]]) can never
     * accept a half-appended batch, and a crash between file-moves and
     * the manifest write surfaces as a verification mismatch, not silent
-    * drift. Written temp + rename; a crash inside the swap window
-    * leaves the temp file for forensics and a missing/stale manifest
-    * that fails verification loud.
+    * drift. The swap itself is ONE ATOMIC OVERWRITE RENAME
+    * (FileContext.rename(OVERWRITE) — atomic on HDFS/local): at every
+    * instant the manifest file either holds the old committed state or
+    * the new one, never neither — a delete-then-rename would open a
+    * crash window that loses the exactly-once watermark entirely
+    * (review-pass finding: a replay against a missing manifest reads
+    * watermark −1, re-appends, and bricks the tree).
     */
   private[graft] def writeAnnManifest(s: SparkSession, indexDir: String,
       nRows: Long, checksum: Long, lastBatch: Long = -1L): Unit = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
     val dir = new Path(indexDir)
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, "_MANIFEST.json.tmp")
-    val fin = new Path(dir, "_MANIFEST.json")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val tmp = fs.makeQualified(new Path(dir, "_MANIFEST.json.tmp"))
+    val fin = fs.makeQualified(new Path(dir, "_MANIFEST.json"))
     val out = fs.create(tmp, true)
     out.write((s"""{"n_rows": $nRows, "checksum": $checksum, """ +
       s""""last_batch": $lastBatch}""").getBytes("UTF-8"))
     out.close()
-    fs.delete(fin, false)
-    if (!fs.rename(tmp, fin))
-      throw new IllegalStateException(
-        s"ann index manifest commit refused at $fin")
+    FileContext.getFileContext(fs.getUri, conf)
+      .rename(tmp, fin, Options.Rename.OVERWRITE)
   }
 
   /** Highest streaming batch id the manifest has committed (−1 when
@@ -820,7 +853,7 @@ object SimilarityOps {
     * fields (codes of malformed vectors, absent labels) fingerprint as a
     * sentinel, never colliding with a real value by position.
     */
-  private def annIndexChecksumCol: Column = {
+  private[graft] def annIndexChecksumCol: Column = {
     import graft.functions.TextFns.hash32
     coalesce(sum(hash32(concat_ws(":",
       col("neighbor_id").cast("string") +:

@@ -64,9 +64,10 @@ object StreamingAnn {
     */
   def routeIds(vCol: Column, m: Model, keep: Int): Column = {
     if (m.centroids.isEmpty)
-      // an all-null model (annModel drops only null-embedding centroids;
-      // non-null malformed ones stay, for batch-faithful routing) has
-      // nowhere to route — empty assignment, not an analysis error
+      // a model over an EMPTY vector table (annModel keeps every
+      // vec_id < 16 candidate — null embeddings ride as empty vectors —
+      // so only a zero-row table gets here) has nowhere to route:
+      // empty assignment, not an analysis error
       typedLit(Seq.empty[Long])
     else {
       val arr = array(m.centroids.map { case (cid, cv) =>
@@ -146,7 +147,9 @@ object StreamingAnn {
     * counts more rows than the manifest — fail-loud, never a torn
     * view); after the replay it verifies green. Unconditional
     * (batchId = −1) appends carry no prefix and no healing — the
-    * backfill path is not a replayed stream.
+    * backfill path is not a replayed stream, and a FAILED unconditional
+    * append must therefore not be blindly retried (its unprefixed files
+    * are unsweepable): verify the tree and rebuild instead.
     *
     * Scale shape: per-batch work is batch-sized by construction — the
     * encode is in-row, the staged tree is batch-sized, the file moves
@@ -157,32 +160,52 @@ object StreamingAnn {
       indexDir: String, batchId: Long = -1L): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
-    if (batchId >= 0L &&
-        batchId <= SimilarityOps.readAnnLastBatch(s, indexDir))
+    // manifest read FIRST, before any tree mutation: a missing/corrupt
+    // manifest must fail the append with the index untouched (review-
+    // pass finding — mutating first turned a detectable bad state into
+    // an unrecoverable one), and the entry read doubles as the
+    // idempotence gate and the commit arithmetic's base
+    val (oldN, oldChk) = SimilarityOps.readAnnManifest(s, indexDir)
+    val watermark = SimilarityOps.readAnnLastBatch(s, indexDir)
+    if (batchId >= 0L && batchId <= watermark)
       // replayed (or stale) micro-batch: already committed — idempotent
-      return SimilarityOps.readAnnManifest(s, indexDir)
+      return (oldN, oldChk)
     val withLab =
       if (batch.columns.contains("label"))
         batch.withColumn("lab", col("label").cast("int"))
       else batch.withColumn("lab", lit(null).cast("int"))
+    // cached: the encode projection feeds three actions (write, count+
+    // checksum, nothing else) — uncached it re-runs the per-row PQ
+    // argmins per action, tripling the hot path's encode cost
     val rows = ingest(withLab, idCol, m, keepCols = Seq("lab"))
       .select(col(idCol).cast("long").as("neighbor_id") +:
         (0 until SimilarityOps.PqM).map(i => col(s"code_$i")) :+
         col("lab") :+ col("cid"): _*)
+      .persist()
     val stage = s"$indexDir/_append_${java.util.UUID.randomUUID()}"
-    rows.write.partitionBy("cid").parquet(stage)
-    val want = rows.agg(count(lit(1))).head().getLong(0)
-    val staged = s.read.schema(SimilarityOps.annIndexSchema).parquet(stage)
-    val gotN = staged.count()
-    val gotChk = SimilarityOps.annIndexChecksum(staged)
-    val wantChk = SimilarityOps.annIndexChecksum(rows)
-    if (gotN != want || gotChk != wantChk)
-      throw new IllegalStateException(
-        s"ann append: staged batch holds $gotN rows / checksum $gotChk " +
-          s"but the encode has $want / $wantChk — refusing to append a " +
-          "drifted batch")
     val idxPath = new Path(indexDir)
     val fs = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (want, wantChk) = try {
+      rows.write.partitionBy("cid").parquet(stage)
+      val w = rows.agg(count(lit(1)),
+        SimilarityOps.annIndexChecksumCol).head()
+      val g = s.read.schema(SimilarityOps.annIndexSchema).parquet(stage)
+        .agg(count(lit(1)), SimilarityOps.annIndexChecksumCol).head()
+      if (g.getLong(0) != w.getLong(0) || g.getLong(1) != w.getLong(1))
+        throw new IllegalStateException(
+          s"ann append: staged batch holds ${g.getLong(0)} rows / " +
+            s"checksum ${g.getLong(1)} but the encode has " +
+            s"${w.getLong(0)} / ${w.getLong(1)} — refusing to append a " +
+            "drifted batch")
+      (w.getLong(0), w.getLong(1))
+    } catch {
+      case e: Throwable =>
+        // a failed stage (or gate) must not strand a batch-sized tree
+        // under the index root — stage cleanup is part of fail-loud
+        try fs.delete(new Path(stage), true)
+        catch { case _: Throwable => () }
+        throw e
+    } finally rows.unpersist()
     // self-heal: a PRIOR crashed attempt at this batch may have moved
     // some of its files before dying short of the manifest commit —
     // they carry this batch's prefix and sit past the watermark, so
@@ -206,10 +229,9 @@ object StreamingAnn {
             s"ann append: move ${f.getPath} -> $target refused")
     }
     fs.delete(new Path(stage), true)
-    val (oldN, oldChk) = SimilarityOps.readAnnManifest(s, indexDir)
     val (newN, newChk) = (oldN + want, oldChk + wantChk)
     SimilarityOps.writeAnnManifest(s, indexDir, newN, newChk,
-      math.max(batchId, SimilarityOps.readAnnLastBatch(s, indexDir)))
+      math.max(batchId, watermark))
     (newN, newChk)
   }
 

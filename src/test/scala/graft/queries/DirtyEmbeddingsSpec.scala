@@ -216,15 +216,17 @@ class DirtyEmbeddingsSpec extends SparkSpec {
     import graft.streaming.StreamingAnn
     // the model build must not NPE on null/short/over-long vectors in
     // the centroid window (vec_id < 16 here includes all the dirt);
-    // non-null malformed centroids stay IN the model — the batch window
-    // scores them (a wrong-dim corpus vector wins cosine 1 against its
-    // wrong-dim twin), so dropping them made streamed routing diverge
-    // from batch (the q183 dirty-lifecycle find); only the null
-    // embedding (vec 3) drops
+    // EVERY candidate stays IN the model — the batch window scores all
+    // of them (a wrong-dim corpus vector wins cosine 1 against its
+    // wrong-dim twin), so dropping any made streamed routing diverge
+    // from batch (the q183 dirty-lifecycle find); the null embedding
+    // (vec 3) is carried as the EMPTY vector so it stays in the
+    // tie-break set while scoring null in-row, exactly like batch
     val m = StreamingAnn.model(spark, dirtyDir)
-    assert(m.centroids.map(_._1) ==
-      Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L),
-      s"model must keep non-null malformed centroids: ${m.centroids.map(_._1)}")
+    assert(m.centroids.map(_._1) == (0L to 10L),
+      s"model must keep every centroid candidate: ${m.centroids.map(_._1)}")
+    assert(m.centroids.find(_._1 == 3L).exists(_._2.isEmpty),
+      "the null embedding must be carried as the empty vector")
     val out = StreamingAnn.ingest(
       spark.read.parquet(s"$dirtyDir/embeddings.parquet"), "vec_id", m)
       .collect().map(r => r.getLong(0) ->

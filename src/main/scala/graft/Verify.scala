@@ -21,6 +21,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The correctness gate replays DEFAULT geometry: the DuckDB oracles
+    // encode the two-level SemDeDup assignment and the 16-list IVF
+    // quantizer, so a stray harness env (SPARK_GRAFT_THREE_LEVEL_MIN_K /
+    // SPARK_GRAFT_ANN_NLIST — sweep-only overrides) must never reach a
+    // gated plan. Session conf outranks the env fallback in both knobs.
+    spark.conf.set("graft.semdedup.threeLevelMinK", "2000000")
+    spark.conf.set("graft.ann.nlist", "16")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))

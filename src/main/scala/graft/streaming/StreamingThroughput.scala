@@ -173,7 +173,8 @@ object StreamingThroughput {
         ds: Dataset[VecIn]) = {
       val (path, _, _) = graft.queries.SimilarityOps.writeAnnIndex(spark,
         graft.queries.SimilarityOps.annIndexLists(spark, seedDir).limit(0),
-        graft.Staging.scratchDir("graft_annappend_"))
+        graft.Staging.scratchDir("graft_annappend_"),
+        graft.queries.SimilarityOps.annModelFp(spark, seedDir))
       Seq(ds.toDF().writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
           StreamingAnn.appendBatch(b, "vec_id", m, path, id); ()

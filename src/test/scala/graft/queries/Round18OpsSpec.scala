@@ -170,7 +170,8 @@ class Round18OpsSpec extends SparkSpec {
     val m = StreamingAnn.model(spark, sfDir)
     val root = graft.Staging.scratchDir("graft_comp_spec_")
     val (path, _, _) = SimilarityOps.writeAnnIndex(spark,
-      SimilarityOps.annIndexLists(spark, sfDir).limit(0), root)
+      SimilarityOps.annIndexLists(spark, sfDir).limit(0), root,
+      SimilarityOps.annModelFp(spark, sfDir))
     val in = graft.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") >= 5)

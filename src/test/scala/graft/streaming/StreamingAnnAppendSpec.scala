@@ -37,7 +37,8 @@ class StreamingAnnAppendSpec extends SparkSpec {
     // day 0: a partial index published by the batch writer
     val root = graft.Staging.scratchDir("graft_annappend_")
     val (path, n0, _) = SimilarityOps.writeAnnIndex(spark,
-      full.filter(col("neighbor_id") < split), root)
+      full.filter(col("neighbor_id") < split), root,
+      SimilarityOps.annModelFp(spark, sfDir))
     indexPath = path
     assert(n0 > 0 && n0 < full.count())
 

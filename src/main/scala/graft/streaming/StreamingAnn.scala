@@ -138,11 +138,13 @@ object StreamingAnn {
     * default) appends unconditionally — the batch/backfill path.
     *
     * The torn window SELF-HEALS on replay: every moved list file is
-    * prefixed `b<batchId>-`, so a crash after some file moves but
-    * before the manifest commit leaves orphans a replay CAN identify
-    * as its own — the re-delivered batch first sweeps `b<batchId>-*`
-    * from every list directory (files past the watermark are by
-    * definition uncommitted), then appends cleanly. Between the crash
+    * prefixed `[r<runHash>-]b<batchId>-` (run-scoped — batch ids repeat
+    * across runs, so the prefix must too or a re-based run's replay
+    * would sweep another run's COMMITTED files), so a crash after some
+    * file moves but before the manifest commit leaves orphans a replay
+    * CAN identify as its own — the re-delivered batch first sweeps its
+    * exact prefix from every list directory (files past the watermark
+    * are by definition uncommitted), then appends cleanly. Between the crash
     * and the replay the tree stays refusing-to-serve (verifyAnnIndex
     * counts more rows than the manifest — fail-loud, never a torn
     * view); after the replay it verifies green. Unconditional
@@ -269,16 +271,20 @@ object StreamingAnn {
     } finally rows.unpersist()
     // self-heal: a PRIOR crashed attempt at this batch may have moved
     // some of its files before dying short of the manifest commit —
-    // they carry this batch's prefix and sit past the watermark, so
-    // they are provably uncommitted; sweep them before appending
+    // they carry this batch's RUN-SCOPED prefix and sit past the
+    // watermark, so they are provably uncommitted; sweep them before
+    // appending. The prefix carries the run identity precisely so one
+    // run's replay can never sweep ANOTHER run's committed batch-N
+    // files (Round19OpsSpec caught exactly that: after adoptRun, run
+    // B's batch 0 swept run A's committed b0- files — silent loss).
+    val prefix = runFilePrefix(runId, batchId)
     if (batchId >= 0L)
       for (cidDir <- fs.listStatus(idxPath)
            if cidDir.isDirectory &&
              cidDir.getPath.getName.startsWith("cid=");
            f <- fs.listStatus(cidDir.getPath)
-           if f.getPath.getName.startsWith(s"b$batchId-"))
+           if f.getPath.getName.startsWith(prefix))
         fs.delete(f.getPath, false)
-    val prefix = if (batchId >= 0L) s"b$batchId-" else ""
     for (cidDir <- fs.listStatus(new Path(stage)) if cidDir.isDirectory) {
       val target = new Path(idxPath, cidDir.getPath.getName)
       fs.mkdirs(target)
@@ -309,6 +315,23 @@ object StreamingAnn {
     * when the new run's source genuinely starts past the data already
     * indexed — that is the operator judgment the explicit call records.
     */
+  /** The self-heal file prefix for one (run, batch): run-scoped so a
+    * replay can only ever sweep ITS OWN run's uncommitted files — batch
+    * ids repeat across runs (every run starts at 0), so a bare
+    * `b<batchId>-` would let run B's replay of batch 0 delete run A's
+    * COMMITTED batch-0 files after an adoptRun re-base. Unconditional
+    * (batchId < 0) writes carry no prefix — no replay, no heal.
+    */
+  private def runFilePrefix(runId: String, batchId: Long,
+      tag: String = "b"): String =
+    if (batchId < 0L) ""
+    else if (runId.isEmpty) s"$tag$batchId-"
+    else {
+      var h = 0xcbf29ce484222325L
+      runId.foreach(c => { h ^= c.toLong; h *= 0x100000001b3L })
+      s"r${java.lang.Long.toHexString(h)}-$tag$batchId-"
+    }
+
   def adoptRun(s: org.apache.spark.sql.SparkSession, indexDir: String,
       runId: String): Unit = {
     require(runId.nonEmpty, "adoptRun needs a non-empty runId")
@@ -368,10 +391,14 @@ object StreamingAnn {
     // self-heal: sweep THIS batch's uncommitted markers from a prior
     // crashed attempt (they sit past the watermark — provably
     // uncommitted) BEFORE measuring the delta, or the torn marker would
-    // hide its rows from the live frame and the delta would miss them
+    // hide its rows from the live frame and the delta would miss them.
+    // Run-scoped prefix, same rationale as the append path's.
+    val prefix =
+      if (batchId < 0L) "tomb-"
+      else runFilePrefix(runId, batchId, tag = "t")
     if (batchId >= 0L)
       for (f <- fs.listStatus(tombDir)
-           if f.getPath.getName.startsWith(s"t$batchId-"))
+           if f.getPath.getName.startsWith(prefix))
         fs.delete(f.getPath, false)
     val newIds = ids.select(col(idCol).cast("long").as("neighbor_id"))
       .filter(col("neighbor_id").isNotNull).distinct()
@@ -397,7 +424,6 @@ object StreamingAnn {
         throw new IllegalStateException(
           s"ann tombstone: expected one staged marker file, found " +
             s"${parts.length}")
-      val prefix = if (batchId >= 0L) s"t$batchId-" else "tomb-"
       val target = new Path(tombDir,
         prefix + parts.head.getPath.getName)
       if (!fs.rename(parts.head.getPath, target))

@@ -181,6 +181,39 @@ class StreamingAnnAppendSpec extends SparkSpec {
     assert(SimilarityOps.readAnnLastBatch(spark, indexPath) == nextId)
   }
 
+  test("a REAL retraction stream tombstones through foreachBatch: live " +
+    "counts drop exactly, serving excludes the dead ids, and a " +
+    "replayed tombstone batch is a no-op (round-19)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (n0, _) = SimilarityOps.verifyAnnIndex(spark, indexPath)
+    // retract three ids the append tests provably landed (90001-90003),
+    // one per micro-batch — the q136/q100 drop-list shape as a stream
+    val in = MemoryStream[Long]
+    val q = in.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingAnn.tombstoneBatch(b, "value", indexPath, id); ()
+      }.start()
+    try {
+      Seq(90001L, 90002L, 90003L).foreach { id =>
+        in.addData(id); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val mf = SimilarityOps.readAnnManifestFull(spark, indexPath)
+    assert(mf.nRows == n0 - 3, "exactly the three live rows must leave")
+    assert(mf.lastTombstoneBatch >= 0L,
+      "the tombstone watermark must advance")
+    SimilarityOps.verifyAnnIndex(spark, indexPath)
+    // replay of the last batch (foreachBatch's at-least-once contract)
+    assert(StreamingAnn.tombstoneBatch(Seq(90003L).toDF("value"), "value",
+      indexPath, mf.lastTombstoneBatch) == (mf.nRows, mf.checksum),
+      "a replayed tombstone batch must be a no-op")
+    // the dead ids are unservable through the admitted live frame
+    assert(SimilarityOps.annLiveRows(spark, indexPath)
+      .filter(col("neighbor_id").isin(90001L, 90002L, 90003L))
+      .count() == 0)
+  }
+
   test("a lost appended list file is caught by the manifest gate") {
     import org.apache.hadoop.fs.Path
     val idx = new Path(indexPath)

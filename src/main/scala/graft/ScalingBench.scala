@@ -86,6 +86,10 @@ object ScalingBench {
     // the ann_index_compacted staging line; steady state = the serve at
     // one file-open per probed list)
     "q182_video_perceptual_neardup", "q183_ann_index_compact",
+    // round-19 addition: the deletion lifecycle (seed + appends +
+    // tombstone + compaction as the ann_index_tombstoned staging line;
+    // steady state = the anti-join-free post-compaction serve)
+    "q184_ann_index_tombstone",
     "q125_incremental_dedup", "q126_simhash_neardup",
     "q130_bloom_decontamination",
     // vector family (round-10: full dedup/ANN coverage — x10sat's skewed

@@ -595,9 +595,18 @@ object SimilarityOps {
   }
 
   /** The serve tail over ANY index-schema lists frame — shared by q128/
-    * q129/q180 (the staged artifact) and q183 (the compacted tree):
-    * probe 2 lists per query, codebook-broadcast ADC over stored codes,
-    * q128's exact tie rules.
+    * q129/q180 (the staged artifact), q183 (the compacted tree), and
+    * q184 (the tombstoned tree): probe 2 lists per query, codebook-
+    * broadcast ADC over stored codes, q128's exact tie rules.
+    *
+    * LIST PRUNING IS PHYSICAL: the probes side broadcasts, and Spark's
+    * dynamic partition pruning turns the cid equi-join into a partition
+    * filter on the cid-partitioned scan — the executed plan shows
+    * `PartitionFilters: [... dynamicpruningexpression(cid IN
+    * dynamicpruning#...)]`, so only the probed lists' directories are
+    * ever opened (verified in PLAN_AUDIT / the round-19 nlist sweep).
+    * That is what makes nlist scaling pay: candidate work per query is
+    * ~2N/nlist rows read from ~2 directories, not a tree scan.
     */
   private def serveIndexTop5(s: SparkSession, dir: String,
       idx: DataFrame): DataFrame = {
@@ -668,6 +677,7 @@ object SimilarityOps {
     import org.apache.hadoop.fs.Path
     // ALL basis state reads at entry, before any work (review-pass rule):
     // the pre-swap guard compares against exactly this snapshot
+    invalidateAnnServe(s, indexDir)
     val basis = readAnnManifestFull(s, indexDir)
     val idx = new Path(indexDir)
     val fs = idx.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -736,6 +746,9 @@ object SimilarityOps {
         s"ann compaction: promote rename refused at $indexDir — rolled back")
     }
     fs.delete(retired, true)
+    // the swap replaced every file: any handle admitted mid-compaction
+    // must not survive it
+    invalidateAnnServe(s, indexDir)
     (basis.nRows, basis.checksum)
   }
 
@@ -807,7 +820,14 @@ object SimilarityOps {
     val stagePath = s"$root/stage"
     val finalPath = s"$root/index"
     val want = try {
-      lists.write.partitionBy("cid").parquet(stagePath)
+      // one file per list from birth (the compaction invariant, applied
+      // at the seed): a bare partitionBy fans each of the writing tasks
+      // into every list it holds — up to tasks×nlist files, which at a
+      // scaled nlist is the q176 small-files trap on day zero (measured
+      // in the round-19 nlist sweep: the fragmented nl=224 tree served
+      // 3.4x slower than nl=16 purely on file opens)
+      lists.repartition(col("cid"))
+        .write.partitionBy("cid").parquet(stagePath)
       val w = chk(lists)
       val got = chk(s.read.schema(annIndexSchema).parquet(stagePath))
       if (w.getLong(0) != got.getLong(0) ||
@@ -1041,9 +1061,26 @@ object SimilarityOps {
   // once-per-(session, indexDir) serve admission (round-18 ADVICE: the
   // serve paths read the tree directly and never consulted the manifest,
   // so 'a torn append refuses to serve' held only for explicit
-  // verifyAnnIndex callers)
+  // verifyAnnIndex callers). The ADMITTED FRAME itself is what's cached:
+  // re-creating the DataFrame per serve re-lists every partition
+  // directory (above 32 dirs Spark runs a distributed listing job), a
+  // per-run cost that grows with nlist — the round-19 nlist sweep
+  // measured it dominating the scaled-quantizer serve. A serving fleet
+  // loads the index handle ONCE and serves many queries from it; this
+  // is that shape, with the session's own mutators invalidating.
   private val annServeAdmitted =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      DataFrame]
+
+  /** Drop the cached serve handle for `indexDir` — called by every
+    * mutator (append, tombstone, compaction), which both keeps a
+    * same-session serve-after-mutate fresh and forces RE-ADMISSION
+    * (manifest + fingerprint + live-count) on the next serve.
+    */
+  private[graft] def invalidateAnnServe(s: SparkSession,
+      indexDir: String): Unit = {
+    annServeAdmitted.remove((s, indexDir)); ()
+  }
 
   /** The live index frame, ADMITTED for serving: on the first read per
     * (session, indexDir) the manifest is consulted — model fingerprint
@@ -1053,10 +1090,16 @@ object SimilarityOps {
     * (the cheap torn-tree check; the full checksum recompute stays
     * opt-in via [[verifyAnnIndex]] — at fleet scale a per-session
     * full-tree checksum is a real cost, a count is parquet metadata).
-    * Steady-state serves skip straight to the frame.
+    * Steady-state serves reuse the admitted frame — and with it the
+    * already-listed file index. The handle is therefore a SNAPSHOT of
+    * the file-set at admission: same-session mutators invalidate it
+    * ([[invalidateAnnServe]]); a cross-session writer is the
+    * single-writer contract's problem, and snapshot-stale is strictly
+    * safer than the re-list alternative (which could list a torn
+    * mid-append file-set without re-admission).
     */
   private[graft] def readAnnIndexLive(s: SparkSession, indexDir: String,
-      wantFp: Long): DataFrame = {
+      wantFp: Long): DataFrame =
     annServeAdmitted.getOrElseUpdate((s, indexDir), {
       val mf = readAnnManifestFull(s, indexDir)
       mf.modelFp match {
@@ -1071,16 +1114,15 @@ object SimilarityOps {
           s"[graft] WARN ann index at $indexDir has a legacy manifest " +
             "without model_fp — serving WITHOUT the model identity check")
       }
-      val got = annLiveRows(s, indexDir).count()
+      val live = annLiveRows(s, indexDir)
+      val got = live.count()
       if (got != mf.nRows)
         throw new IllegalStateException(
           s"ann index at $indexDir fails serve admission: manifest says " +
             s"${mf.nRows} live rows, tree holds $got — torn append or " +
             "tombstone; refusing to serve (verifyAnnIndex for detail)")
-      ()
+      live
     })
-    annLiveRows(s, indexDir)
-  }
 
   /** Loader-side integrity gate: recompute LIVE rows + checksum over the
     * tree (minus committed tombstones) and compare to the manifest,

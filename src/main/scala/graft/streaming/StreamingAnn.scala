@@ -296,6 +296,9 @@ object StreamingAnn {
             s"ann append: move ${f.getPath} -> $target refused")
     }
     fs.delete(new Path(stage), true)
+    // the tree grew: a serve handle admitted before this append is a
+    // stale snapshot — drop it so the next serve re-admits
+    SimilarityOps.invalidateAnnServe(s, indexDir)
     val (newN, newChk) = (oldN + want, oldChk + wantChk)
     SimilarityOps.writeAnnManifest(s, indexDir, mf.copy(
       nRows = newN, checksum = newChk,
@@ -307,14 +310,6 @@ object StreamingAnn {
     (newN, newChk)
   }
 
-  /** Explicit operator re-base of the watermark for a NEW stream run —
-    * the fail-loud counterpart to the silent loss the bare watermark
-    * would cause (see [[appendBatch]]'s run-identity contract): stamps
-    * `runId` and resets `last_batch`/`last_tombstone_batch` to −1, so
-    * the new run's batches (restarting at 0) all land. Call this ONLY
-    * when the new run's source genuinely starts past the data already
-    * indexed — that is the operator judgment the explicit call records.
-    */
   /** The self-heal file prefix for one (run, batch): run-scoped so a
     * replay can only ever sweep ITS OWN run's uncommitted files — batch
     * ids repeat across runs (every run starts at 0), so a bare
@@ -332,6 +327,14 @@ object StreamingAnn {
       s"r${java.lang.Long.toHexString(h)}-$tag$batchId-"
     }
 
+  /** Explicit operator re-base of the watermark for a NEW stream run —
+    * the fail-loud counterpart to the silent loss the bare watermark
+    * would cause (see [[appendBatch]]'s run-identity contract): stamps
+    * `runId` and resets `last_batch`/`last_tombstone_batch` to −1, so
+    * the new run's batches (restarting at 0) all land. Call this ONLY
+    * when the new run's source genuinely starts past the data already
+    * indexed — that is the operator judgment the explicit call records.
+    */
   def adoptRun(s: org.apache.spark.sql.SparkSession, indexDir: String,
       runId: String): Unit = {
     require(runId.nonEmpty, "adoptRun needs a non-empty runId")
@@ -449,6 +452,8 @@ object StreamingAnn {
         try fs.delete(moved, false) catch { case _: Throwable => () }
         throw e
     }
+    // the live set shrank: drop any pre-tombstone serve handle
+    SimilarityOps.invalidateAnnServe(s, indexDir)
     (mf.nRows - nRem, mf.checksum - chkRem)
   }
 

@@ -180,6 +180,22 @@ object StreamingThroughput {
           StreamingAnn.appendBatch(b, "vec_id", m, path, id); ()
         }.start())
     }
+    // incremental tombstones (round-19): the index's DELETION stream —
+    // each micro-batch of retraction ids commits a marker + exact
+    // manifest arithmetic against a FULLY-GROWN index of the seed dir
+    // (per-batch cost = one pushed semi-join delta measure over the
+    // tree + one marker file, the honest price of exact live counts)
+    def annTombT(seedDir: String)(ds: Dataset[VecIn]) = {
+      val ops = graft.queries.SimilarityOps
+      val (path, _, _) = ops.writeAnnIndex(spark,
+        ops.annIndexLists(spark, seedDir),
+        graft.Staging.scratchDir("graft_anntombtp_"),
+        ops.annModelFp(spark, seedDir))
+      Seq(ds.toDF().select(col("vec_id")).writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          StreamingAnn.tombstoneBatch(b, "vec_id", path, id); ()
+        }.start())
+    }
     def dws(ds: Dataset[OrderIn]) = {
       val (agg, late) = DwsTradeStream.provinceOrderWindow(ds.toDF())
       Seq(noop(agg), noop(late.toDF()))
@@ -238,6 +254,8 @@ object StreamingThroughput {
     if (sel("ann_ingest")) feed(x1Vecs.take(BatchRows))(ann(annModel))
     if (sel("ann_append"))
       feed(x1Vecs.take(BatchRows))(annAppendT(annModel, s"$scaleRoot/x1"))
+    if (sel("ann_tombstone"))
+      feed(x1Vecs.take(BatchRows))(annTombT(s"$scaleRoot/x1"))
     if (sel("dws_trade")) feed(x1Orders.take(BatchRows))(dws)
     if (sel("sketch")) feed(x1Lens.take(BatchRows))(sketchT)
     if (sel("cluster")) feed(x1Vecs.take(BatchRows))(clusterT(clusterModel))
@@ -364,6 +382,16 @@ object StreamingThroughput {
         feed(x1Vecs)(annAppendT(annModel, s"$scaleRoot/x1")))
       emit("ann_append", "x10", x10Vecs.size,
         feed(x10Vecs)(annAppendT(annModel, s"$scaleRoot/x1")))
+    }
+    if (sel("ann_tombstone")) {
+      // retraction rate against a fully-grown x1 index; the x10 leg
+      // retracts 10x the ids against the SAME tree size — per-batch
+      // cost is the tree-scan delta measure, so the two legs separate
+      // the fixed per-batch floor from id-volume scaling
+      emit("ann_tombstone", "x1", x1Vecs.size,
+        feed(x1Vecs)(annTombT(s"$scaleRoot/x1")))
+      emit("ann_tombstone", "x10", x10Vecs.size,
+        feed(x10Vecs)(annTombT(s"$scaleRoot/x1")))
     }
     if (sel("dws_trade")) {
       emit("dws_trade", evX1, x1Orders.size, feed(x1Orders)(dws))

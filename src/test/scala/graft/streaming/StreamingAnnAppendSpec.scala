@@ -218,11 +218,16 @@ class StreamingAnnAppendSpec extends SparkSpec {
     import org.apache.hadoop.fs.Path
     val idx = new Path(indexPath)
     val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cidDir = fs.listStatus(idx)
+    // a file that provably holds LIVE rows: a day-0 seed part (never
+    // b-prefixed; seed ids < 30 are untouched by the tombstone leg) —
+    // deleting a file of all-tombstoned rows would change nothing the
+    // manifest counts, which is correct, not a gap
+    val part = fs.listStatus(idx)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
-      .last.getPath
-    val part = fs.listStatus(cidDir)
-      .filter(st => !st.getPath.getName.startsWith("_")).head.getPath
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(f => !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("b"))
+      .head.getPath
     fs.delete(part, false)
     val lost = intercept[IllegalStateException] {
       SimilarityOps.verifyAnnIndex(spark, indexPath)

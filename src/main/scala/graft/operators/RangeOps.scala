@@ -79,6 +79,67 @@ object RangeOps {
     (ranked, total)
   }
 
+  /** Arithmetic cutpoints for a column KNOWN uniform over [0, bound) —
+    * e.g. the 32-bit md5-prefix hash ([[graft.functions.TextFns.hash32]],
+    * bound 2^32). Replaces the approxQuantile JOB of [[cutpoints]] with
+    * driver arithmetic: cutpoints only steer range-bucket BALANCE, never
+    * results (see the header contract), so on a uniform hash the fixed
+    * grid is as balanced as the measured one and costs zero passes
+    * (guide §1.2: remove whole passes before tuning anything).
+    */
+  def uniformCutpoints(bound: Double, nBuckets: Int = 32): Array[Double] =
+    if (nBuckets <= 1) Array.empty
+    else (1 until nBuckets).map(i => bound * i / nBuckets).toArray
+
+  /** FUSED exact global `row_number()` + running sum over ONE
+    * (valueCol, tieCol) total order — the composition
+    * `runningSum(globalRowNumber(df)._1, rankCol, sumCol, cumCol)`
+    * collapsed to ONE offsets job and ONE window:
+    *
+    *   - the composed form pays 4 eager passes (quantile + count-offsets
+    *     on valueCol, then quantile + sum-offsets on the rank column,
+    *     the latter two RE-RUNNING the rank window);
+    *   - bucketing is monotone in the (valueCol, tieCol) order, so the
+    *     rank order IS the within-bucket (valueCol, tieCol) order: one
+    *     groupBy collects per-bucket (count, sum) together, and one
+    *     window yields both `local rank + count-offset` and
+    *     `local running sum + sum-offset` — bit-identical outputs
+    *     (running sums are exact under ANY bucketing; RangeOpsSpec pins
+    *     parity against the composed form).
+    *
+    * Pass `cuts` (e.g. [[uniformCutpoints]] for a hash order column) to
+    * skip the approxQuantile job too. Returns (df + rankCol + cumCol,
+    * total row count).
+    */
+  def rankedRunningSum(df: DataFrame, valueCol: String, tieCol: String,
+      sumCol: String, rankCol: String, cumCol: String,
+      nBuckets: Int = 32, cuts: Option[Array[Double]] = None)
+      : (DataFrame, Long) = {
+    val cs = cuts.getOrElse(cutpoints(df, valueCol, nBuckets))
+    val b = withRangeBucket(df, valueCol, "__rb", cs)
+    val perBucket = b.groupBy(col("__rb"))
+      .agg(count(lit(1)).as("c"), coalesce(sum(col(sumCol)), lit(0L)).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accC = 0L
+    var accS = 0L
+    val offC = Map.newBuilder[Int, Long]
+    val offS = Map.newBuilder[Int, Long]
+    perBucket.foreach { case (rb, c, sm) =>
+      offC += rb -> accC; offS += rb -> accS
+      accC += c; accS += sm
+    }
+    val w = Window.partitionBy(col("__rb")).orderBy(col(valueCol), col(tieCol))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = b
+      .withColumn(rankCol, row_number().over(w).cast("long") +
+        element_at(typedLit(offC.result()), col("__rb")))
+      .withColumn(cumCol, sum(col(sumCol)).over(wSum) +
+        element_at(typedLit(offS.result()), col("__rb")))
+      .drop("__rb")
+    (out, accC)
+  }
+
   /** Exact global running sum of `valueCol` over the total order of the
     * numeric UNIQUE key `orderCol` (two-pass distributed prefix sum):
     * per-range sums -> broadcast exclusive offsets -> range-local running

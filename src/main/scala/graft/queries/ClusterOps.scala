@@ -187,7 +187,7 @@ object ClusterOps {
     * the previous model for the movement count (round 1 counts every
     * vector as moved).
     */
-  private def roundStats(base: DataFrame, m: Seq[(Long, Seq[Long])],
+  private[graft] def roundStats(base: DataFrame, m: Seq[(Long, Seq[Long])],
       prev: Option[Seq[(Long, Seq[Long])]])
       : Seq[(Long, Long, Long, Long, Seq[Long])] = {
     val vsum = udaf(graft.functions.VecSumAgg)
@@ -297,7 +297,31 @@ object ClusterOps {
     val moved2 = rows2.map(_._4).sum
     if (moved2 == 0L)
       return (rows2.map(t => (t._1, t._2, t._3)), 2, m1)
-    val base = lattice(s, dir)
+    // Rounds 3+ iterate on a PLAIN RDD, not a DataFrame (round-19
+    // optimization, guide §1.2 "per-task work only after the algorithm is
+    // right" inverted: here the ALGORITHM was already right and the cost
+    // was pure per-round Catalyst fixed overhead — each roundStats round
+    // re-planned and re-codegen'd a 16-literal-struct argmin aggregate,
+    // measured ~0.55 s/round × ~18 rounds = ~10 s of the kmeans_converged
+    // staging line at sf0.1 while the actual arithmetic on the persisted
+    // lattice is microseconds). The RDD round is the SAME exact integer
+    // lattice arithmetic ([[roundStatsLocal]] mirrors [[nearestStruct]]:
+    // dist = qq − 2q·c + c·c over integer-valued doubles, truncating
+    // cast, tie to smallest cid; sums are exact Longs), so stats, R, and
+    // the model stay bit-identical — ClusterOpsLoopSpec pins RDD-vs-
+    // DataFrame round parity including distance ties.
+    val baseRdd = lattice(s, dir)
+      .select(col("qv"))
+      .rdd.map { row =>
+        val qv = row.getSeq[Long](0).toArray
+        val qvd = new Array[Double](qv.length)
+        var qq = 0.0
+        var i = 0
+        while (i < qv.length) {
+          qvd(i) = qv(i).toDouble; qq += qvd(i) * qvd(i); i += 1
+        }
+        (qv, qvd, qq)
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var prev = m1
@@ -307,15 +331,25 @@ object ClusterOps {
       while (result.isEmpty) {
         r += 1
         if (r > maxRounds) notConverged(maxRounds, dir)
-        val rows = roundStats(base, m, Some(prev))
+        val rows = roundStatsLocal(baseRdd, m, Some(prev))
         val moved = rows.map(_._4).sum
         if (moved == 0L)
           result = Some((rows.map(t => (t._1, t._2, t._3)), r, m))
         else { prev = m; m = updateLocal(rows) }
       }
       result.get
-    } finally base.unpersist()
+    } finally baseRdd.unpersist()
   }
+
+  /** [[roundStats]] on the persisted lattice RDD — the arithmetic lives
+    * in the standalone serializable [[LloydKernel]] so task closures
+    * never capture this (non-serializable) object.
+    */
+  private[graft] def roundStatsLocal(
+      base: org.apache.spark.rdd.RDD[(Array[Long], Array[Double], Double)],
+      m: Seq[(Long, Seq[Long])], prev: Option[Seq[(Long, Seq[Long])]])
+      : Seq[(Long, Long, Long, Long, Seq[Long])] =
+    LloydKernel.roundStats(base, m, prev)
 
   /** The converged model — what a production deployment freezes and
     * ships to ingest ([[graft.streaming.StreamingCluster]]).
@@ -559,4 +593,94 @@ object ClusterOps {
         "lineage growth); the fixed-point property of the deterministic " +
         "lattice update is what lets the oracle replay a pinned round " +
         "count and recover the same answer."))
+}
+
+/** The Lloyd round arithmetic as a standalone serializable kernel (see
+  * [[ClusterOps.roundStatsLocal]]): one mapPartitions pass folds
+  * per-cluster (n, inertia, moved, exact lattice sums) and the ≤K
+  * per-partition maps merge via reduce. Bit-identical to the DataFrame
+  * round ([[ClusterOps.roundStats]]'s plan) — every term is an
+  * integer-valued double ≪ 2^53, so the dot-product fold order cannot
+  * matter, the truncating toLong equals Catalyst's cast to long, and
+  * ties break to the smallest cid exactly as nearestStruct's ascending
+  * (dist, cid) struct sort — at none of the per-round Catalyst
+  * planning/codegen fixed cost. ClusterOpsLoopSpec pins RDD-vs-DataFrame
+  * round parity including distance ties.
+  */
+private[graft] object LloydKernel extends Serializable {
+
+  /** Per-round per-cluster accumulator. */
+  final class Acc(dims: Int) extends Serializable {
+    var n = 0L; var inertia = 0L; var moved = 0L
+    val sums = new Array[Long](dims)
+  }
+
+  /** (cid, cvd, cc) arrays for the closure-shipped model. */
+  def modelArrays(
+      m: Seq[(Long, Seq[Long])]): Array[(Long, Array[Double], Double)] =
+    m.map { case (cid, cv) =>
+      val cvd = cv.map(_.toDouble).toArray
+      var cc = 0.0
+      var i = 0
+      while (i < cvd.length) { cc += cvd(i) * cvd(i); i += 1 }
+      (cid, cvd, cc)
+    }.toArray
+
+  /** Nearest centroid under `model`: (cid, dist) — the Scala twin of
+    * ClusterOps.nearestStruct (exact; tie to smallest cid).
+    */
+  def nearest(qvd: Array[Double], qq: Double,
+      model: Array[(Long, Array[Double], Double)]): (Long, Long) = {
+    var bestD = Long.MaxValue
+    var bestC = Long.MaxValue
+    var k = 0
+    while (k < model.length) {
+      val (cid, cvd, cc) = model(k)
+      var dp = 0.0
+      var i = 0
+      while (i < cvd.length) { dp += qvd(i) * cvd(i); i += 1 }
+      val d = (qq - 2.0 * dp + cc).toLong
+      if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      k += 1
+    }
+    (bestC, bestD)
+  }
+
+  def roundStats(
+      base: org.apache.spark.rdd.RDD[(Array[Long], Array[Double], Double)],
+      m: Seq[(Long, Seq[Long])], prev: Option[Seq[(Long, Seq[Long])]])
+      : Seq[(Long, Long, Long, Long, Seq[Long])] = {
+    val mArr = modelArrays(m)
+    val pArr = prev.map(modelArrays)
+    base.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap.empty[Long, Acc]
+      it.foreach { case (qv, qvd, qq) =>
+        val (cid, d) = nearest(qvd, qq, mArr)
+        val a = acc.getOrElseUpdate(cid, new Acc(qv.length))
+        a.n += 1L
+        a.inertia += d
+        val mv = pArr match {
+          case Some(p) => if (nearest(qvd, qq, p)._1 != cid) 1L else 0L
+          case None => 1L
+        }
+        a.moved += mv
+        var i = 0
+        while (i < qv.length) { a.sums(i) += qv(i); i += 1 }
+      }
+      Iterator.single(acc)
+    }.reduce { (x, y) =>
+      y.foreach { case (cid, a) =>
+        x.get(cid) match {
+          case Some(b) =>
+            b.n += a.n; b.inertia += a.inertia; b.moved += a.moved
+            var i = 0
+            while (i < a.sums.length) { b.sums(i) += a.sums(i); i += 1 }
+          case None => x(cid) = a
+        }
+      }
+      x
+    }.toSeq
+      .map { case (cid, a) => (cid, a.n, a.inertia, a.moved, a.sums.toSeq) }
+      .sortBy(_._1)
+  }
 }

@@ -121,7 +121,6 @@ object CorpusOps {
       val C = 4096L
       val surv = exportSurvivors(s, dir)
         .withColumn("hv", hash32(concat_ws(":", lit(1), col("doc_id"))))
-      val (ranked, _) = RangeOps.globalRowNumber(surv, "hv", "doc_id", "pos")
       // SLAB layout, not shard-per-directory (x100 sweep finding): at
       // the test shard size C=4096 tokens a directory per shard is a
       // small-files blowup — the x100 corpus packs ~12k shards, and the
@@ -136,7 +135,12 @@ object CorpusOps {
       // that survives any C.) repartition on slab gives one file per
       // slab per writing task; the within-file (shard_id, pos) sort
       // keeps every shard's bytes contiguous.
-      val assigned = RangeOps.runningSum(ranked, "pos", "kept", "cum")
+      // fused rank+prefix-sum: one offsets job, one window, arithmetic
+      // cutpoints on the uniform hash (see q162's comment) — replaces the
+      // 4-eager-pass globalRowNumber→runningSum chain, bit-identically
+      val assigned = RangeOps.rankedRunningSum(surv, "hv", "doc_id", "kept",
+          "pos", "cum",
+          cuts = Some(RangeOps.uniformCutpoints(4294967296.0)))._1
         .withColumn("shard_id", expr(s"(cum - kept) div ${C}L"))
         .withColumn("slab", expr(s"shard_id div ${ShardsPerSlab}L"))
         .join(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
@@ -946,8 +950,13 @@ object CorpusOps {
         val C = 4096L
         val surv = exportSurvivors(s, dir)
           .withColumn("hv", hash32(concat_ws(":", lit(1), col("doc_id"))))
-        val (ranked, _) = RangeOps.globalRowNumber(surv, "hv", "doc_id", "pos")
-        RangeOps.runningSum(ranked, "pos", "kept", "cum")
+        // fused rank+prefix-sum (one offsets job + one window; arithmetic
+        // cutpoints on the uniform 32-bit hash) — replaces the composed
+        // globalRowNumber→runningSum chain's 4 eager passes bit-identically
+        // (guide §1.2/§2.4; RangeOpsSpec pins parity with the composition)
+        RangeOps.rankedRunningSum(surv, "hv", "doc_id", "kept",
+            "pos", "cum",
+            cuts = Some(RangeOps.uniformCutpoints(4294967296.0)))._1
           .withColumn("shard_id", expr(s"(cum - kept) div ${C}L"))
           .groupBy(col("shard_id"))
           .agg(count(lit(1)).as("n_docs"),

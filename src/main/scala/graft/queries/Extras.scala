@@ -1666,13 +1666,19 @@ object Extras {
           .select(col("doc_id"),
           coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
             .as("tok"))
+        // fused rank+prefix-sum (ONE offsets job per epoch, ONE window)
+        // with arithmetic cutpoints on the uniform 32-bit hash — the
+        // composed globalRowNumber→runningSum form paid 4 eager passes
+        // per epoch (2 approxQuantile + 2 offset collects, the running-sum
+        // pair re-running the rank window); outputs are bit-identical
+        // (guide §1.2/§2.4: remove passes, share the exchange)
+        val hashCuts = Some(RangeOps.uniformCutpoints(4294967296.0))
         Seq(1L, 2L).map { ep =>
           val hashed = base.withColumn("hv",
             hash32(concat_ws(":", lit(ep), col("doc_id"))))
-          val (ranked, _) =
-            RangeOps.globalRowNumber(hashed, "hv", "doc_id", "pos")
-          RangeOps.runningSum(
-              ranked.select(col("pos"), col("tok")), "pos", "tok", "cum")
+          RangeOps.rankedRunningSum(hashed, "hv", "doc_id", "tok",
+              "pos", "cum", cuts = hashCuts)._1
+            .select(col("pos"), col("tok"), col("cum"))
             .withColumn("epoch", lit(ep))
         }.reduce(_ unionByName _)
           .withColumn("bin", floor((col("cum") - col("tok")) / C))

@@ -488,10 +488,14 @@ object TextOps {
             .toDF("target_ppm", "vocab_k", "achieved_ppm", "cutoff_count")
         } else {
           val tot = total.getLong(0)
-          val (ranked, _) = RangeOps.globalRowNumber(
-            vocab.withColumn("neg", -col("cnt")), "neg", "w", "rank")
-          val cov = RangeOps
-            .runningSum(ranked.drop("neg"), "rank", "cnt", "cum")
+          // fused rank+prefix-sum over the (−cnt, w) frequency order: one
+          // offsets job + one window instead of the composed
+          // globalRowNumber→runningSum chain's 4 eager passes over the
+          // staged vocab frame — bit-identical outputs (guide §1.2/§2.4)
+          val cov = RangeOps.rankedRunningSum(
+              vocab.withColumn("neg", -col("cnt")), "neg", "w", "cnt",
+              "rank", "cum")._1
+            .drop("neg")
             .withColumn("cum_ppm", expr(s"cum * 1000000L div ${tot}L"))
           val ks = cov.select(col("rank"),
               explode(expr("filter(array(500000L, 900000L, 950000L, " +

@@ -69,6 +69,41 @@ class RangeOpsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("rankedRunningSum equals the composed globalRowNumber→runningSum " +
+    "chain AND the single-partition window form (heavy ties; both " +
+    "measured and arithmetic cutpoints)") {
+    import spark.implicits._
+    val df = (1 to 2500).map { i =>
+      val v = if (i % 3 == 0) (i % 7).toLong else (i % 211).toLong
+      (i.toLong, v, (i % 53).toLong)
+    }.toDF("id", "v", "tok")
+    val w = Window.orderBy(col("v"), col("id"))
+    val exact = df
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("tok"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "pos", "cum").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (composedRanked, _) = RangeOps.globalRowNumber(df, "v", "id", "pos", 8)
+    val composed = RangeOps.runningSum(composedRanked, "pos", "tok", "cum", 8)
+      .select("id", "pos", "cum").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (fusedDf, total) =
+      RangeOps.rankedRunningSum(df, "v", "id", "tok", "pos", "cum", 8)
+    val fused = fusedDf.select("id", "pos", "cum").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(total == 2500L)
+    assert(fused == exact)
+    assert(composed == exact)
+    // arithmetic cutpoints change only bucket balance, never results —
+    // exercise them off the value range so some buckets are empty
+    val (fixedDf, _) = RangeOps.rankedRunningSum(df, "v", "id", "tok",
+      "pos", "cum", cuts = Some(RangeOps.uniformCutpoints(256.0, 8)))
+    val fixed = fixedDf.select("id", "pos", "cum").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fixed == exact)
+  }
+
   test("relativeRanks equals percent_rank/cume_dist on a 90%-one-group " +
     "skew fixture (the shape that kills the per-group window at scale)") {
     import spark.implicits._

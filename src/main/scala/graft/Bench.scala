@@ -255,6 +255,9 @@ object Bench {
     val warmupNames = Set("q01_pricing_summary", "q23_cdc_insert_facts",
       "q26_log_split", "q57_neardup_cluster", "q36_minhash_band_dedup",
       "q80_format_interop",
+      // q35 stages the shared jaccard pair frame (jc_pairs — round-19:
+      // shared with q124's truth side)
+      "q35_ngram_jaccard",
       // gram staging tables: q63 builds grams5, q96 grams10 (grams3 is
       // staged by the q36/q57 warmups above); q95 builds the PageRank
       // pr_nodes/pr_edges frames

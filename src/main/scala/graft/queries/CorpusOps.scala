@@ -1410,16 +1410,25 @@ object CorpusOps {
           expr("slice(array_sort(array_distinct(" +
             "filter(split(text, ' '), x -> length(x) >= 3))), 1, 24)")
             .as("tk"))
-        val exploded = tk.select(col("doc_id"), explode(col("tk")).as("t"))
-        val dfCount = exploded.groupBy("t").agg(count(lit(1)).as("c_t"))
-        val pairs = tk.select(explode(expr(
-            "flatten(transform(tk, (x, ix) -> " +
+        // ONE tokenize+explode pass builds BOTH the per-token df counts
+        // and the pair counts (round-19 optimization, guide §1.2/§2.4):
+        // singles ride as (a, NULL) rows beside the in-row (a, b) pairs,
+        // so one map-side-combined groupBy replaces two separate
+        // tokenize+shuffle passes. Counts are bit-identical — (a, NULL)
+        // groups can never collide with a real pair (b is a token, never
+        // null), and multiplicities are unchanged.
+        val combined = tk.select(explode(expr(
+            "concat(" +
+              "transform(tk, x -> struct(x AS a, CAST(NULL AS STRING) AS b)), " +
+              "flatten(transform(tk, (x, ix) -> " +
               "filter(transform(tk, (y, iy) -> " +
-              "IF(x < y, struct(x AS a, y AS b), NULL)), p -> p IS NOT NULL)))"))
+              "IF(x < y, struct(x AS a, y AS b), NULL)), p -> p IS NOT NULL))))"))
             .as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("c_xy"))
-          .filter(col("c_xy") >= 5)
+        val dfCount = combined.filter(col("b").isNull)
+          .select(col("a").as("t"), col("c_xy").as("c_t"))
+        val pairs = combined.filter(col("b").isNotNull && col("c_xy") >= 5)
         val n = docs(s, dir).agg(count(lit(1)).as("n"))
         pairs
           .join(dfCount.select(col("t").as("a"), col("c_t").as("c_a")), "a")
@@ -2607,24 +2616,45 @@ object CorpusOps {
         // serialize six tokenize passes on one core)
         val base = Tables.parallel(s, dir, "documents")
           .select(col("doc_id"), ws.as("ws"))
-        val uniModel = base.select(explode(col("ws")).as("w"))
-          .select(pmod(hash32(col("w")), lit(M)).as("ub"))
-          .groupBy(col("ub")).agg(count(lit(1)).as("f"))
-        val n = uniModel.agg(sum(col("f")).as("n"))
+        // ONE combined model pass (round-19 optimization, guide §1.2/§2.4):
+        // the original built the unigram model, the bigram model, and the
+        // grand total from THREE separate tokenize passes over the corpus
+        // (plus the scoring pass — ~4 regex-split+md5 evaluations of every
+        // document per run). Both models are bucket-hashed, so one explode
+        // can emit every token's unigram bucket (kind 0) AND every
+        // bigram's bucket (kind 1) and ONE map-side-combined aggregation
+        // (≤ 2·2^20 groups) builds both; the bigram broadcast, the two
+        // unigram broadcasts, and the total-n aggregate below all hang off
+        // the SAME exchange. Counts are bit-identical: same hash32/pmod
+        // per token and per in-row bigram, same multiplicities.
+        val uniArr = transform(col("ws"), x =>
+          struct(lit(0L).as("kind"), pmod(hash32(x), lit(M)).as("k")))
         // greatest(..., 0): a ZERO-word doc (empty/whitespace text — the
         // dirty-corpus class) makes size(ws) - 1 read -1, which ANSI
         // slice rejects outright; the guard yields an empty slice → no
         // bigram rows, exactly the <2-word contract (DirtyCorpusSpec)
-        val occ = base.select(col("doc_id"), explode(expr(
-            "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
-              "(x, i) -> struct(x AS w1, ws[i + 1] AS w2))")).as("p"))
+        val biPairs = expr(
+          "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+            "(x, i) -> struct(x AS w1, ws[i + 1] AS w2))")
+        val biArr = transform(biPairs, p =>
+          struct(lit(1L).as("kind"),
+            pmod(hash32(concat_ws(" ",
+              p.getField("w1"), p.getField("w2"))), lit(M)).as("k")))
+        val combined = base
+          .select(explode(concat(uniArr, biArr)).as("e"))
+          .groupBy(col("e.kind").as("kind"), col("e.k").as("kk"))
+          .agg(count(lit(1)).as("f"))
+        val uniModel = combined.filter(col("kind") === 0L)
+          .select(col("kk").as("ub"), col("f"))
+        val n = uniModel.agg(sum(col("f")).as("n"))
+        val occ = base.select(col("doc_id"), explode(biPairs).as("p"))
           .select(col("doc_id"),
             pmod(hash32(col("p.w1")), lit(M)).as("u1"),
             pmod(hash32(col("p.w2")), lit(M)).as("u2"),
             pmod(hash32(concat_ws(" ", col("p.w1"), col("p.w2"))),
               lit(M)).as("bk"))
-        val model = occ.groupBy(col("bk")).agg(count(lit(1)).as("cb"))
-          .filter(col("cb") >= 2)
+        val model = combined.filter(col("kind") === 1L && col("f") >= 2)
+          .select(col("kk").as("bk"), col("f").as("cb"))
         occ
           .join(broadcast(model), Seq("bk"), "left_outer")
           .join(broadcast(uniModel.select(col("ub").as("u1"),

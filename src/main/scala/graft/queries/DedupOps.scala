@@ -79,31 +79,53 @@ object DedupOps {
     */
   private[graft] def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
-    val g = ngramSet(s, dir)
-      .select(col("doc_id"), col("ng64").as("ng"))
-    val wN = Window.partitionBy(col("ng"))
-    val capped = g
-      .withColumn("df", count(lit(1)).over(wN))
-      .filter(col("df") <= 100)
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    capped
-      .groupBy("ng")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .select(explode(expr(
-        "flatten(transform(ids, (x, ix) -> " +
-          "filter(transform(ids, (y, iy) -> " +
-          "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
-        .as("p"))
-      .select(col("p.i"), col("p.j"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("si") + col("sj") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), col("jaccard"))
+    // The family uses two thresholds (q35 at 0.8, q124's truth at 0.5);
+    // the pipeline below is identical for both, so the pair frame is
+    // session-staged ONCE at the 0.5 floor and each consumer filters —
+    // the mh_pairs discipline (round-19 optimization): the pair set is
+    // near-dup-sized while its producing pipeline (window df-cap +
+    // in-group pair expansion + two size joins over the corpus-sized
+    // staged gram frame) is the dedup family's most expensive, and a
+    // recall AUDIT (q124) re-running the exact truth pipeline its
+    // operator (q35) already ran is precisely the recompute a 100 TB
+    // curation run cannot afford. `filter(jaccard >= t)` over the staged
+    // ≥0.5 frame is bit-identical to computing at t directly for any
+    // t >= 0.5 (same jaccard values, same comparison).
+    require(threshold >= JcPairsFloor,
+      s"jaccardPairs: threshold $threshold below the staged floor " +
+        s"$JcPairsFloor — widen JcPairsFloor (and re-check consumers)")
+    graft.Staging.stage(s, dir, "jc_pairs") {
+      val g = ngramSet(s, dir)
+        .select(col("doc_id"), col("ng64").as("ng"))
+      val wN = Window.partitionBy(col("ng"))
+      val capped = g
+        .withColumn("df", count(lit(1)).over(wN))
+        .filter(col("df") <= 100)
+      val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      capped
+        .groupBy("ng")
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(expr(
+          "flatten(transform(ids, (x, ix) -> " +
+            "filter(transform(ids, (y, iy) -> " +
+            "IF(x < y, struct(x AS i, y AS j), NULL)), p -> p IS NOT NULL)))"))
+          .as("p"))
+        .select(col("p.i"), col("p.j"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("i"), col("sz").as("si")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("sz").as("sj")), "j")
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("si") + col("sj") - col("common")))
+        .filter(col("jaccard") >= JcPairsFloor)
+        .select(col("i"), col("j"), col("jaccard"))
+    }.filter(col("jaccard") >= threshold)
   }
+
+  /** The smallest threshold any jaccardPairs consumer uses — the staged
+    * frame's cut. Consumers: q35 (0.8), q124's truth side (0.5).
+    */
+  private val JcPairsFloor = 0.5
 
   /** The (doc_id, band, bkey) LSH band assignments behind q36/q57: 8
     * permutation mins per doc folded into 4 bands of 2. Two equivalent

@@ -1453,11 +1453,26 @@ object Extras {
         val types = Tables(s, dir, "part")
           .select(col("p_partkey"), col("p_type"))
         val typed = li.join(types, li("l_partkey") === types("p_partkey"))
-          .select(col("l_orderkey"), col("p_type")).distinct()
-        typed.as("a").join(typed.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.p_type") < col("b.p_type"))
-          .groupBy(col("a.p_type").as("type_a"), col("b.p_type").as("type_b"))
+          .select(col("l_orderkey"), col("p_type"))
+        // in-row pair expansion instead of the orderkey self-join
+        // (round-19 optimization, guide §2.4; the jaccardPairs/mh_pairs
+        // in-group pattern): per-order type SETS are bounded (≤7
+        // lineitems/order), so collect_set per order folds the old
+        // `.distinct()` into the same shuffle and the in-row expansion
+        // replaces the self-join — one order-keyed exchange total where
+        // the join form paid the distinct exchange plus the join's.
+        // array_sort makes x < y deterministic and identical to the join
+        // predicate's p_type ordering; pair counts are unchanged
+        // (distinct-per-order ≡ collect_set).
+        typed
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("p_type"))).as("ts"))
+          .select(explode(expr(
+            "flatten(transform(ts, (x, ix) -> " +
+              "filter(transform(ts, (y, iy) -> " +
+              "IF(x < y, struct(x AS a, y AS b), NULL)), p -> p IS NOT NULL)))"))
+            .as("p"))
+          .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 20)
       },

@@ -468,17 +468,27 @@ object CorpusOps {
         // Spark joins 8-byte xxhash64 grams while the oracle joins raw
         // strings — the q35/q63 shuffle-volume trick, counts equal modulo
         // a ~2^-64-per-pair collision.
-        val sh = Grams.hashed(s, dir, 5)
+        // ONE gram-keyed shuffle builds the per-gram source SETS
+        // (round-19 optimization, guide §2.4; the q115/jaccardPairs
+        // in-group pattern): collect_set dedups (source, gram) map-side
+        // inside the same exchange the old `.distinct()` paid, and the
+        // in-row pair expansion (bounded |sources|²/gram) replaces the
+        // ng self-join's two sorted corpus-sized sides. Both the sizes
+        // rollup and the shared counts read the grouped frame — counts
+        // are bit-identical (distinct membership ≡ set membership).
+        val bySrc = Grams.hashed(s, dir, 5)
           .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
           .filter(col("source").isNotNull)
-          .select(col("source"), col("ng")).distinct()
-        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val shared = sh.as("a")
-          .join(sh.as("b"), col("a.ng") === col("b.ng")
-            && col("a.source") < col("b.source"))
-          .select(col("a.source").as("source_a"),
-            col("b.source").as("source_b"))
-          .groupBy(col("source_a"), col("source_b"))
+          .groupBy(col("ng"))
+          .agg(array_sort(collect_set(col("source"))).as("srcs"))
+        val sizes = bySrc.select(explode(col("srcs")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val shared = bySrc.select(explode(expr(
+            "flatten(transform(srcs, (x, ix) -> " +
+              "filter(transform(srcs, (y, iy) -> " +
+              "IF(x < y, struct(x AS a, y AS b), NULL)), p -> p IS NOT NULL)))"))
+            .as("p"))
+          .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
           .agg(count(lit(1)).as("shared_grams"))
         shared
           .join(sizes.select(col("source").as("source_a"),
@@ -1696,12 +1706,21 @@ object CorpusOps {
         // of the self-join — so staging collapses three explodes into one.
         val g = Grams.hashed(s, dir, 10)
         val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        val capped = g.withColumn("df",
-            count(lit(1)).over(Window.partitionBy(col("ng"))))
-          .filter(col("df") <= 20)
-        val shared = capped.select(col("ng"), col("doc_id").as("a"))
-          .join(capped.select(col("ng"), col("doc_id").as("b")), "ng")
-          .filter(col("a") < col("b"))
+        // ONE gram-keyed hash aggregation + in-row pair expansion
+        // (round-19 optimization, guide §2.4; jaccardPairs' exact shape)
+        // replaces the df-cap WINDOW (a full sort-shuffle of the gram
+        // frame) plus the ng self-join: grams are per-doc distinct, so
+        // df ≡ size(collect_list(doc_id)) and the ≤20 cap bounds the
+        // in-row expansion at C(20,2) pairs/gram. Pair multiset identical.
+        val shared = g
+          .groupBy(col("ng")).agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) <= 20)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, ix) -> " +
+              "filter(transform(ids, (y, iy) -> " +
+              "IF(x < y, struct(x AS a, y AS b), NULL)), p -> p IS NOT NULL)))"))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
         shared
           .join(totals.select(col("doc_id").as("a"),
@@ -1758,15 +1777,23 @@ object CorpusOps {
         val words = docs(s, dir)
           .select(explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("w"))
           .filter(col("w") =!= "")
-        val rowsExpanded = words
-          .select(col("w"), explode(array((0 until 3).map(lit): _*)).as("r"))
+        // ONE corpus tokenize pass builds the exact vocabulary; the CMS
+        // cells then aggregate WEIGHTED vocab rows (round-19
+        // optimization, guide §1.2/§2.3): summing per-word counts into a
+        // (row, bucket) cell is arithmetically identical to counting
+        // token instances there, but hashes |vocab| words ×3 instead of
+        // |corpus tokens| ×3 and skips the second tokenize pass — the
+        // Heaps-law gap that only widens at 100 TB.
+        val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("exact_ct"))
+        val cms = vocab
+          .select(col("w"), col("exact_ct"),
+            explode(array((0 until 3).map(lit): _*)).as("r"))
           .withColumn("b",
             pmod(hash32(concat(col("r").cast("string"), lit(":"), col("w"))),
               lit(256)))
-        val cms = rowsExpanded.groupBy(col("r"), col("b"))
-          .agg(count(lit(1)).as("c"))
-        val exact = words.groupBy(col("w")).agg(count(lit(1)).as("exact_ct"))
-          .orderBy(col("exact_ct").desc, col("w")).limit(20)
+          .groupBy(col("r"), col("b"))
+          .agg(sum(col("exact_ct")).as("c"))
+        val exact = vocab.orderBy(col("exact_ct").desc, col("w")).limit(20)
         val probes = exact
           .select(col("w"), col("exact_ct"),
             explode(array((0 until 3).map(lit): _*)).as("r"))

@@ -1256,6 +1256,13 @@ object DedupOps {
           .select(col("m").as("u"), col("vec_id").as("w"))
           .distinct()
         val normed = base.withColumn("nrm", norm(col("v")))
+        // the verified edge set is materialized ONCE per run (round-19
+        // optimization, guide §5/§2.4): ConnectedComponents evaluates its
+        // input twice (the node list + the initial contraction frame), and
+        // without the cut each evaluation re-ran the bucket window plus
+        // BOTH corpus-sized vector joins. localCheckpoint is per-invocation
+        // (no cross-run reuse; blocks reclaimed by the context cleaner) and
+        // the edge set is near-dup-sized by construction.
         val edges = star
           .join(normed.select(col("vec_id").as("u"), col("v").as("vu"),
             col("nrm").as("nu")), "u")
@@ -1264,6 +1271,7 @@ object DedupOps {
           .filter(col("nu") * col("nw") =!= 0.0 &&
             dot(col("vu"), col("vw")) / (col("nu") * col("nw")) >= 0.35)
           .select(col("u"), col("w").as("v"))
+          .localCheckpoint(true)
         val labels = graft.operators.ConnectedComponents.run(edges)._1
         base.select(col("vec_id"))
           .join(labels.withColumnRenamed("node", "vec_id"),

@@ -819,6 +819,12 @@ object SimilarityOps {
       df.agg(count(lit(1)), annIndexChecksumCol).head()
     val stagePath = s"$root/stage"
     val finalPath = s"$root/index"
+    // the assignment is consumed twice (the staged write AND the `want`
+    // checksum it is verified against) — persist so the PQ-encode
+    // pipeline runs once per build instead of twice (round-19
+    // optimization, guide §5: cache exactly the frame that is reused);
+    // unpersisted before returning, so nothing outlives the build
+    val cached = lists.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val want = try {
       // one file per list from birth (the compaction invariant, applied
       // at the seed): a bare partitionBy fans each of the writing tasks
@@ -826,9 +832,9 @@ object SimilarityOps {
       // scaled nlist is the q176 small-files trap on day zero (measured
       // in the round-19 nlist sweep: the fragmented nl=224 tree served
       // 3.4x slower than nl=16 purely on file opens)
-      lists.repartition(col("cid"))
+      cached.repartition(col("cid"))
         .write.partitionBy("cid").parquet(stagePath)
-      val w = chk(lists)
+      val w = chk(cached)
       val got = chk(s.read.schema(annIndexSchema).parquet(stagePath))
       if (w.getLong(0) != got.getLong(0) ||
           w.getLong(1) != got.getLong(1))
@@ -844,6 +850,8 @@ object SimilarityOps {
         // (review-pass finding), so stage deletion is part of fail-loud
         deleteQuietly(s, stagePath)
         throw e
+    } finally {
+      cached.unpersist()
     }
     // stage→final swap on the TARGET filesystem (atomic on HDFS/ABFS/
     // local; raw-S3 caveat documented at Staging.publishAtomic)
@@ -2208,10 +2216,19 @@ object SimilarityOps {
           .withColumn("crank", row_number().over(wQ))
           .filter(col("crank") <= nProbe)
           .select(col("query_id"), col("qv"), col("cid"))
+        // the scored candidate frame and the filtered truth are each
+        // referenced by every arm (scan counts, returned sets, hit
+        // joins) — without a cut the corpus-sized assignment crossJoin +
+        // per-neighbor window re-ran per reference. Both frames are
+        // query-bounded (≤ nq·nprobe·list rows / ≤ nq·K rows), so one
+        // per-run localCheckpoint each replaces the re-evaluations
+        // (round-19 optimization, guide §5; per-invocation, no cross-run
+        // reuse).
         val cands = probes.join(lists, "cid")
           .withColumn("sim", cosine(col("qv"), col("nv")))
           .select(col("query_id"), col("neighbor_id"), col("lab"),
             col("sim"))
+          .localCheckpoint(true)
         val truth = base.filter(col("vec_id") >= 5 && col("lab") === Pred)
           .select(col("vec_id").as("neighbor_id"), col("v").as("nv2"))
           .crossJoin(broadcast(base.filter(col("vec_id") < 5)
@@ -2222,6 +2239,7 @@ object SimilarityOps {
               .orderBy(col("sim").desc, col("neighbor_id"))))
           .filter(col("rank") <= K)
           .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
         val wS = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
         def arm(name: String, scanned: DataFrame,

@@ -1111,10 +1111,18 @@ object CorpusOps {
         // driver-side bloom build is the model-training step, like q128's
         // codebook; the oracle rebuilds the identical words relationally
         val benchH = g.filter(col("doc_id") < 10).select("h").distinct()
-        val words = BloomFns.build(benchH.collect().map(_.getLong(0)))
+        // the held-out set is ALREADY on the driver for the bloom build;
+        // the exact-join side reuses that collected array as a local
+        // relation instead of re-running the bench half of the gram
+        // explode a second time inside the broadcast subtree (round-19
+        // optimization, guide §1.2 — same rows, one fewer corpus pass)
+        val benchArr = benchH.collect().map(_.getLong(0))
+        val words = BloomFns.build(benchArr)
+        import s.implicits._
+        val benchLocal = broadcast(
+          benchArr.toSeq.toDF("h").withColumn("exact", lit(1)))
         g.filter(col("doc_id") >= 10)
-          .join(broadcast(benchH.withColumn("exact", lit(1))),
-            Seq("h"), "left_outer")
+          .join(benchLocal, Seq("h"), "left_outer")
           .withColumn("bloom_hit", BloomFns.mightContain(words, col("h")))
           .agg(count(lit(1)).as("n_probed"),
             sum(col("bloom_hit")).cast("long").as("n_bloom_pos"),
@@ -1196,10 +1204,15 @@ object CorpusOps {
               array_distinct(wordNgrams(tokens(col("text")), 5)),
               gr => hash60(gr)))).as("h"))
         val benchH = g.filter(col("doc_id") < 100).select("h").distinct()
-        val words = BloomFns.buildSized(benchH.collect().map(_.getLong(0)), sz)
+        // collected-set reuse for the exact-join side — see q130 (one
+        // fewer corpus gram pass, identical rows)
+        val benchArr = benchH.collect().map(_.getLong(0))
+        val words = BloomFns.buildSized(benchArr, sz)
+        import s.implicits._
+        val benchLocal = broadcast(
+          benchArr.toSeq.toDF("h").withColumn("exact", lit(1)))
         g.filter(col("doc_id") >= 100)
-          .join(broadcast(benchH.withColumn("exact", lit(1))),
-            Seq("h"), "left_outer")
+          .join(benchLocal, Seq("h"), "left_outer")
           .withColumn("bloom_hit", BloomFns.mightContainSized(words, col("h"), sz))
           .agg(count(lit(1)).as("n_probed"),
             sum(col("bloom_hit")).cast("long").as("n_bloom_pos"),

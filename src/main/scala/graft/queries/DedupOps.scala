@@ -284,8 +284,14 @@ object DedupOps {
       : Seq[(String, DataFrame)] = {
     val corpus = docs(s, dir).filter(col("doc_id") >= 10)
     val fp = md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+    // the fingerprint pass (tokenize + sort + md5 per doc) is the
+    // funnel's most expensive projection and is referenced twice inside
+    // the flags join (canon's aggregate side + the join's left side);
+    // one per-run localCheckpoint makes it a single corpus pass
+    // (round-19 optimization, guide §5)
     val d = corpus.select(col("doc_id"), col("source"),
       col("n_chars"), fp.as("f"))
+      .localCheckpoint(true)
     val canon = d.groupBy("f").agg(min("doc_id").as("c"))
     val reps = stagedLabels(s, dir)
       .select(col("node").as("doc_id"), col("label").as("rep"))
@@ -297,6 +303,10 @@ object DedupOps {
     val contam = g5.filter(col("doc_id") >= 10)
       .join(broadcast(benchG), "ng")
       .select("doc_id").distinct().withColumn("bad", lit(1))
+    // the flags table is the funnel's decision set (guide §8: decide on
+    // small rows once) and is consumed by BOTH the per-source rate
+    // derivation and the final rollup — checkpoint so the join tree
+    // above runs once per invocation
     val flags = d.join(canon, "f")
       .join(reps, Seq("doc_id"), "left_outer")
       .join(contam, Seq("doc_id"), "left_outer")
@@ -305,6 +315,7 @@ object DedupOps {
         (col("rep").isNull || col("rep") === col("doc_id"))).cast("int"))
       .withColumn("k4", (col("k3") === 1 && col("bad").isNull).cast("int"))
       .withColumn("k5", (col("k4") === 1 && col("n_chars") >= 100).cast("int"))
+      .localCheckpoint(true)
     val rates = flags.filter(col("k5") === 1)
       .groupBy("source").agg(count(lit(1)).as("n_s"))
       .withColumn("w", floor(sqrt(col("n_s").cast("double"))).cast("long"))

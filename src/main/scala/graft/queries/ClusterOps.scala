@@ -85,27 +85,13 @@ object ClusterOps {
       .withColumn("qvd", transform(col("qv"), x => x.cast("double")))
       .withColumn("qq", dot(col("qvd"), col("qvd")))
 
-  /** Nearest-centroid assignment against a broadcast (cid, cvd, cc)
-    * model: dist = q·q − 2q·c + c·c, exact over integer-valued doubles;
-    * ties break to the smallest cid. The rn=1 window is a
-    * WindowGroupLimit, not a per-vector sort spill.
-    */
-  private def assign(base: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    base.crossJoin(broadcast(cent))
-      .withColumn("dist",
-        (col("qq") - lit(2.0) * dot(col("qvd"), col("cvd")) + col("cc"))
-          .cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "cvd", "cc")
-  }
-
-  private def centModel(df: DataFrame): DataFrame =
-    df.withColumn("cvd", transform(col("cv"), x => x.cast("double")))
-      .withColumn("cc", dot(col("cvd"), col("cvd")))
-      .select(col("cid"), col("cvd"), col("cc"))
+  // Round-19 optimization note: the original crossJoin(broadcast model) +
+  // per-vector rn=1 window assignment is gone — it EXPLODED the corpus
+  // ×K and shuffled that by vec_id for the window. Every assignment in
+  // this file now routes through [[nearestStruct]] (the in-row argmin,
+  // THE single home of the lattice arithmetic, zero shuffle) against a
+  // collected ≤K-row driver model — identical distances and tie rule,
+  // which the StreamingCluster handoff and ClusterOpsLoopSpec pin.
 
   // ------------------------------------------------------------------
   // Iterate-to-convergence Lloyd (q145, round-10 VERDICT directive #2).
@@ -421,13 +407,19 @@ object ClusterOps {
     sb.toString
   }
 
-  /** Round-1 assignment against the family's deterministic first-K
-    * seeds — the q46/q100 assignment, as the Lloyd starting point.
+  /** The family's deterministic first-K seed model as driver rows —
+    * bounded (≤K) like [[refinedModel]]; memoized per (session, dir).
     */
-  private def assignToSeeds(base: DataFrame): DataFrame =
-    assign(base, centModel(
-      base.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))))
+  private val seedMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Seq[(Long, Seq[Long])]]
+
+  private def seedModel(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
+    seedMemo.getOrElseUpdate((s, dir),
+      lattice(s, dir).filter(col("vec_id") < K)
+        .select(col("vec_id"), col("qv")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+        .toSeq.sortBy(_._1))
 
   /** Centroid update: exact long sums (VecSumAgg — one array per
     * (partition, cid) partial) then floor division; empty clusters drop
@@ -440,12 +432,36 @@ object ClusterOps {
       .select(col("cid"), expr("transform(sv, x -> x div n)").as("cv"))
   }
 
+  /** The lattice as a plain RDD (vec_id, qv, qvd, qq) — the
+    * [[LloydKernel]] input for the round-1/2 refinement (round-19:
+    * kernel-routed like the convergence loop's rounds 3+; the Catalyst
+    * alternatives both lose — the crossJoin+window form explodes the
+    * corpus ×K through two shuffles, and an in-row literal-model
+    * argmin was MEASURED slower still (8.8 s vs 3.8 s staging at
+    * sf0.1: two 16-struct × 64-literal-dot expression trees in one
+    * projection swamp codegen).
+    */
+  private def latticeRdd(s: SparkSession, dir: String)
+      : org.apache.spark.rdd.RDD[(Long, Array[Long], Array[Double], Double)] =
+    lattice(s, dir).select(col("vec_id"), col("qv")).rdd.map { r =>
+      val id = r.getLong(0)
+      val qv = r.getSeq[Long](1).toArray
+      val qvd = new Array[Double](qv.length)
+      var qq = 0.0
+      var i = 0
+      while (i < qv.length) { qvd(i) = qv(i).toDouble; qq += qvd(i) * qvd(i); i += 1 }
+      (id, qv, qvd, qq)
+    }
+
   /** Refined (post-update) centroid model as driver-side rows — bounded
     * (≤K) by construction and memoized per (session, dir) like
     * SimilarityOps' model builds: the offline-trained model a streaming
     * ingest path ships inside its plan
     * ([[graft.streaming.StreamingCluster]]) without re-running the
-    * corpus scans on every call.
+    * corpus scans on every call. Built from ONE [[LloydKernel]] round
+    * over the lattice RDD (exact sums + floor division ≡
+    * [[updateCentroids]]; kernel ≡ DataFrame parity is
+    * ClusterOpsLoopSpec's pin).
     */
   private val modelMemo =
     scala.collection.concurrent.TrieMap
@@ -453,10 +469,13 @@ object ClusterOps {
 
   private[graft] def refinedModel(
       s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
-    modelMemo.getOrElseUpdate((s, dir),
-      updateCentroids(assignToSeeds(lattice(s, dir)))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
-        .toSeq.sortBy(_._1))
+    modelMemo.getOrElseUpdate((s, dir), {
+      val m0 = seedModel(s, dir)
+      if (m0.isEmpty) Seq.empty
+      else LloydKernel
+        .roundStats(latticeRdd(s, dir).map(t => (t._2, t._3, t._4)), m0, None)
+        .map { case (cid, n, _, _, sv) => cid -> sv.map(_ / n) }
+    })
 
   /** Session-staged two-round Lloyd refinement:
     * `(vec_id, cid, cid0, dist, qv)` — final assignment, round-1
@@ -470,15 +489,47 @@ object ClusterOps {
     * (round-11 directive #2). At a written-table deployment qv roughly
     * doubles the assignment table's footprint; that is the documented
     * trade for the downstream convergence run skipping two corpus scans.
+    *
+    * Round-19 shape: ONE [[LloydKernel]] map computes both rounds'
+    * argmins (m0 seeds for cid0, the kernel-built m1 for cid/dist) —
+    * the old form exploded the corpus ×K twice through
+    * crossJoin+window assignments and re-joined round 1 by vec_id
+    * (three corpus shuffles); this is zero-shuffle on the corpus path,
+    * and the distances/ties are identical by the kernel's spec'd
+    * parity with [[nearestStruct]]/[[roundStats]].
     */
   private def refined(s: SparkSession, dir: String): DataFrame =
     graft.Staging.stage(s, dir, "kmeans_assign") {
       val base = lattice(s, dir)
-      val a1 = assignToSeeds(base)
-      assign(base, centModel(updateCentroids(a1)))
-        .join(a1.select(col("vec_id"), col("cid").as("cid0")), "vec_id")
-        .select(col("vec_id"), col("cid"), col("cid0"), col("dist"),
-          col("qv"))
+      val m0 = seedModel(s, dir)
+      if (m0.isEmpty)
+        // an all-dirty corpus has no well-formed seeds: the old
+        // crossJoin-with-empty-model form assigned no rows — keep the
+        // empty frame (same schema)
+        base.filter(lit(false))
+          .select(col("vec_id"), lit(0L).as("cid"), lit(0L).as("cid0"),
+            lit(0L).as("dist"), col("qv"))
+      else {
+        val m0a = LloydKernel.modelArrays(m0)
+        val m1a = LloydKernel.modelArrays(refinedModel(s, dir))
+        val rows = latticeRdd(s, dir).map { case (id, qv, qvd, qq) =>
+          val c1 = LloydKernel.nearest(qvd, qq, m0a)._1
+          val (c2, d2) = LloydKernel.nearest(qvd, qq, m1a)
+          org.apache.spark.sql.Row(id, c2, c1, d2, qv.toSeq)
+        }
+        s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cid0",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("qv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = false)))))
+      }
     }
 
   /** Oracle CTE chain ending in `asg(vec_id, cid, cid0, dist)` — the SQL

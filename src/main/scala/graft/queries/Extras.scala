@@ -320,6 +320,11 @@ object Extras {
       "q70_column_profile",
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")
+        // examined round-19 and deliberately LEFT in the per-column union
+        // form: a single-scan aggregate with three countDistincts was
+        // measured SLOWER (0.81 -> 1.54 s same-command A/B) — the Expand
+        // x4 it plans costs more than the three columnar re-scans, which
+        // each read only their own column's pages anyway.
         def profile(c: String) =
           l.agg(lit(c).as("column_name"),
             count(lit(1)).as("n_rows"),

@@ -1539,6 +1539,11 @@ object SimilarityOps {
             explode(split(lower(col("text")), "[^\\p{L}\\p{Nd}]+")).as("tok"))
           .filter(col("tok") =!= "").distinct()
           .withColumn("wtok", hash32(col("tok"))).drop("tok")
+        // examined round-19, deliberately left alone: an eager
+        // localCheckpoint of this frame measured SLOWER (1.12 -> 1.37 s
+        // same-command A/B) — AQE's stage reuse already dedups the
+        // repeated subtree inside the one job, and the eager cut only
+        // serialized it
         val capped = words.join(
           words.groupBy("wtok").agg(count(lit(1)).as("df"))
             .filter(col("df") <= 100).select("wtok"), "wtok")
@@ -2216,19 +2221,10 @@ object SimilarityOps {
           .withColumn("crank", row_number().over(wQ))
           .filter(col("crank") <= nProbe)
           .select(col("query_id"), col("qv"), col("cid"))
-        // the scored candidate frame and the filtered truth are each
-        // referenced by every arm (scan counts, returned sets, hit
-        // joins) — without a cut the corpus-sized assignment crossJoin +
-        // per-neighbor window re-ran per reference. Both frames are
-        // query-bounded (≤ nq·nprobe·list rows / ≤ nq·K rows), so one
-        // per-run localCheckpoint each replaces the re-evaluations
-        // (round-19 optimization, guide §5; per-invocation, no cross-run
-        // reuse).
         val cands = probes.join(lists, "cid")
           .withColumn("sim", cosine(col("qv"), col("nv")))
           .select(col("query_id"), col("neighbor_id"), col("lab"),
             col("sim"))
-          .localCheckpoint(true)
         val truth = base.filter(col("vec_id") >= 5 && col("lab") === Pred)
           .select(col("vec_id").as("neighbor_id"), col("v").as("nv2"))
           .crossJoin(broadcast(base.filter(col("vec_id") < 5)
@@ -2239,7 +2235,6 @@ object SimilarityOps {
               .orderBy(col("sim").desc, col("neighbor_id"))))
           .filter(col("rank") <= K)
           .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true)
         val wS = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
         def arm(name: String, scanned: DataFrame,

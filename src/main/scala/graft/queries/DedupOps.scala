@@ -1418,6 +1418,10 @@ object DedupOps {
         val corpus = docs(s, dir).filter(col("doc_id") >= 10)
         val fpCol =
           md5(array_join(array_sort(tokens(normText(col("text")))), " "))
+        // examined round-19: an eager localCheckpoint of this frame (the
+        // q120 move — its fp pipeline is the same) read 0.81 -> 0.97 s in
+        // the full bench; unlike q120's flags, the fp window here is
+        // already stage-reused within the one job — left lazy
         val canon = corpus
           .select(col("doc_id"), fpCol.as("fp"))
           .withColumn("m",

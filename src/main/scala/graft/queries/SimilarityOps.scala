@@ -54,7 +54,8 @@ object SimilarityOps {
   // mechanics under test are identical either way. The codebook is a
   // driver-side model (8*16*8 doubles — the broadcast-model shape a FAISS
   // build ships to scoring nodes), collected once per (session, dir).
-  private[graft] val PqM = 8; private val PqDim = 8; private val PqK = 16
+  private[graft] val PqM = 8; private[graft] val PqDim = 8
+  private val PqK = 16
 
   /** (codebook(m)(k) = 8-dim codeword, norms(m)(k) = left-fold <cw,cw>).
     * Trains on the first 16 WELL-FORMED vectors (null / wrong-dimension
@@ -792,16 +793,22 @@ object SimilarityOps {
     val labCol = if (raw.columns.contains("label"))
       col("label").cast("int") else lit(null).cast("int")
     val base = raw.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("neighbor_id"),
+      .select(col("vec_id").cast("long").as("neighbor_id"),
         transform(col("embedding"), x => x.cast("double")).as("nv"),
         labCol.as("lab"))
-    pqEncode(
-      coarseAssign(base, coarseCentroids(vecs(s, dir)),
-        "neighbor_id", "nv", 1, extra = Seq("lab")),
-      "nv", cb, norms)
-      .select(col("neighbor_id") +:
-        (0 until PqM).map(m => col(s"code_$m")) :+
-        col("lab") :+ col("cid"): _*)
+    // round-20: the corpus rank-1 assignment + PQ encode run through the
+    // RDD kernel — one mapPartitions pass replaces the crossJoin(16
+    // broadcast centroids) + per-vector window argmax (a corpus x nlist
+    // exploded frame and its sort) AND the per-build Catalyst
+    // optimization+codegen of the encode literal tree. Exactness:
+    // routeIds ≡ the coarseAssign window is the round-18
+    // StreamingAnnSpec proof; kernel ≡ ingest (routeIds + pqEncode) is
+    // AnnEncodeKernelSpec; appended-tree ≡ this build's content is
+    // StreamingAnnAppendSpec's row-set assertion — and the DuckDB
+    // oracle replays the full windowed argmax arithmetic on every gate.
+    val (cents, _, _) = annModel(s, dir)
+    graft.streaming.AnnEncodeKernel.encode(base,
+      graft.streaming.StreamingAnn.Model(cents, cb, norms))
   }
 
   /** Writes a lists frame as a fresh index tree under `root` — the q176
@@ -815,16 +822,15 @@ object SimilarityOps {
     */
   private[graft] def writeAnnIndex(s: SparkSession, lists: DataFrame,
       root: String, modelFp: Long): (String, Long, Long) = {
-    def chk(df: DataFrame) =
-      df.agg(count(lit(1)), annIndexChecksumCol).head()
     val stagePath = s"$root/stage"
     val finalPath = s"$root/index"
-    // the assignment is consumed twice (the staged write AND the `want`
-    // checksum it is verified against) — persist so the PQ-encode
-    // pipeline runs once per build instead of twice (round-19
-    // optimization, guide §5: cache exactly the frame that is reused);
-    // unpersisted before returning, so nothing outlives the build
-    val cached = lists.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the assignment's count+checksum ride the staged WRITE itself
+    // (Observation / CollectMetrics — round-20, guide §1.2): one job
+    // encodes, writes, and fingerprints the assignment as it flows,
+    // replacing the round-19 persist + separate aggregate pass. The
+    // fail-loud READ-BACK verification below is unchanged — it still
+    // compares the staged files against the assignment's stats.
+    val obs = org.apache.spark.sql.Observation()
     val want = try {
       // one file per list from birth (the compaction invariant, applied
       // at the seed): a bare partitionBy fans each of the writing tasks
@@ -832,17 +838,20 @@ object SimilarityOps {
       // scaled nlist is the q176 small-files trap on day zero (measured
       // in the round-19 nlist sweep: the fragmented nl=224 tree served
       // 3.4x slower than nl=16 purely on file opens)
-      cached.repartition(col("cid"))
+      lists.observe(obs, count(lit(1)).as("n"), annIndexChecksumCol.as("chk"))
+        .repartition(col("cid"))
         .write.partitionBy("cid").parquet(stagePath)
-      val w = chk(cached)
-      val got = chk(s.read.schema(annIndexSchema).parquet(stagePath))
-      if (w.getLong(0) != got.getLong(0) ||
-          w.getLong(1) != got.getLong(1))
+      val wm = obs.get
+      val (wN, wChk) =
+        (wm("n").asInstanceOf[Long], wm("chk").asInstanceOf[Long])
+      val got = s.read.schema(annIndexSchema).parquet(stagePath)
+        .agg(count(lit(1)), annIndexChecksumCol).head()
+      if (wN != got.getLong(0) || wChk != got.getLong(1))
         throw new IllegalStateException(
           s"q180: staged index holds ${got.getLong(0)} rows / checksum " +
-            s"${got.getLong(1)} but the assignment has ${w.getLong(0)}" +
-            s" / ${w.getLong(1)} — refusing to publish a drifted index")
-      w
+            s"${got.getLong(1)} but the assignment has $wN" +
+            s" / $wChk — refusing to publish a drifted index")
+      (wN, wChk)
     } catch {
       case e: Throwable =>
         // a refused publish must not strand the staged tree — on a
@@ -850,16 +859,14 @@ object SimilarityOps {
         // (review-pass finding), so stage deletion is part of fail-loud
         deleteQuietly(s, stagePath)
         throw e
-    } finally {
-      cached.unpersist()
     }
     // stage→final swap on the TARGET filesystem (atomic on HDFS/ABFS/
     // local; raw-S3 caveat documented at Staging.publishAtomic)
     graft.Staging.publishAtomic(s, stagePath, finalPath)
     writeAnnManifest(s, finalPath, AnnManifest(
-      want.getLong(0), want.getLong(1), lastBatch = -1L,
+      want._1, want._2, lastBatch = -1L,
       lastTombstoneBatch = -1L, modelFp = Some(modelFp), runId = ""))
-    (finalPath, want.getLong(0), want.getLong(1))
+    (finalPath, want._1, want._2)
   }
 
   private def deleteQuietly(s: SparkSession, path: String): Unit =
@@ -2629,10 +2636,18 @@ object SimilarityOps {
             raw.select(col("vec_id"), col("embedding"), col("label"))
           else raw.select(col("vec_id"), col("embedding")))
             .filter(col("vec_id") >= 5)
+          // verifyStaged = false: the four per-batch read-back verifies
+          // are BATCHED into the compaction gate below (round-20, the
+          // r19 verdict's #1) — compactAnnIndex recomputes rows+checksum
+          // over the WHOLE tree against the manifest (the sum of the
+          // write-side stats each append committed), so any drifted
+          // staged write still fails loud before the tree serves; the
+          // replay pays one full-tree verify instead of four.
           for (slice <- 0 until 4)
             StreamingAnn.appendBatch(
               in.filter(pmod(col("vec_id"), lit(4)) === slice),
-              "vec_id", m, path, batchId = slice.toLong)
+              "vec_id", m, path, batchId = slice.toLong,
+              verifyStaged = false)
           val (n, chk) = compactAnnIndex(s, path)
           val after = annListFileCounts(s, path)
           if (after.valuesIterator.exists(_ > 1))
@@ -2700,10 +2715,17 @@ object SimilarityOps {
             raw.select(col("vec_id"), col("embedding"), col("label"))
           else raw.select(col("vec_id"), col("embedding")))
             .filter(col("vec_id") >= 5)
+          // verifyStaged = false: per-batch read-back verifies batched
+          // into the downstream full-tree gates (round-20, same as
+          // q183) — here BOTH the serve admission live-count check
+          // (before `pre`) and the compaction rows+checksum gate run
+          // over the whole tree against the manifest before the result
+          // leaves the build.
           for (slice <- 0 until 4)
             StreamingAnn.appendBatch(
               in.filter(pmod(col("vec_id"), lit(4)) === slice),
-              "vec_id", m, path, batchId = slice.toLong)
+              "vec_id", m, path, batchId = slice.toLong,
+              verifyStaged = false)
           val doomed = raw.select(col("vec_id"))
             .filter(col("vec_id") >= 5 &&
               pmod(col("vec_id"), lit(10)) === 7)
@@ -2714,8 +2736,12 @@ object SimilarityOps {
             .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
               r.getLong(3))).toSet
           val pre = serveSet()
-          val dead = doomed.collect().map(_.getLong(0)).toSet
-          if (pre.exists(t => dead.contains(t._3)))
+          // membership in the doomed set is pure arithmetic (vec_id >= 5
+          // AND vec_id mod 10 = 7) — testing the predicate in-row
+          // replaces the round-19 doomed.collect() job (round-20; the
+          // served ids all come from the vec_id >= 5 corpus, and mod on
+          // a nonnegative id matches pmod exactly)
+          if (pre.exists(t => t._3 >= 5 && t._3 % 10 == 7))
             throw new IllegalStateException(
               "q184: a tombstoned id was served before compaction")
           val (n2, chk2) = compactAnnIndex(s, path)

@@ -179,10 +179,23 @@ object StreamingAnn {
     * against a run-stamped manifest it is refused too (an anonymous
     * writer on an identity-scoped index is exactly the ambiguity the
     * stamp exists to kill).
+    *
+    * `verifyStaged = false` (round-20) skips the per-batch READ-BACK
+    * verification of the staged tree (step 3) — the write-side count +
+    * checksum still ride the write action and still commit to the
+    * manifest, so ANY later files-vs-manifest gate (serve admission's
+    * live-count check, compactAnnIndex's content-invariance gate,
+    * verifyAnnIndex) batches the detection: a drifted staged write
+    * surfaces there fail-loud instead of per batch. Callers that opt
+    * out take responsibility for reaching one of those gates before
+    * the tree serves — the lifecycle replays (q183/q184) do (both
+    * compact, and compaction recomputes rows+checksum over the whole
+    * tree against the manifest). The default keeps the per-batch
+    * contract for every production/spec path.
     */
   def appendBatch(batch: DataFrame, idCol: String, m: Model,
       indexDir: String, batchId: Long = -1L,
-      runId: String = ""): (Long, Long) = {
+      runId: String = "", verifyStaged: Boolean = true): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
     // manifest read FIRST, before any tree mutation: a missing/corrupt
@@ -228,10 +241,16 @@ object StreamingAnn {
       if (batch.columns.contains("label"))
         batch.withColumn("lab", col("label").cast("int"))
       else batch.withColumn("lab", lit(null).cast("int"))
-    val encoded = ingest(withLab, idCol, m, keepCols = Seq("lab"))
-      .select(col(idCol).cast("long").as("neighbor_id") +:
-        (0 until SimilarityOps.PqM).map(i => col(s"code_$i")) :+
-        col("lab") :+ col("cid"): _*)
+    // encode through the RDD kernel (round-20): appendBatch always runs
+    // in a BATCH context (foreachBatch hands over a batch frame), and
+    // the kernel skips the per-append Catalyst optimization+codegen of
+    // the 16-cosine + 8x16-distance literal tree (~0.5 s/batch of pure
+    // fixed cost) while staying bit-identical to [[ingest]]
+    // (AnnEncodeKernelSpec pins parity incl. every malformed-vector
+    // degrade and tie rule)
+    val encoded = AnnEncodeKernel.encode(
+      withLab.select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col("embedding")).as("nv"), col("lab")), m)
     // a tombstoned id stays dead until compaction reclaims the marker:
     // an arriving row for it is filtered HERE (the manifest counts live
     // rows, and serving anti-joins the same set — an unfiltered append
@@ -241,26 +260,36 @@ object StreamingAnn {
         encoded.join(broadcast(ts), Seq("neighbor_id"), "left_anti")
       case None => encoded
     }
-    // cached: the encode projection feeds three actions (write, count+
-    // checksum, nothing else) — uncached it re-runs the per-row PQ
-    // argmins per action, tripling the hot path's encode cost
-    val rows = filtered.persist()
+    // write-side stats ride the WRITE ACTION itself (Observation /
+    // CollectMetrics — round-20, guide §1.2): one job computes the
+    // encode, writes the staged tree, and counts+checksums the rows as
+    // they flow, replacing the round-19 persist + separate aggregate
+    // pass (an extra job and a cache pin per micro-batch — pure fixed
+    // cost on the append hot path). The checksum arithmetic is
+    // unchanged (the shared order-independent sum), only WHERE it is
+    // computed moves.
+    val obs = org.apache.spark.sql.Observation()
+    val rows = filtered.observe(obs, count(lit(1)).as("n"),
+      SimilarityOps.annIndexChecksumCol.as("chk"))
     val stage = s"$indexDir/_append_${java.util.UUID.randomUUID()}"
     val idxPath = new Path(indexDir)
     val fs = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val (want, wantChk) = try {
       rows.write.partitionBy("cid").parquet(stage)
-      val w = rows.agg(count(lit(1)),
-        SimilarityOps.annIndexChecksumCol).head()
-      val g = s.read.schema(SimilarityOps.annIndexSchema).parquet(stage)
-        .agg(count(lit(1)), SimilarityOps.annIndexChecksumCol).head()
-      if (g.getLong(0) != w.getLong(0) || g.getLong(1) != w.getLong(1))
-        throw new IllegalStateException(
-          s"ann append: staged batch holds ${g.getLong(0)} rows / " +
-            s"checksum ${g.getLong(1)} but the encode has " +
-            s"${w.getLong(0)} / ${w.getLong(1)} — refusing to append a " +
-            "drifted batch")
-      (w.getLong(0), w.getLong(1))
+      val w = obs.get
+      val (wN, wChk) =
+        (w("n").asInstanceOf[Long], w("chk").asInstanceOf[Long])
+      if (verifyStaged) {
+        val g = s.read.schema(SimilarityOps.annIndexSchema).parquet(stage)
+          .agg(count(lit(1)), SimilarityOps.annIndexChecksumCol).head()
+        if (g.getLong(0) != wN || g.getLong(1) != wChk)
+          throw new IllegalStateException(
+            s"ann append: staged batch holds ${g.getLong(0)} rows / " +
+              s"checksum ${g.getLong(1)} but the encode has " +
+              s"$wN / $wChk — refusing to append a " +
+              "drifted batch")
+      }
+      (wN, wChk)
     } catch {
       case e: Throwable =>
         // a failed stage (or gate) must not strand a batch-sized tree
@@ -268,7 +297,7 @@ object StreamingAnn {
         try fs.delete(new Path(stage), true)
         catch { case _: Throwable => () }
         throw e
-    } finally rows.unpersist()
+    }
     // self-heal: a PRIOR crashed attempt at this batch may have moved
     // some of its files before dying short of the manifest commit —
     // they carry this batch's RUN-SCOPED prefix and sit past the
@@ -412,10 +441,16 @@ object StreamingAnn {
     val stage = new Path(tombDir,
       s"_stage_${java.util.UUID.randomUUID()}")
     val moved = try {
-      newIds.coalesce(1).write.parquet(stage.toString)
+      // the batch-side count rides the write action (Observation —
+      // round-20, same move as appendBatch's write-side stats): one job
+      // writes the marker and counts it, instead of write + a separate
+      // count re-running the distinct
+      val tObs = org.apache.spark.sql.Observation()
+      newIds.observe(tObs, count(lit(1)).as("n"))
+        .coalesce(1).write.parquet(stage.toString)
       val got = s.read.schema("neighbor_id LONG")
         .parquet(stage.toString)
-      val (w, g) = (newIds.count(), got.count())
+      val (w, g) = (tObs.get("n").asInstanceOf[Long], got.count())
       if (w != g)
         throw new IllegalStateException(
           s"ann tombstone: staged id set holds $g rows but the batch " +
@@ -476,5 +511,245 @@ object StreamingAnn {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+}
+
+/** The route+PQ-encode arithmetic as a standalone serializable kernel —
+  * the RDD twin of [[StreamingAnn.ingest]] (round-20; the round-19
+  * LloydKernel precedent). The Catalyst form plans a ~16-cosine +
+  * 8x16-distance literal expression tree whose optimization + codegen
+  * cost (~0.5 s) is paid PER PLAN — once per micro-batch append, once
+  * per index build, once even for an empty seed — while the actual
+  * arithmetic over a batch is microseconds-to-milliseconds. This kernel
+  * runs the identical arithmetic as one mapPartitions pass at none of
+  * that fixed cost, and stays exact:
+  *
+  *   - dot products are VecDot's strict left-to-right IEEE fold (null on
+  *     length mismatch or a null element — zip_with semantics);
+  *   - the route is routeIds' argmin over (nd, cid) with nd = -cosine,
+  *     NaN mapped to -MaxValue (NaN wins the desc window), null cosine
+  *     (zero norm / malformed) mapped to +MaxValue (sorts last), ties to
+  *     the smallest cid;
+  *   - PQ codes replay pqEncode: per subspace argmin of
+  *     l2² = <s,s> - 2<s,cw> + <cw,cw> with array_min/array_position
+  *     semantics (nulls skipped, NaN greatest, -0.0 == 0.0, FIRST index
+  *     at the min), codes null unless the vector is exactly Dims long;
+  *   - double comparisons use Spark SQL's total order (NaN greatest,
+  *     -0.0 == 0.0 — SQLOrderingUtil.compareDoubles), not
+  *     java.lang.Double.compare, so an engineered -0.0/0.0 cosine tie
+  *     breaks by cid exactly like the struct sort.
+  *
+  * AnnEncodeKernelSpec pins kernel ≡ ingest row-for-row on the real
+  * corpus AND on an adversarial fixture (null / empty / wrong-dim /
+  * null-element / NaN vectors, duplicate centroids for exact ties, an
+  * empty model). Batch contexts only (appendBatch runs inside
+  * foreachBatch, which hands over a BATCH frame; the streaming-legal
+  * Column form [[StreamingAnn.ingest]] remains the projection the
+  * streamed-≡-batch proofs pin).
+  */
+private[graft] object AnnEncodeKernel extends Serializable {
+
+  import graft.queries.SimilarityOps.{PqM, PqDim}
+
+  /** Spark SQL's double total order: NaN greatest, NaN == NaN,
+    * -0.0 == 0.0 (SQLOrderingUtil.compareDoubles).
+    */
+  def cmpD(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (x == y) 0
+    else if (java.lang.Double.isNaN(x))
+      (if (java.lang.Double.isNaN(y)) 0 else 1)
+    else -1
+
+  /** Closure-shipped model: (cid, cv, <cv,cv>) per centroid (norms
+    * precomputed with the same left fold VecDot runs per row — the
+    * value is bit-identical because the fold is deterministic), plus
+    * the codebook and its precomputed norms exactly as pqEncode embeds
+    * them as literals.
+    */
+  final case class ModelArrays(
+      cents: Array[(Long, Array[Double], Double)],
+      cb: Array[Array[Array[Double]]],
+      norms: Array[Array[Double]])
+
+  def modelArrays(m: StreamingAnn.Model): ModelArrays = {
+    val cents = m.centroids.map { case (cid, cv) =>
+      val a = cv.toArray
+      var nb = 0.0
+      var i = 0
+      while (i < a.length) { nb += a(i) * a(i); i += 1 }
+      (cid, a, nb)
+    }.toArray
+    ModelArrays(cents,
+      m.cb.map(_.map(_.toArray).toArray).toArray,
+      m.norms.map(_.toArray).toArray)
+  }
+
+  /** VecDot's fold over a (possibly null-element) row vector and a clean
+    * model vector: null on length mismatch or any null element, else the
+    * strict left-to-right sum of products.
+    */
+  private def dotRowModel(a: Array[java.lang.Double],
+      b: Array[Double]): java.lang.Double = {
+    if (a.length != b.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i)
+      if (x == null) return null
+      s += x.doubleValue() * b(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** VecDot(v, v) — null on any null element. */
+  private def dotSelf(a: Array[java.lang.Double]): java.lang.Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i)
+      if (x == null) return null
+      val d = x.doubleValue()
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** routeIds(v, m, 1) ++ get(..., 0): the argmin cid over (nd, cid) —
+    * null only for an empty model.
+    */
+  def routeOne(nv: Array[java.lang.Double],
+      ma: ModelArrays): java.lang.Long = {
+    val cents = ma.cents
+    if (cents.length == 0) return null
+    val na: java.lang.Double = if (nv == null) null else dotSelf(nv)
+    var bestNd = 0.0
+    var bestCid = 0L
+    var first = true
+    var k = 0
+    while (k < cents.length) {
+      val (cid, cv, nb) = cents(k)
+      // cosine(nv, cv) with VectorFns.cosine's exact guard shape:
+      // d = sqrt(<a,a>) * sqrt(<b,b>); when(d =!= 0.0, <a,b> / d).
+      // A null <a,a> (null vector / null element) nulls d and the
+      // whole cosine; d == 0.0 (zero norm, empty vectors included)
+      // nulls it via the guard; a length mismatch nulls the numerator.
+      // NaN flows through d =!= 0.0 (true) into a NaN cosine.
+      var cosNull = false
+      var cos = 0.0
+      if (nv == null || na == null) cosNull = true
+      else {
+        val den = math.sqrt(na.doubleValue()) * math.sqrt(nb)
+        if (den == 0.0) cosNull = true
+        else {
+          val num = dotRowModel(nv, cv)
+          if (num == null) cosNull = true
+          else cos = num.doubleValue() / den
+        }
+      }
+      val nd =
+        if (cosNull) Double.MaxValue
+        else if (java.lang.Double.isNaN(cos)) -Double.MaxValue
+        else -cos
+      val c = if (first) -1 else cmpD(nd, bestNd)
+      if (first || c < 0 || (c == 0 && cid < bestCid)) {
+        bestNd = nd; bestCid = cid; first = false
+      }
+      k += 1
+    }
+    java.lang.Long.valueOf(bestCid)
+  }
+
+  /** pqEncode's per-subspace argmin — codes null unless the vector is
+    * exactly `dims` long; a null-element subspace yields null distances
+    * (skipped by the array_min semantics); all-null distances yield a
+    * null code.
+    */
+  def pqCodes(nv: Array[java.lang.Double], ma: ModelArrays,
+      dims: Int): Array[java.lang.Integer] = {
+    val out = new Array[java.lang.Integer](PqM)
+    if (nv == null || nv.length != dims) return out
+    var m = 0
+    while (m < PqM) {
+      val cws = ma.cb(m)
+      val nms = ma.norms(m)
+      // sub = slice(v, m*PqDim+1, PqDim); <s,s> once per subspace, like
+      // the shared-fold literal tree (deterministic, so computing it
+      // once is bit-identical to computing it 16 times)
+      var ssNull = false
+      var ss = 0.0
+      var i = 0
+      while (i < PqDim && !ssNull) {
+        val x = nv(m * PqDim + i)
+        if (x == null) ssNull = true
+        else { val d = x.doubleValue(); ss += d * d }
+        i += 1
+      }
+      var best = 0.0
+      var bestK = -1
+      var k = 0
+      while (k < cws.length) {
+        // dist_k = <s,s> - 2<s,cw_k> + <cw_k,cw_k>; null (skipped) when
+        // the subspace holds a null element
+        if (!ssNull) {
+          val cw = cws(k)
+          var dp = 0.0
+          var dpNull = false
+          var j = 0
+          while (j < PqDim && !dpNull) {
+            val x = nv(m * PqDim + j)
+            if (x == null) dpNull = true
+            else dp += x.doubleValue() * cw(j)
+            j += 1
+          }
+          if (!dpNull) {
+            val dist = ss - 2.0 * dp + nms(k)
+            if (bestK < 0 || cmpD(dist, best) < 0) { best = dist; bestK = k }
+          }
+        }
+        k += 1
+      }
+      out(m) = if (bestK < 0) null else java.lang.Integer.valueOf(bestK)
+      m += 1
+    }
+    out
+  }
+
+  /** One kernel pass over a PREPARED batch frame — (neighbor_id LONG,
+    * nv ARRAY<DOUBLE>, lab INT) — producing the index-row schema
+    * (neighbor_id, code_0..7, lab, cid) exactly as
+    * `ingest(...).select(...)` does in the appendBatch/annIndexLists
+    * paths.
+    */
+  def encode(prepared: org.apache.spark.sql.DataFrame,
+      m: StreamingAnn.Model): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = prepared.sparkSession
+    val ma = modelArrays(m)
+    val dims = graft.functions.VectorFns.Dims
+    val rdd = prepared.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id: java.lang.Long =
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val nv: Array[java.lang.Double] =
+          if (r.isNullAt(1)) null
+          else r.getSeq[java.lang.Double](1).toArray
+        val lab: java.lang.Integer =
+          if (r.isNullAt(2)) null else java.lang.Integer.valueOf(r.getInt(2))
+        val codes = pqCodes(nv, ma, dims)
+        val cid = routeOne(nv, ma)
+        Row.fromSeq(id +: codes.toSeq :+ lab :+ cid)
+      }
+    }
+    val schema = StructType(
+      StructField("neighbor_id", LongType) +:
+        (0 until PqM).map(i => StructField(s"code_$i", IntegerType)) :+
+        StructField("lab", IntegerType) :+
+        StructField("cid", LongType))
+    s.createDataFrame(rdd, schema)
   }
 }

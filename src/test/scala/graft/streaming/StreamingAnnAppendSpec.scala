@@ -214,6 +214,43 @@ class StreamingAnnAppendSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("verifyStaged = false appends commit the same write-side stats " +
+    "and the tree still passes the batched full-tree verify (round-20)") {
+    import spark.implicits._
+    val m = StreamingAnn.model(spark, sfDir)
+    val full = SimilarityOps.annIndexLists(spark, sfDir)
+    // two fresh trees from the same seed, one appended with per-batch
+    // read-back verifies, one without: the manifests must be identical
+    // (the write-side Observation stats ARE the commit arithmetic) and
+    // the unverified tree must pass the downstream files-vs-manifest
+    // gate the lifecycle replays batch the verification into
+    def build(verify: Boolean): String = {
+      val root = graft.Staging.scratchDir("graft_annvs_")
+      val (path, _, _) = SimilarityOps.writeAnnIndex(spark,
+        full.filter(col("neighbor_id") < split), root,
+        SimilarityOps.annModelFp(spark, sfDir))
+      val rest = graft.Tables(spark, sfDir, "embeddings")
+        .filter(col("vec_id") >= split)
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast("int").as("label"))
+      for (slice <- 0 until 2)
+        StreamingAnn.appendBatch(
+          rest.filter(pmod(col("vec_id"), lit(2)) === slice),
+          "vec_id", m, path, batchId = slice.toLong,
+          verifyStaged = verify)
+      path
+    }
+    val verified = build(verify = true)
+    val unverified = build(verify = false)
+    val a = SimilarityOps.readAnnManifest(spark, verified)
+    val b = SimilarityOps.readAnnManifest(spark, unverified)
+    assert(a == b,
+      s"write-side stats drifted between the verified ($a) and " +
+        s"unverified ($b) append paths")
+    // the batched gate: full-tree rows+checksum vs the manifest
+    assert(SimilarityOps.verifyAnnIndex(spark, unverified) == b)
+  }
+
   test("a lost appended list file is caught by the manifest gate") {
     import org.apache.hadoop.fs.Path
     val idx = new Path(indexPath)

@@ -26,6 +26,12 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true") // round-20: AQE sizes CACHED-plan output by bytes, so every
+        // session-staged frame gets a data-derived partition count (tiny
+        // graph/pair frames collapse to ~1 partition instead of 2x cpus;
+        // corpus-scale frames keep their width) — scale-adaptive by
+        // construction, guide SS2.2/SS2.6
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val auditLines = Seq.newBuilder[String]

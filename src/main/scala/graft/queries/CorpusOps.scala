@@ -1433,25 +1433,27 @@ object CorpusOps {
           expr("slice(array_sort(array_distinct(" +
             "filter(split(text, ' '), x -> length(x) >= 3))), 1, 24)")
             .as("tk"))
-        // ONE tokenize+explode pass builds BOTH the per-token df counts
-        // and the pair counts (round-19 optimization, guide §1.2/§2.4):
-        // singles ride as (a, NULL) rows beside the in-row (a, b) pairs,
-        // so one map-side-combined groupBy replaces two separate
-        // tokenize+shuffle passes. Counts are bit-identical — (a, NULL)
-        // groups can never collide with a real pair (b is a token, never
-        // null), and multiplicities are unchanged.
-        val combined = tk.select(explode(expr(
-            "concat(" +
-              "transform(tk, x -> struct(x AS a, CAST(NULL AS STRING) AS b)), " +
-              "flatten(transform(tk, (x, ix) -> " +
+        // TWO tokenize passes (df counts + pairs), deliberately: the
+        // round-19 "fused" variant (singles riding the pair shuffle as
+        // (a, NULL) struct rows — one tokenize, one groupBy) measured
+        // SLOWER in context and was reverted here in round 20 after an
+        // alternating same-session A/B (7/7 rounds to the two-pass form:
+        // fused min 1.068 / med 1.173 s vs two-pass min 1.018 / med
+        // 1.062 s at sf0.1): wrapping every token in a struct beside the
+        // 276 pair structs widens the exploded exchange by ~9% rows and
+        // ~all singles' bytes, which costs more than the saved tokenize
+        // scan at every measured size. The quiet bench agreed (q94 read
+        // 2.06 s fused vs 1.19 s pre-fusion baseline in r19).
+        val exploded = tk.select(col("doc_id"), explode(col("tk")).as("t"))
+        val dfCount = exploded.groupBy("t").agg(count(lit(1)).as("c_t"))
+        val pairs = tk.select(explode(expr(
+            "flatten(transform(tk, (x, ix) -> " +
               "filter(transform(tk, (y, iy) -> " +
-              "IF(x < y, struct(x AS a, y AS b), NULL)), p -> p IS NOT NULL))))"))
+              "IF(x < y, struct(x AS a, y AS b), NULL)), p -> p IS NOT NULL)))"))
             .as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("c_xy"))
-        val dfCount = combined.filter(col("b").isNull)
-          .select(col("a").as("t"), col("c_xy").as("c_t"))
-        val pairs = combined.filter(col("b").isNotNull && col("c_xy") >= 5)
+          .filter(col("c_xy") >= 5)
         val n = docs(s, dir).agg(count(lit(1)).as("n"))
         pairs
           .join(dfCount.select(col("t").as("a"), col("c_t").as("c_a")), "a")
@@ -2667,6 +2669,18 @@ object CorpusOps {
         // unigram broadcasts, and the total-n aggregate below all hang off
         // the SAME exchange. Counts are bit-identical: same hash32/pmod
         // per token and per in-row bigram, same multiplicities.
+        //
+        // Round-20 measurement (recorded per the r19 verdict's item 6):
+        // an alternating same-session A/B against the pre-r19 three-pass
+        // form reads combined min 1.387 / med 1.540 s vs three-pass min
+        // 1.320 / med 1.467 s at sf0.1 — the three-pass form is ~5%
+        // faster HERE because the shared exchange's (kind, bucket) key
+        // costs more than the saved tokenize at toy scale. KEPT anyway:
+        // the shuffled row count is identical in both forms, and the
+        // combined form runs one fewer full-corpus regex-tokenize +
+        // explode pass — at 100 TB that pass is a full corpus scan with
+        // per-token md5 work, orders beyond the ~70 ms aggregate-key
+        // overhead this trades for it.
         val uniArr = transform(col("ws"), x =>
           struct(lit(0L).as("kind"), pmod(hash32(x), lit(M)).as("k")))
         // greatest(..., 0): a ZERO-word doc (empty/whitespace text — the

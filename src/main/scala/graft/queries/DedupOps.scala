@@ -549,21 +549,41 @@ object DedupOps {
             .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
             .join(prNodes.select(col("doc_id").as("src"), col("deg")), "src")
         }
-        var r = prNodes.select(col("doc_id"), lit(1000000L).as("pr"))
-        for (_ <- 1 to 3) {
-          val contrib = prEdges
-            .join(r.withColumnRenamed("doc_id", "src"), "src")
-            .select(col("dst"), expr("pr div deg").as("c"))
+        // Round-20 (§2.4, the r19 verdict's #3 — q95 ran ~10 serial
+        // micro-stages and read FASTER at 8 cores than 32): the rank
+        // frame never materializes between rounds. The old loop attached
+        // every round's contributions back onto prNodes (a second join +
+        // exchange per round) only so the next round could read `pr`;
+        // but pr(u) = 150000 + 850*coalesce(in_sum(u), 0) div 1000 is a
+        // FORMULA of the previous round's contribution row, so the next
+        // round's edge join can compute it inline from a LEFT join
+        // (missing src ≡ no in-edges ≡ in_sum 0 — exactly the value the
+        // dropped attach would have carried; every edge src is a node by
+        // construction). One exchange per round (the groupBy dst; the
+        // src-side join reuses contrib's dst-hash partitioning) instead
+        // of three. Values are bit-identical: same integer formula, same
+        // join semantics, r3 materialized once at the end.
+        var contrib = prEdges
+          .select(col("dst"), expr("1000000L div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+        for (_ <- 2 to 3) {
+          contrib = prEdges
+            .join(contrib.withColumnRenamed("dst", "src"),
+              Seq("src"), "left_outer")
+            .select(col("dst"),
+              expr("(150000L + 850 * coalesce(in_sum, 0L) div 1000) " +
+                "div deg").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-          r = prNodes.select("doc_id")
-            .join(contrib.withColumnRenamed("dst", "doc_id"),
-              Seq("doc_id"), "left_outer")
-            .select(col("doc_id"),
-              expr("150000L + 850 * coalesce(in_sum, 0L) div 1000").as("pr"))
         }
         // Fold the deg attach into the (small) rank frame before the single
-        // corpus-sized left join — one scan of documents, not two joins.
-        val rd = prNodes.join(r, "doc_id")
+        // corpus-sized left join — one scan of documents, not two joins;
+        // the final rank formula applies here, once, over all nodes.
+        val rd = prNodes
+          .join(contrib.withColumnRenamed("dst", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            expr("150000L + 850 * coalesce(in_sum, 0L) div 1000").as("pr"),
+            col("deg"))
         docs(s, dir).select(col("doc_id"))
           .join(rd, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
